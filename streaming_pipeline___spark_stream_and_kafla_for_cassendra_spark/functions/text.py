@@ -1,0 +1,117 @@
+"""Text-analysis column library (training-data pipeline ops).
+
+Everything is built-in Catalyst expressions (split/filter/transform/
+aggregate higher-order functions) — no Python in the hot path, so
+these run inside whole-stage codegen and scale linearly with a plain
+scan: no shuffle is ever introduced by a per-document score.
+
+Ops: tokenization, token/char stats, stopword & punctuation quality
+signals, word n-gram shingles, content fingerprints, and an n-gram
+language-ID heuristic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny multilingual stopword sets for the langid heuristic (public
+# knowledge). The score for a language is the fraction of tokens that
+# are in its stopword set.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+    "de": ("der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist"),
+    "fr": ("le", "la", "de", "et", "les", "des", "en", "un", "du", "est"),
+    "zh": ("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"),
+}
+
+DEFAULT_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (lowercased, empty tokens dropped)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text)).cast("int")
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token estimate: split on whitespace AND
+    punctuation AND letter/digit boundaries — a cheap, deterministic
+    proxy for a BPE tokenizer's piece count."""
+    c = F.col(text) if isinstance(text, str) else text
+    pieces = F.split(c, r"[\s\p{Punct}]+|(?<=\p{L})(?=\p{N})|(?<=\p{N})(?=\p{L})")
+    return F.size(F.filter(pieces, lambda t: t != "")).cast("int")
+
+
+def stopword_ratio(
+    text: Column | str, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS
+) -> Column:
+    toks = tokens(text)
+    stops = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return stops / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    no_punct = F.regexp_replace(c, r"\p{Punct}", "")
+    return (F.length(c) - F.length(no_punct)) / F.greatest(
+        F.length(c), F.lit(1)
+    )
+
+
+def quality_bucket(
+    text: Column | str, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS
+) -> Column:
+    """Coarse quality label from length + stopword signals — the
+    shape of a Gopher/C4-style quality filter."""
+    n = token_count(text)
+    ratio = stopword_ratio(text, stopwords)
+    return (
+        F.when(n < 5, F.lit("too_short"))
+        .when(ratio > 0.5, F.lit("boilerplate"))
+        .otherwise(F.lit("ok"))
+    )
+
+
+def word_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined)."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def content_fingerprint(text: Column | str) -> Column:
+    """Normalized-content MD5: lowercase, collapse whitespace.
+    Stable across engines (used as the exact-dedup key)."""
+    c = F.col(text) if isinstance(text, str) else text
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.md5(normalized.cast("binary"))
+
+
+def lang_id_heuristic(text: Column | str) -> Column:
+    """Stopword-vote language ID: the language whose stopword set
+    covers the largest fraction of tokens; 'und' when nothing hits."""
+    toks = tokens(text)
+    n = F.greatest(F.size(toks), F.lit(1))
+    scored = F.array(
+        *[
+            F.struct(
+                (F.size(F.filter(toks, lambda t: t.isin(*sw))) / n).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, sw in LANG_STOPWORDS.items()
+        ]
+    )
+    best = F.array_max(scored)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))

@@ -1,0 +1,277 @@
+"""Deduplication operators (training-data pipeline ops).
+
+Four tiers, all shuffle-frugal and collect-free:
+
+* exact — hash-groupBy on a normalized content fingerprint. One
+  shuffle keyed by the 128-bit hash; at 100 TB the hash (not the
+  text) is what shuffles.
+* MinHash + LSH — shingle → 64 per-seed xxhash64 minima → band
+  signatures → candidates via band-bucket self-join → exact-Jaccard
+  verification of candidates only. The classic sub-quadratic
+  near-dup pipeline: the O(n²) comparison never happens; only
+  same-bucket pairs are verified.
+* SimHash — 64-bit sign-aggregated token-hash fingerprint; near-dup
+  candidates = identical fingerprint (or banded sub-keys).
+* n-gram Jaccard — exact all-pairs similarity via an inverted index
+  (gram → doc list) self-join; quadratic only within gram buckets.
+
+Everything is built-in expressions (xxhash64, higher-order array
+functions) — deterministic across runs and executors, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import content_fingerprint, tokens, word_ngrams
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per normalized-content fingerprint.
+
+    Returns (id_col, content_hash, dup_count). Single hash-partitioned
+    aggregation; map-side partial agg means near-duplicate-free data
+    shuffles ~1 row per input row of (hash, id) — never the text.
+    """
+    return (
+        df.select(
+            F.col(id_col), content_fingerprint(F.col(text_col)).alias("content_hash")
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").cast("bigint").alias("dup_count"),
+        )
+        .select(id_col, "content_hash", "dup_count")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, minhash array<bigint>[num_hashes]) via word-shingle
+    xxhash64 minima. One explode + one groupBy(id): the shuffle is
+    keyed on the doc id and carries only (id, 64 longs)."""
+    grams = df.select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text_col), shingle_n)).alias("gram"),
+    )
+    hashed = grams.select(
+        id_col,
+        *[
+            F.xxhash64(F.col("gram"), F.lit(seed)).alias(f"h{seed}")
+            for seed in range(num_hashes)
+        ],
+    )
+    sig = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{seed}").alias(f"h{seed}") for seed in range(num_hashes)]
+    )
+    return sig.select(
+        id_col, F.array(*[f"h{seed}" for seed in range(num_hashes)]).alias("minhash")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash-LSH + exact verify.
+
+    ``bands`` bands of ``num_hashes // bands`` rows → candidate
+    recall ~ 1-(1-j^r)^b. Candidates are verified with the exact
+    signature-agreement estimate and filtered at ``threshold``.
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+
+    banded = sig.select(
+        F.col(id_col),
+        F.col("minhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(*[F.col("minhash")[b * rows + r] for r in range(rows)])
+                        .alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "minhash", "bb.band", "bb.bucket")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.minhash").alias("mh_a"),
+            F.col("b.minhash").alias("mh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = cand.withColumn(
+        "est_jaccard",
+        F.size(
+            F.filter(
+                F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        )
+        / F.lit(float(num_hashes)),
+    )
+    return est.filter(F.col("est_jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via inverted-index self-join.
+
+    grams → (gram, id) → join on gram (quadratic only inside a gram
+    bucket) → |A∩B| per pair → jaccard with per-doc gram counts
+    broadcast back in. Returns (id_a, id_b, jaccard) with id_a<id_b.
+    """
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_ngrams(F.col(text_col), shingle_n)).alias("gram"),
+    )
+    counts = grams.groupBy("_id").agg(F.count("*").alias("n_grams"))
+
+    a = grams.alias("ga")
+    b = grams.alias("gb")
+    inter = (
+        a.join(
+            b,
+            on=[
+                F.col("ga.gram") == F.col("gb.gram"),
+                F.col("ga._id") < F.col("gb._id"),
+            ],
+        )
+        .groupBy(F.col("ga._id").alias("id_a"), F.col("gb._id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    joined = (
+        inter.join(counts.withColumnRenamed("_id", "id_a"), on="id_a")
+        .withColumnRenamed("n_grams", "n_a")
+        .join(counts.withColumnRenamed("_id", "id_b"), on="id_b")
+        .withColumnRenamed("n_grams", "n_b")
+    )
+    jac = joined.withColumn(
+        "jaccard",
+        F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per document.
+
+    Token → xxhash64 → per-bit ±1 vote sum → sign vector → packed
+    bigint. The 64 per-bit sums are plain aggregates with map-side
+    combine; the packed fingerprint is reassembled post-agg. Bit 63
+    (the sign bit of the long) is read via ``h < 0`` to avoid
+    literal-overflow on ``1 << 63``.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64(F.col("tok")))
+
+    def bit_vote(i: int):
+        if i == 63:
+            on = F.col("h") < 0
+        else:
+            on = F.col("h").bitwiseAND(F.lit(1 << i)) != 0
+        return F.sum(F.when(on, 1).otherwise(-1)).alias(f"b{i}")
+
+    votes = toks.groupBy(id_col).agg(*[bit_vote(i) for i in range(64)])
+
+    fingerprint = None
+    for i in range(63):  # bits 0..62 into a non-negative long
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    # bit 63 via two's complement: adding -(2^63) when set
+    sign_term = F.when(F.col("b63") > 0, F.lit(-(1 << 63))).otherwise(F.lit(0))
+    return votes.select(
+        F.col(id_col), (fingerprint + sign_term).cast("bigint").alias("simhash")
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, text_col: str, id_col: str, band_bits: int = 16
+) -> DataFrame:
+    """Candidate pairs whose SimHash matches on ≥1 of four 16-bit
+    bands (Hamming-distance blocking), verified by popcount of the
+    XOR. Returns (id_a, id_b, hamming_distance)."""
+    sig = simhash_fingerprints(df, text_col, id_col)
+    bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming_distance"),
+    )

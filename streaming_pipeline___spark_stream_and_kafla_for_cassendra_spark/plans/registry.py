@@ -1,0 +1,1185 @@
+"""Declared-query registry — the engine's enumerable query surface.
+
+Every operator family from SURVEY.md §2 (plus the training-data
+extensions) is represented as a named query: a DataFrame builder
+``(spark, sf_dir) -> DataFrame`` paired, where SQL can express it,
+with an ANSI-SQL oracle string the driver runs on DuckDB over the
+same parquet tables. Column names AND types are aligned on both
+sides; float aggregates are rounded identically (4–6 decimals) so
+order-insensitive value hashes match.
+
+Type-parity notes (Spark ↔ DuckDB):
+* DuckDB ``sum(INTEGER)`` is HUGEINT → cast to BIGINT in oracles.
+* DuckDB ``hour()``/``len()``/``row_number()`` are BIGINT → cast to
+  INTEGER where Spark produces int.
+* DuckDB ``regexp_replace`` needs the ``'g'`` flag to match Spark's
+  replace-all semantics.
+* cosine similarity computed in double precision on both sides with
+  identical left-to-right summation order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    DEFAULT_STOPWORDS,
+    content_fingerprint,
+    lang_id_heuristic,
+    punct_ratio,
+    quality_bucket,
+    stopword_ratio,
+    token_count,
+    tokens,
+)
+from ..operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from ..operators.joins import asof_join
+from ..operators.multimodal import extract_image_features, synthetic_media_from_documents
+from ..operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    label_centroids,
+    lsh_topk,
+)
+from ..sources.tables import load_table
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    description: str
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: list[QueryDef] = []
+
+
+def _register(name, oracle, description, tags=()):
+    def deco(fn):
+        REGISTRY.append(QueryDef(name, fn, oracle, description, tuple(tags)))
+        return fn
+
+    return deco
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+def _stable_avg4(sum_col, cnt_col):
+    """Engine-stable 4-decimal average of a 2-decimal-valued sum.
+
+    ``round(sum/count, 4)`` diverges between Spark and DuckDB when the
+    quotient is exactly on a decimal rounding boundary (Spark rounds
+    the shortest string repr HALF_UP; DuckDB rounds the binary
+    double). ``floor(x*1e4 + 0.5)/1e4`` is pure IEEE arithmetic —
+    identical on any engine. The inner round(sum, 2) is safe because a
+    2-decimal-valued sum round-trips identically on both engines."""
+    q = F.round(sum_col, 2) / cnt_col
+    return F.floor(q * 10000 + F.lit(0.5)) / F.lit(10000.0)
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY §2.3/2.4/2.6/2.8/2.9 + §2.7 analytic windows)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4)                                        AS sum_qty,
+           round(sum(l_extendedprice), 4)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
+           floor(round(sum(l_quantity), 2) / count(*) * 10000 + 0.5) / 10000.0      AS avg_qty,
+           floor(round(sum(l_extendedprice), 2) / count(*) * 10000 + 0.5) / 10000.0 AS avg_price,
+           floor(round(sum(l_discount), 2) / count(*) * 10000 + 0.5) / 10000.0      AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1-style pricing summary: scan-heavy groupBy/agg (A1/A4 family)",
+    ("agg", "flagship"),
+)
+def q01_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            _stable_avg4(F.sum("l_quantity"), F.count("*")).alias("avg_qty"),
+            _stable_avg4(F.sum("l_extendedprice"), F.count("*")).alias("avg_price"),
+            _stable_avg4(F.sum("l_discount"), F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "q03_shipping_priority",
+    """
+    SELECT l.l_orderkey AS o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-07-01'
+      AND l.l_shipdate > TIMESTAMP '1998-07-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    "TPC-H Q3-style: 3-way join + agg + top-k by aggregate (J2/O2)",
+    ("join", "agg", "topk"),
+)
+def q03_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-07-01").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("o_orderkey"), "o_orderdate", "o_orderpriority"
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@_register(
+    "q05_region_revenue",
+    """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+    "TPC-H Q5-style 6-way join: broadcast small dims, shuffle facts (J1/J2)",
+    ("join", "agg", "broadcast"),
+)
+def q05_region_revenue(spark, sf_dir):
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    # region/nation are always tiny → explicit broadcast; customer/supplier
+    # joins stay shuffle joins (AQE may still broadcast them at small SF).
+    dims = F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(dims, c.c_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@_register(
+    "q06_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    "TPC-H Q6-style: pure filter + global agg; predicate-pushdown showcase (P3/F11)",
+    ("filter", "agg", "pushdown"),
+)
+def q06_forecast_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           round(c.c_acctbal, 4) AS c_acctbal,
+           n.n_name
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    "TPC-H Q10-style returned-item ranking (join+agg+topk)",
+    ("join", "agg", "topk"),
+)
+def q10_returned_items(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 4).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@_register(
+    "q18_large_orders",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           round(o.o_totalprice, 4) AS o_totalprice,
+           round(sum(l.l_quantity), 4) AS sum_qty
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 150
+    )
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+    "TPC-H Q18-style: semi-join against HAVING subquery (J family + A4)",
+    ("join", "agg", "semi"),
+)
+def q18_large_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        l.join(big.withColumnRenamed("l_orderkey", "_bk"),
+               F.col("l_orderkey") == F.col("_bk"), "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            F.round("o_totalprice", 4).alias("o_totalprice"), "sum_qty",
+        )
+    )
+
+
+@_register(
+    "left_join_order_counts",
+    """
+    SELECT c.c_custkey, c.c_name,
+           count(o.o_orderkey) AS order_count,
+           round(coalesce(sum(o.o_totalprice), 0), 4) AS total_spent
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    "J2 parity: the reference's monitoring LEFT JOIN + per-entity counts "
+    "(KAFKA_LEARNING_MANUAL.md:459-463)",
+    ("join", "agg"),
+)
+def left_join_order_counts(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("order_count"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+@_register(
+    "anti_join_inactive_customers",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+    GROUP BY c_mktsegment
+    """,
+    "Left-anti join: customers with no big-ticket orders, per segment (§2.4)",
+    ("join", "anti"),
+)
+def anti_join_inactive_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@_register(
+    "semi_join_overdrawn_buyers",
+    """
+    SELECT c.c_custkey, round(c.c_acctbal, 4) AS c_acctbal
+    FROM customer c
+    WHERE c.c_acctbal < 0
+      AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "Left-semi join: overdrawn customers that still have orders (§2.4)",
+    ("join", "semi"),
+)
+def semi_join_overdrawn_buyers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0)
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", F.round("c_acctbal", 4).alias("c_acctbal")
+    )
+
+
+@_register(
+    "set_ops_customer_cohorts",
+    """
+    SELECT c_custkey FROM (
+      (SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 50000
+       INTERSECT
+       SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+      UNION
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT
+      SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    )
+    """,
+    "Set operations: INTERSECT/UNION/EXCEPT cohort algebra (§2.9)",
+    ("setops",),
+)
+def set_ops_customer_cohorts(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    big_buyers = o.filter(F.col("o_totalprice") > 50000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    overdrawn = c.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return (
+        big_buyers.intersect(rich).union(building).distinct().subtract(overdrawn)
+    )
+
+
+@_register(
+    "window_rank_top_orders",
+    """
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS o_totalprice,
+           CAST(rn AS INTEGER) AS rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    "Analytic window: top-3 orders per customer via row_number (§2.7)",
+    ("window",),
+)
+def window_rank_top_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey", "o_orderkey",
+            F.round("o_totalprice", 4).alias("o_totalprice"), "rn",
+        )
+    )
+
+
+@_register(
+    "window_running_user_value",
+    """
+    SELECT user_id, event_id,
+           round(sum(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 4) AS running_value,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS INTEGER) AS seq
+    FROM events
+    """,
+    "Analytic window: per-user running sum + sequence over event time (§2.7)",
+    ("window", "events"),
+)
+def window_running_user_value(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4
+        ).alias("running_value"),
+        F.row_number().over(w).cast("int").alias("seq"),
+    )
+
+
+@_register(
+    "orders_sort_limit",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate, round(o_totalprice, 4) AS o_totalprice
+    FROM orders
+    ORDER BY o_orderdate DESC, o_orderkey DESC
+    LIMIT 10
+    """,
+    "O1 parity: ORDER BY ... DESC LIMIT 10 monitoring query "
+    "(PROJECT_DOCUMENTATION.md:556-557)",
+    ("sort", "limit"),
+)
+def orders_sort_limit(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+        .limit(10)
+        .select(
+            "o_orderkey", "o_custkey", "o_orderdate",
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+        )
+    )
+
+
+@_register(
+    "case_when_order_buckets",
+    """
+    SELECT CASE WHEN o_totalprice < 10000 THEN 'small'
+                WHEN o_totalprice <= 100000 THEN 'medium'
+                ELSE 'large' END AS price_bucket,
+           o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS total_value
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    "F4 parity: CASE WHEN bucketing taxonomy (MSP:129-192 pattern)",
+    ("casewhen", "agg"),
+)
+def case_when_order_buckets(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 10000, "small")
+        .when(F.col("o_totalprice") <= 100000, "medium")
+        .otherwise("large")
+    )
+    return (
+        o.withColumn("price_bucket", bucket)
+        .groupBy("price_bucket", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: scalar-function census, JSON, windowed aggs (SURVEY §2.5/2.6/2.10)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "scalar_function_census",
+    """
+    SELECT event_id,
+           upper(event_type)                                   AS etype_upper,
+           CAST(hour(ts) AS INTEGER)                           AS ts_hour,
+           CAST(ts AS DATE)                                    AS event_date,
+           hour(ts) BETWEEN 9 AND 17                           AS is_business_hours,
+           CASE WHEN value < 10 THEN 'small'
+                WHEN value <= 100 THEN 'medium'
+                ELSE 'large' END                               AS value_bucket,
+           CAST(json_extract_string(props, '$.k') AS INTEGER)  AS prop_k,
+           coalesce(nullif(event_type, 'error'), 'unknown')    AS safe_type,
+           event_type LIKE '%ick%'                             AS contains_ick,
+           concat_ws('-', CAST(event_id AS VARCHAR), event_type) AS event_tag
+    FROM events
+    """,
+    "Scalar-function census F1-F13: cast/when/isin/contains/lit/hour/"
+    "to_date/coalesce/json-extract/concat (SURVEY §2.5)",
+    ("functions", "events"),
+)
+def scalar_function_census(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.upper("event_type").alias("etype_upper"),
+        F.hour("ts").alias("ts_hour"),
+        F.to_date("ts").alias("event_date"),
+        ((F.hour("ts") >= 9) & (F.hour("ts") <= 17)).alias("is_business_hours"),
+        F.when(F.col("value") < 10, "small")
+        .when(F.col("value") <= 100, "medium")
+        .otherwise("large")
+        .alias("value_bucket"),
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        F.coalesce(
+            F.nullif(F.col("event_type"), F.lit("error")), F.lit("unknown")
+        ).alias("safe_type"),
+        F.col("event_type").contains("ick").alias("contains_ick"),
+        F.concat_ws(
+            "-", F.col("event_id").cast("string"), F.col("event_type")
+        ).alias("event_tag"),
+    )
+
+
+@_register(
+    "events_hourly_agg",
+    """
+    SELECT date_trunc('hour', ts)                          AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR        AS window_end,
+           user_id, event_type,
+           count(*)                                        AS event_count,
+           round(sum(value), 4)                            AS total_value,
+           floor(round(sum(value), 2) / count(*) * 10000 + 0.5) / 10000.0 AS avg_value
+    FROM events
+    GROUP BY 1, 2, 3, 4
+    """,
+    "A1 batch twin: 1-hour tumbling window groupBy + count/sum/avg "
+    "(MSP:205-221), window struct flattened (A3)",
+    ("agg", "timewindow", "events"),
+)
+def events_hourly_agg(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "user_id", "event_type")
+        .agg(
+            F.count("*").alias("event_count"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            _stable_avg4(F.sum("value"), F.count("*")).alias("avg_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "user_id", "event_type", "event_count", "total_value", "avg_value",
+        )
+    )
+
+
+@_register(
+    "events_daily_agg",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)                  AS window_start,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS window_end,
+           event_type,
+           count(*)                                 AS event_count,
+           count(DISTINCT user_id)                  AS unique_users,
+           floor(round(sum(value), 2) / count(*) * 10000 + 0.5) / 10000.0 AS avg_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    "A2 batch twin: daily window + exact countDistinct (MSP:224-238; "
+    "streaming twin uses approx_count_distinct)",
+    ("agg", "timewindow", "distinct", "events"),
+)
+def events_daily_agg(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(
+            F.count("*").alias("event_count"),
+            F.countDistinct("user_id").alias("unique_users"),
+            _stable_avg4(F.sum("value"), F.count("*")).alias("avg_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type", "event_count", "unique_users", "avg_value",
+        )
+    )
+
+
+@_register(
+    "collect_set_user_events",
+    """
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
+           count(DISTINCT event_type) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+    "collect_set parity (MSP:215): distinct-set agg, sorted + serialized "
+    "for engine-stable comparison",
+    ("agg", "collect_set", "events"),
+)
+def collect_set_user_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias(
+            "event_types"
+        ),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@_register(
+    "events_json_props",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+           count(*) AS n_events,
+           floor(round(sum(value), 2) / count(*) * 10000 + 0.5) / 10000.0 AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+    "F1 parity: schema-directed JSON field extraction + agg (MSP:106-121)",
+    ("json", "agg", "events"),
+)
+def events_json_props(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn(
+            "k_mod", (F.get_json_object("props", "$.k").cast("int") % 10)
+        )
+        .groupBy("k_mod")
+        .agg(
+            F.count("*").alias("n_events"),
+            _stable_avg4(F.sum("value"), F.count("*")).alias("avg_value"),
+        )
+    )
+
+
+@_register(
+    "cdc_roundtrip_counts",
+    """
+    SELECT CASE WHEN event_type = 'signup' THEN 'c' ELSE 'u' END AS op,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS unique_users
+    FROM events
+    WHERE event_type <> 'error'
+    GROUP BY 1
+    """,
+    "F1/F2 + S3 parity: build Debezium envelopes with to_json(struct(*)), "
+    "decode with the two-stage from_json parse (op filter drops 'd'), "
+    "aggregate — the oracle states the expected post-decode truth",
+    ("cdc", "json", "events"),
+)
+def cdc_roundtrip_counts(spark, sf_dir):
+    from ..schemas import DEBEZIUM_ENVELOPE_SCHEMA  # noqa: F401 (parity doc)
+    from ..sources.cdc import decode_cdc
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    e = _t(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+    )
+    envelope = F.to_json(
+        F.struct(
+            F.struct(
+                F.lit(None).cast("string").alias("before"),
+                F.to_json(
+                    F.struct("event_id", "event_type", "user_id")
+                ).alias("after"),
+                op.alias("op"),
+                (F.unix_timestamp("ts") * 1000).alias("ts_ms"),
+            ).alias("payload")
+        )
+    )
+    raw = e.select(envelope.alias("value"))
+    payload_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("user_id", LongType()),
+        ]
+    )
+    decoded = decode_cdc(raw, payload_schema)
+    return decoded.groupBy("op").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("unique_users"),
+    )
+
+
+@_register(
+    "asof_join_purchase_view",
+    """
+    SELECT p.event_id AS purchase_id,
+           p.user_id  AS user_id,
+           p.ts       AS purchase_ts,
+           v.ts       AS view_ts,
+           v.event_id AS view_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    "As-of join (backward inclusive): each purchase matched to the most "
+    "recent prior view per user; union+window implementation, one shuffle "
+    "(SURVEY §2.4 extension)",
+    ("join", "asof", "events"),
+)
+def asof_join_purchase_view(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["event_id"],
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("ts_right").alias("view_ts"),
+        F.col("event_id_right").alias("view_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops: dedup / text / similarity / multimodal
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in DEFAULT_STOPWORDS) + "]"
+
+
+@_register(
+    "dedup_exact_documents",
+    """
+    SELECT min(doc_id) AS doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+           count(*) AS dup_count
+    FROM documents
+    GROUP BY 2
+    """,
+    "Exact dedup: normalized-content MD5 hash-groupBy, keep lowest id "
+    "(training-data op; shuffles 16-byte hashes, never text)",
+    ("dedup", "documents"),
+)
+def dedup_exact_documents(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup_exact(d, "text", "doc_id")
+
+
+@_register(
+    "ngram_jaccard_pairs",
+    """
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+            FROM toks)
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = id_a
+    JOIN cnt cb ON cb.doc_id = id_b
+    WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.2
+    """,
+    "Exact 3-gram Jaccard near-dup pairs via inverted-index self-join "
+    "(quadratic only within gram buckets)",
+    ("dedup", "ngram", "documents"),
+)
+def ngram_jaccard_pairs_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.2)
+
+
+@_register(
+    "minhash_lsh_pairs",
+    None,  # xxhash64 seeds are Spark-specific; verified in tests against exact jaccard
+    "MinHash(64) + LSH(16 bands) near-dup candidates with signature-"
+    "agreement verification — the sub-quadratic scale path for dedup",
+    ("dedup", "minhash", "lsh", "documents"),
+)
+def minhash_lsh_pairs_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "text", "doc_id", threshold=0.35)
+
+
+@_register(
+    "simhash_fingerprints",
+    None,  # 64-bit xxhash64 bit votes are Spark-specific
+    "64-bit SimHash fingerprint per document (bit-vote aggregation, "
+    "map-side combined)",
+    ("dedup", "simhash", "documents"),
+)
+def simhash_fingerprints_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return simhash_fingerprints(d, "text", "doc_id")
+
+
+@_register(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+                AS INTEGER) AS n_tokens,
+           n_chars,
+           round(n_chars * 1.0 /
+                 greatest(len(list_filter(string_split(lower(text), ' '),
+                                          t -> t <> '')), 1), 4) AS chars_per_token
+    FROM documents
+    """,
+    "Token counting: whitespace tokens + chars-per-token ratio (text "
+    "analysis op, pure codegen, no shuffle)",
+    ("text", "documents"),
+)
+def text_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    nt = token_count(F.col("text"))
+    return d.select(
+        "doc_id",
+        nt.alias("n_tokens"),
+        "n_chars",
+        F.round(
+            F.col("n_chars") / F.greatest(nt, F.lit(1)), 4
+        ).alias("chars_per_token"),
+    )
+
+
+@_register(
+    "text_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
+             length(text) AS n_c,
+             length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_nopunct
+      FROM documents
+    )
+    SELECT doc_id,
+           round(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) * 1.0
+                 / greatest(len(toks), 1), 4) AS stop_ratio,
+           round((n_c - n_nopunct) * 1.0 / greatest(n_c, 1), 4) AS punct_ratio,
+           CASE WHEN len(toks) < 5 THEN 'too_short'
+                WHEN len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) * 1.0
+                     / greatest(len(toks), 1) > 0.5 THEN 'boilerplate'
+                ELSE 'ok' END AS quality
+    FROM t
+    """,
+    "Quality scoring: stopword ratio, punctuation ratio, Gopher/C4-style "
+    "quality bucket (text analysis op)",
+    ("text", "quality", "documents"),
+)
+def text_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(stopword_ratio(F.col("text")), 4).alias("stop_ratio"),
+        F.round(punct_ratio(F.col("text")), 4).alias("punct_ratio"),
+        quality_bucket(F.col("text")).alias("quality"),
+    )
+
+
+@_register(
+    "lang_source_distribution",
+    """
+    SELECT lang, source,
+           count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+    "Corpus profiling: language × source distribution (text analysis op)",
+    ("text", "agg", "documents"),
+)
+def lang_source_distribution(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@_register(
+    "langid_heuristic",
+    None,  # heuristic voting over Spark struct arrays; plumbing checked rows-only
+    "Language-ID heuristic: stopword-set voting per language (text "
+    "analysis op; the synthetic corpus shares one vocabulary, so this "
+    "checks plumbing + determinism, not accuracy)",
+    ("text", "langid", "documents"),
+)
+def langid_heuristic_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        lang_id_heuristic(F.col("text")).alias("guessed_lang"),
+    )
+
+
+@_register(
+    "ann_topk_bruteforce",
+    """
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings WHERE vec_id % 100 = 0),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.emb, c.emb) AS sim
+      FROM q, c WHERE c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, round(sim, 4) AS cosine_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+    "Similarity search baseline: exact cosine top-5 for a query subset; "
+    "broadcast queries × partitioned candidates, JVM-side double math",
+    ("similarity", "ann", "embeddings"),
+)
+def ann_topk_bruteforce(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    return brute_force_topk(emb, queries_df, k=5)
+
+
+@_register(
+    "ann_topk_lsh",
+    None,  # approximate; recall vs brute force asserted in tests
+    "Similarity search scale path: random-hyperplane LSH bucketing + "
+    "exact re-rank within buckets (approximate top-5)",
+    ("similarity", "ann", "lsh", "embeddings"),
+)
+def ann_topk_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    return lsh_topk(emb, queries_df, k=5, n_bands=8, band_bits=8)
+
+
+@_register(
+    "embedding_near_dup_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4)
+             AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+    "Embedding-cosine near-dup pairs (exact all-pairs ≥ 0.4; LSH blocking "
+    "is the 100 TB path)",
+    ("dedup", "similarity", "embeddings"),
+)
+def embedding_near_dup_pairs_q(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+@_register(
+    "embedding_label_centroids",
+    """
+    SELECT label,
+           CAST(pos - 1 AS INTEGER) AS pos,
+           count(*) AS n_vectors,
+           round(avg(val), 6) AS centroid_val
+    FROM (SELECT label,
+                 unnest(CAST(embedding AS DOUBLE[])) AS val,
+                 unnest(generate_series(1, len(embedding))) AS pos
+          FROM embeddings)
+    GROUP BY label, pos
+    """,
+    "Per-label centroids in long form via posexplode + (label,pos) agg — "
+    "distributed vector mean without driver materialization",
+    ("similarity", "agg", "embeddings"),
+)
+def embedding_label_centroids(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return label_centroids(emb)
+
+
+@_register(
+    "multimodal_image_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(16 + (ascii(text[1]) % 64) * 16 AS INTEGER)  AS width,
+           CAST(16 + (ascii(text[-1]) % 64) * 16 AS INTEGER) AS height,
+           CAST(length(text) AS BIGINT)                      AS n_bytes,
+           md5(text)                                         AS checksum
+    FROM documents
+    """,
+    "Multimodal plumbing: binary payload column → Arrow-batched "
+    "mapInPandas feature extraction (deterministic stub decoder; the "
+    "oracle replays the stub's arithmetic on the source bytes)",
+    ("multimodal", "pandas_udf", "documents"),
+)
+def multimodal_image_features(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = synthetic_media_from_documents(d)
+    return extract_image_features(media, use_stub_decoder=True)
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming entry (rows-only check; deterministic availableNow)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "streaming_hourly_events",
+    None,  # genuinely streaming: watermark + availableNow + memory sink
+    "Real Structured Streaming run: parquet file stream → watermarked "
+    "1-hour tumbling agg → memory sink, trigger(availableNow) — the A1 "
+    "pipeline with the reference's missing watermark fixed (T3)",
+    ("streaming", "agg", "timewindow"),
+)
+def streaming_hourly_events(spark, sf_dir):
+    import uuid
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    # the parquet stores ts as TIMESTAMP(NANOS): stream it as long and
+    # floor to a microsecond timestamp, same as the batch loader
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        # watermarks need TIMESTAMP (not NTZ); session tz is pinned UTC
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("event_count"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type", "event_count", "total_value",
+        )
+    )
+    sink = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# public accessors (driver contract)
+# ---------------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {q.name: q.builder for q in REGISTRY}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {q.name: q.oracle for q in REGISTRY if q.oracle is not None}

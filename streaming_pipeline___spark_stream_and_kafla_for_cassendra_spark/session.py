@@ -1,0 +1,81 @@
+"""SparkSession factory.
+
+Mirrors the reference's session configuration
+(``spark-streaming/multi_source_streaming_processor.py:28-47``): AQE
+enabled with partition coalescing and a 128 MB advisory partition
+size, Kryo serialization — minus the Hudi/HDFS/Kafka package wiring,
+which this engine replaces with stock parquet + an upsert lake sink
+(see streaming/lake.py).
+
+Scale notes (the configs that matter at 100 TB / 1000 executors):
+
+* ``spark.sql.adaptive.enabled`` + coalescing — runtime re-plan fixes
+  over-partitioned shuffles and skewed joins without hand-tuning.
+* ``spark.sql.adaptive.skewJoin.enabled`` — splits skewed shuffle
+  partitions on big fact-fact joins.
+* session timezone pinned to UTC so event-time semantics are
+  deterministic across clusters (and match the DuckDB oracle).
+* Arrow enabled so any pandas-UDF path is columnar-batched, never
+  row-at-a-time pickling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_session(
+    app_name: str = "spark-graft-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    On a real cluster ``master`` comes from spark-submit; locally we
+    default to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    elif SparkSession.getActiveSession() is None:
+        builder = builder.master(f"local[{DEFAULT_CPUS}]")
+
+    conf = {
+        # reference parity: MSP:36-40
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128MB",
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        # scale: AQE skew-join split for fact-fact joins
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # deterministic event-time + oracle parity
+        "spark.sql.session.timeZone": "UTC",
+        # Arrow for every pandas-UDF / toPandas path
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.shuffle.partitions": str(
+            shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+        ),
+        # keep local runs quiet and snappy
+        "spark.ui.enabled": "false",
+        "spark.ui.showConsoleProgress": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_session() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

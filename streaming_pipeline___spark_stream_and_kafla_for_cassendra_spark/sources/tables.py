@@ -1,0 +1,70 @@
+"""Batch table loading (SURVEY.md §2.1 S6 — batch SQL scans).
+
+The reference's batch surface is Hive SQL over Hudi parquet base
+files; ours is ``spark.read.parquet`` over the same logical tables.
+Filters and projections written against these DataFrames reach the
+parquet scan (PushedFilters / ReadSchema) because loading stays fully
+declarative — no ``.cache()``/collect here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables that are small at ANY scale factor (TPC-H region is
+# always 5 rows, nation 25). Safe to hint broadcast unconditionally.
+ALWAYS_SMALL = {"region", "nation"}
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        return _load_events(spark, path)
+    return spark.read.parquet(path)
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """The events table stores ``ts`` as parquet TIMESTAMP(NANOS),
+    which Spark 4 rejects outright. Read nanos as long
+    (``legacy.parquet.nanosAsLong``) and floor-truncate to a
+    microsecond ``timestamp_ntz`` — the same truncation DuckDB applies,
+    so oracle comparisons see identical wall-clock values."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(path)
+    return raw.withColumn(
+        "ts",
+        F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+    )
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR
+) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every table as a temp view so ``spark.sql`` works —
+    the engine's equivalent of the reference's Hive-synced tables."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
