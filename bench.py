@@ -1,0 +1,90 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``. Each query is
+materialized via the noop sink (full execution, no driver collect
+cost, no disk write) and wall-clock timed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark import get_session
+from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.plans.registry import (
+    REGISTRY,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family, weighted toward the
+# shuffle/join/LSH-heavy paths that dominate at scale.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_region_revenue",
+    "q18_large_orders",
+    "left_join_order_counts",
+    "window_rank_top_orders",
+    "events_hourly_agg",
+    "events_daily_agg",
+    "asof_join_purchase_view",
+    "cdc_roundtrip_counts",
+    "dedup_exact_documents",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+    "text_quality",
+    "ann_topk_bruteforce",
+    "ann_topk_lsh",
+    "embedding_near_dup_pairs",
+    "multimodal_image_features",
+    "streaming_hourly_events",
+]
+
+
+def materialize(df) -> None:
+    if df.isStreaming:  # pragma: no cover - streaming handled in builder
+        df.count()
+    else:
+        df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    by_name = {q.name: q for q in REGISTRY}
+    spark = get_session("spark-graft-bench")
+    # one warm-up pass so JVM/codegen startup doesn't skew query times
+    warm = by_name["q01_pricing_summary"].builder(spark, SF_DIR)
+    materialize(warm)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        qd = by_name[name]
+        t0 = time.perf_counter()
+        df = qd.builder(spark, SF_DIR)
+        materialize(df)
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

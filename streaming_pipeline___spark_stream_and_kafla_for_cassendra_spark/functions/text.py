@@ -91,6 +91,56 @@ def word_ngrams(text: Column | str, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def shingle_rows(df, id_col: str, text_col: str, n: int = 3):
+    """Exploded distinct word n-gram shingles as (id, gram) rows with a
+    deterministic 64-bit gram key.
+
+    One Arrow-batched mapInPandas pass: the expression-level
+    :func:`word_ngrams` is kept for column-level use, but Catalyst
+    does not common-subexpression-eliminate inside higher-order-
+    function lambdas, so the expression form re-tokenizes the document
+    per element — orders of magnitude slower on real corpora. Here
+    tokenization happens once per document; downstream joins carry
+    (long, long) rows. The closure is self-contained (workers may not
+    have this package on sys.path).
+    """
+    from pyspark.sql import functions as SF
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [StructField("_id", LongType()), StructField("gram", LongType())]
+    )
+    nn = n
+
+    def gen(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, text in zip(pdf["_id"], pdf["_text"]):
+                toks = [t for t in (text or "").lower().split() if t]
+                grams = {
+                    " ".join(toks[i : i + nn])
+                    for i in range(max(len(toks) - nn + 1, 0))
+                }
+                for g in grams:
+                    ids.append(doc_id)
+                    hashes.append(
+                        int.from_bytes(
+                            hashlib.md5(g.encode()).digest()[:8],
+                            "big",
+                            signed=True,
+                        )
+                    )
+            yield pd.DataFrame({"_id": ids, "gram": hashes})
+
+    return df.select(
+        SF.col(id_col).alias("_id"), SF.col(text_col).alias("_text")
+    ).mapInPandas(gen, out_schema)
+
+
 def content_fingerprint(text: Column | str) -> Column:
     """Normalized-content MD5: lowercase, collapse whitespace.
     Stable across engines (used as the exact-dedup key)."""

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import content_fingerprint, tokens, word_ngrams
+from ..functions.text import content_fingerprint, shingle_rows, tokens
 
 
 def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -57,9 +57,11 @@ def minhash_signatures(
     """(id, minhash array<bigint>[num_hashes]) via word-shingle
     xxhash64 minima. One explode + one groupBy(id): the shuffle is
     keyed on the doc id and carries only (id, 64 longs)."""
-    grams = df.select(
-        F.col(id_col),
-        F.explode(word_ngrams(F.col(text_col), shingle_n)).alias("gram"),
+    # shingles hashed once in a single Arrow pass; the hash family is
+    # derived from the 8-byte gram key JVM-side — 64 re-hashes of a
+    # long, never of the text shingle.
+    grams = shingle_rows(df, id_col, text_col, shingle_n).withColumnRenamed(
+        "_id", id_col
     )
     hashed = grams.select(
         id_col,
@@ -159,10 +161,12 @@ def ngram_jaccard_pairs(
     bucket) → |A∩B| per pair → jaccard with per-doc gram counts
     broadcast back in. Returns (id_a, id_b, jaccard) with id_a<id_b.
     """
-    grams = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(word_ngrams(F.col(text_col), shingle_n)).alias("gram"),
-    )
+    # join on the 64-bit gram key, not the gram string: the inverted-
+    # index shuffle carries (long, long) rows instead of text shingles.
+    # Key collisions (~n²/2⁶⁴) are negligible at any real corpus size
+    # and deterministic across runs. localCheckpoint keeps the shingle
+    # pass from re-running for each of its three consumers.
+    grams = shingle_rows(df, id_col, text_col, shingle_n).localCheckpoint(eager=False)
     counts = grams.groupBy("_id").agg(F.count("*").alias("n_grams"))
 
     a = grams.alias("ga")
