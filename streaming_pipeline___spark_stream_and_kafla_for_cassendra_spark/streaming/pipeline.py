@@ -1,0 +1,115 @@
+"""End-to-end CDC streaming pipeline — the engine's equivalent of the
+reference's ``main()`` (``multi_source_streaming_processor.py:307-398``).
+
+Source-agnostic: anything presenting the Kafka record contract
+(``value`` string/binary, optional key/topic/timestamp) works — the
+real Kafka source in production, a file/rate/memory source in tests.
+
+Differences from the reference, by design (SURVEY.md §7):
+
+* watermarks are mandatory on the windowed aggregations (fixes the
+  unbounded-state bug T3);
+* the parse/enrich prefix is built once per source and shared by all
+  sinks (the reference re-reads the source for each of its 9 queries);
+* streaming countDistinct → approx_count_distinct (T-digest-free HLL
+  state, streaming-legal).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.aggregates import (
+    daily_activity_aggregation,
+    hourly_activity_aggregation,
+)
+from ..operators.enrich import enrich_activities, enrich_employees
+from ..schemas import ACTIVITY_SCHEMA, EMPLOYEE_SCHEMA
+from ..sources.cdc import decode_cdc
+from .lake import LakeTable, write_stream_to_lake
+from .orchestrator import StreamOrchestrator
+from .sinks import write_memory
+
+
+@dataclass
+class CdcPipeline:
+    """Employee/activity CDC pipeline over two record streams."""
+
+    spark: SparkSession
+    checkpoint_root: str
+    orchestrator: StreamOrchestrator = field(default_factory=StreamOrchestrator)
+
+    # -- transformation graph (lazy, shared prefix) ---------------------
+
+    def employees(self, raw: DataFrame) -> DataFrame:
+        """Kafka records → decoded + enriched employee rows
+        (MSP:98-141 parity)."""
+        return enrich_employees(decode_cdc(raw, EMPLOYEE_SCHEMA))
+
+    def activities(self, raw: DataFrame) -> DataFrame:
+        """Kafka records → decoded + enriched activity rows
+        (MSP:143-197 parity)."""
+        return enrich_activities(decode_cdc(raw, ACTIVITY_SCHEMA))
+
+    def hourly_aggregation(self, activities: DataFrame) -> DataFrame:
+        return hourly_activity_aggregation(activities)
+
+    def daily_aggregation(self, activities: DataFrame) -> DataFrame:
+        return daily_activity_aggregation(activities)
+
+    # -- fan-out --------------------------------------------------------
+
+    def start_memory_fanout(
+        self,
+        employee_raw: DataFrame,
+        activity_raw: DataFrame,
+        lake_root: str | None = None,
+        available_now: bool = True,
+    ) -> StreamOrchestrator:
+        """The reference's 9-query fan-out, testable: enriched streams
+        and both aggregations to memory sinks, optionally the enriched
+        employee stream to the upsert lake (MSP:324-366 shape)."""
+        emp = self.employees(employee_raw)
+        act = self.activities(activity_raw)
+
+        self.orchestrator.register(
+            "employees_enriched",
+            write_memory(emp, "employees_enriched", available_now=available_now),
+        )
+        self.orchestrator.register(
+            "activities_enriched",
+            write_memory(act, "activities_enriched", available_now=available_now),
+        )
+        # update mode for the aggregations — reference parity (MSP:338,343)
+        self.orchestrator.register(
+            "hourly_agg",
+            write_memory(
+                self.hourly_aggregation(act),
+                "hourly_agg",
+                output_mode="update",
+                available_now=available_now,
+            ),
+        )
+        self.orchestrator.register(
+            "daily_agg",
+            write_memory(
+                self.daily_aggregation(act),
+                "daily_agg",
+                output_mode="update",
+                available_now=available_now,
+            ),
+        )
+        if lake_root is not None:
+            table = LakeTable(path=f"{lake_root}/employees")
+            self.orchestrator.register(
+                "employees_lake",
+                write_stream_to_lake(
+                    emp,
+                    table,
+                    checkpoint_root=self.checkpoint_root,
+                    available_now=available_now,
+                ),
+            )
+        return self.orchestrator

@@ -1,0 +1,78 @@
+"""Upsert-lake semantics (Hudi COW emulation — SURVEY §7 M3)."""
+
+from __future__ import annotations
+
+import glob
+
+from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.streaming.lake import (
+    LakeTable,
+)
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(
+        data, "id int, val string, processing_timestamp timestamp, processing_date date"
+    )
+
+
+def test_upsert_latest_precombine_wins(spark, tmp_path):
+    import datetime as dt
+
+    d = dt.date(2024, 1, 1)
+    t1 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    t2 = dt.datetime(2024, 1, 1, 11, 0, 0)
+    table = LakeTable(path=str(tmp_path / "t"))
+
+    table.upsert_batch(_rows(spark, [(1, "old", t1, d), (2, "keep", t1, d)]), spark)
+    table.upsert_batch(_rows(spark, [(1, "new", t2, d)]), spark)
+
+    got = {r.id: r.val for r in table.read(spark).collect()}
+    assert got == {1: "new", 2: "keep"}
+
+
+def test_upsert_within_batch_dedupe(spark, tmp_path):
+    import datetime as dt
+
+    d = dt.date(2024, 1, 2)
+    t1 = dt.datetime(2024, 1, 2, 9, 0, 0)
+    t2 = dt.datetime(2024, 1, 2, 9, 30, 0)
+    table = LakeTable(path=str(tmp_path / "t2"))
+    table.upsert_batch(_rows(spark, [(1, "a", t1, d), (1, "b", t2, d)]), spark)
+    got = [r.val for r in table.read(spark).collect()]
+    assert got == ["b"]  # precombine max wins inside one batch too
+
+
+def test_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    import datetime as dt
+
+    d1, d2 = dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+    t = dt.datetime(2024, 1, 1, 10, 0, 0)
+    t9 = dt.datetime(2024, 1, 3, 10, 0, 0)
+    table = LakeTable(path=str(tmp_path / "t3"))
+    table.upsert_batch(
+        _rows(spark, [(1, "p1", t, d1), (2, "p2", t, d2)]), spark
+    )
+    # second batch touches only partition d2
+    table.upsert_batch(_rows(spark, [(2, "p2-new", t9, d2)]), spark)
+    got = {r.id: r.val for r in table.read(spark).collect()}
+    assert got == {1: "p1", 2: "p2-new"}
+    # both partition dirs still present
+    parts = {p.split("=")[-1] for p in glob.glob(str(tmp_path / "t3" / "*=*"))}
+    assert parts == {"2024-01-01", "2024-01-02"}
+
+
+def test_compaction_reduces_files(spark, tmp_path):
+    import datetime as dt
+
+    d = dt.date(2024, 1, 1)
+    t = dt.datetime(2024, 1, 1, 10, 0, 0)
+    table = LakeTable(path=str(tmp_path / "t4"))
+    big = _rows(
+        spark, [(i, f"v{i}", t, d) for i in range(50)]
+    ).repartition(8)
+    table.upsert_batch(big, spark)
+    before = len(glob.glob(str(tmp_path / "t4" / "*" / "*.parquet")))
+    table.compact(spark, target_files_per_partition=1)
+    after = len(glob.glob(str(tmp_path / "t4" / "*" / "*.parquet")))
+    assert after <= before and after == 1
+    assert table.read(spark).count() == 50

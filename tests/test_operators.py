@@ -1,0 +1,193 @@
+"""Operator unit tests: as-of join, dedup family, similarity, text."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_dup_pairs,
+)
+from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.joins import (
+    asof_join,
+)
+from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.functions.text import (
+    lang_id_heuristic,
+    quality_bucket,
+    token_count,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- as-of join
+
+def test_asof_join_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "p1"), (1, 20, "p2"), (2, 5, "p3")], "k int, ts int, pid string"
+    )
+    right = spark.createDataFrame(
+        [(1, 8, "v1"), (1, 10, "v2"), (1, 15, "v3"), (2, 9, "v4")],
+        "k int, ts int, vid string",
+    )
+    out = {
+        r.pid: r.vid_right
+        for r in asof_join(left, right, on="k", left_ts="ts", right_ts="ts").collect()
+    }
+    # p1@10 matches v2@10 (inclusive), p2@20 matches v3@15, p3@5 has no
+    # prior right row → null
+    assert out == {"p1": "v2", "p2": "v3", "p3": None}
+
+
+# ------------------------------------------------------------------- dedup
+
+@pytest.fixture(scope="module")
+def doc_df(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    near = base.replace("today", "tonight")
+    other = "completely different words describing spark catalyst optimizer internals"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, near),  # near dup of 1
+        (4, other),
+        (5, "  THE quick   brown fox jumps over the lazy dog and runs far away today "),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_dedup_exact_normalizes(spark, doc_df):
+    kept = {r.doc_id: r.dup_count for r in dedup_exact(doc_df, "text", "doc_id").collect()}
+    # 1, 2 and 5 collapse (case/whitespace normalization); 3, 4 unique
+    assert kept == {1: 3, 3: 1, 4: 1}
+
+
+def test_ngram_jaccard_finds_near_dup(spark, doc_df):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(doc_df, "text", "doc_id", threshold=0.2).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 < pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_recall_against_exact_jaccard(spark):
+    """Every exact-Jaccard≥0.5 pair in the sf0.001 documents corpus is
+    recovered by the MinHash-LSH candidates (16 bands × 4 rows ⇒
+    recall >0.99 at j=0.5)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    assert exact, "fixture corpus should contain planted near-dups"
+    mh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.35).collect()
+    }
+    missed = exact - mh
+    assert not missed, f"LSH missed {missed}"
+
+
+def test_simhash_identical_and_near(spark, doc_df):
+    fp = {r.doc_id: r.simhash for r in simhash_fingerprints(doc_df, "text", "doc_id").collect()}
+    assert fp[1] == fp[2]  # identical token multiset → identical simhash
+    pairs = {
+        (r.id_a, r.id_b): r.hamming_distance
+        for r in simhash_near_dup_pairs(doc_df, "text", "doc_id").collect()
+    }
+    assert pairs[(1, 2)] == 0
+    if (1, 3) in pairs:
+        assert pairs[(1, 3)] <= 16
+
+
+# --------------------------------------------------------------- similarity
+
+def test_brute_force_topk_matches_numpy(spark):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    got = brute_force_topk(emb, queries, k=3).collect()
+
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    by_id = {int(i): mat[j] for j, i in enumerate(ids)}
+
+    for q in {r.query_id for r in got}:
+        sims = mat @ by_id[q]
+        order = sorted(
+            [(s, int(i)) for s, i in zip(sims, ids) if i != q],
+            key=lambda t: (-t[0], t[1]),
+        )
+        expected = [i for _, i in order[:3]]
+        mine = [r.neighbor_id for r in sorted(got, key=lambda r: r.rank) if r.query_id == q]
+        assert mine == expected
+
+
+def test_lsh_topk_recall_on_clustered_vectors(spark):
+    """Sign-LSH recall is only meaningful when near neighbors are
+    actually close (the sf fixture embeddings are near-orthogonal,
+    max cos ≈ 0.5 — no LSH family helps there). Plant 20 tight
+    clusters and require ≥80% top-1 recall."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((20, 64))
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(10):
+            v = c + 0.05 * rng.standard_normal(64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = lsh_topk(emb, queries, k=5, n_bands=8, band_bits=8).collect()
+    exact_at1 = {r.query_id: r.neighbor_id for r in exact if r.rank == 1}
+    approx_sets: dict[int, set[int]] = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(1 for q, nn in exact_at1.items() if nn in approx_sets.get(q, set()))
+    assert hits >= int(0.8 * len(exact_at1))
+
+
+# --------------------------------------------------------------------- text
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is on the mat and it is flat"),
+            (2, "word"),
+            (3, "el perro y el gato se ven en la casa y no es un problema"),
+            (4, "der Hund und die Katze sind in den Garten mit dem Ball"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: (r.n, r.q, r.lang)
+        for r in df.select(
+            "doc_id",
+            token_count("text").alias("n"),
+            quality_bucket("text").alias("q"),
+            lang_id_heuristic("text").alias("lang"),
+        ).collect()
+    }
+    assert out[1] == (10, "boilerplate", "en")  # stop-ratio 0.5+ → boilerplate
+    assert out[2][0] == 1 and out[2][1] == "too_short"
+    assert out[3][2] == "es"
+    assert out[4][2] == "de"

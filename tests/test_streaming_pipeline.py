@@ -1,0 +1,161 @@
+"""Deterministic streaming tests: file sources + availableNow + memory
+sinks (the test strategy the reference lacked — SURVEY §5)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+from conftest import activity_row, employee_row, make_envelope
+
+from pyspark.sql import functions as F
+
+from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.streaming.pipeline import (
+    CdcPipeline,
+)
+
+
+def _write_stream_files(dirpath: Path, groups: list[list[str]]) -> None:
+    dirpath.mkdir(parents=True, exist_ok=True)
+    for i, lines in enumerate(groups):
+        (dirpath / f"batch{i}.jsonl").write_text("\n".join(lines) + "\n")
+
+
+@pytest.fixture()
+def cdc_dirs(tmp_path):
+    emp_envs = [
+        make_envelope(employee_row(1, dept="Engineering"), "c", 1704100000000),
+        make_envelope(employee_row(2, dept="Sales", email="x.lead@c.t"), "c", 1704100001000),
+        make_envelope(None, "d", 1704100002000, before=employee_row(3)),
+    ]
+    act_envs = [
+        make_envelope(activity_row(1, 1, "login", "2024-01-01 10:05:00", 20), "c", 1704100003000),
+        make_envelope(activity_row(2, 1, "login", "2024-01-01 10:25:00", 40), "c", 1704100004000),
+        make_envelope(activity_row(3, 2, "click", "2024-01-01 11:05:00", 400, device="tablet"), "c", 1704100005000),
+        make_envelope(activity_row(4, 2, "click", "2024-01-02 09:00:00", 10, device="desktop"), "u", 1704100006000),
+        make_envelope(None, "d", 1704100007000, before=activity_row(5)),
+    ]
+    _write_stream_files(tmp_path / "emp", [emp_envs])
+    _write_stream_files(tmp_path / "act", [act_envs])
+    return tmp_path
+
+
+def test_cdc_pipeline_fanout(spark, cdc_dirs, tmp_path):
+    emp_raw = spark.readStream.text(str(cdc_dirs / "emp"))
+    act_raw = spark.readStream.text(str(cdc_dirs / "act"))
+
+    pipe = CdcPipeline(spark, checkpoint_root=str(tmp_path / "ckpt"))
+    orch = pipe.start_memory_fanout(
+        emp_raw, act_raw, lake_root=str(tmp_path / "lake")
+    )
+    assert orch.await_all(timeout=180)
+    assert orch.failed() == {}
+
+    emp = {r.id: r for r in spark.table("employees_enriched").collect()}
+    assert set(emp) == {1, 2}  # delete dropped
+    assert emp[1].department_category == "Technical"
+    assert emp[2].employee_level == "Lead"
+
+    act = {r.id: r for r in spark.table("activities_enriched").collect()}
+    assert set(act) == {"1", "2", "3", "4"}
+    assert act["3"].device_category == "Tablet"
+
+    hourly = {
+        (str(r.window_start), r.employee_id, r.activity_type): r
+        for r in spark.table("hourly_agg").collect()
+    }
+    key = ("2024-01-01 10:00:00", 1, "login")
+    assert key in hourly
+    assert hourly[key].activity_count == 2
+    assert hourly[key].total_duration == 60
+    assert hourly[key].avg_duration == 30.0
+    assert hourly[key].primary_device == "Mobile"
+
+    daily = {
+        (str(r.window_start), r.activity_type, r.device_category): r
+        for r in spark.table("daily_agg").collect()
+    }
+    dkey = ("2024-01-01 00:00:00", "login", "Mobile")
+    assert dkey in daily and daily[dkey].activity_count == 2
+    # streaming distinct is the HLL sketch (approx_count_distinct)
+    assert daily[dkey].unique_employees == 1
+
+    # lake got the upserted employees, partitioned by processing_date
+    lake = spark.read.parquet(str(tmp_path / "lake" / "employees"))
+    assert {r.id for r in lake.collect()} == {1, 2}
+
+
+def test_watermark_finalizes_append_windows(spark, tmp_path):
+    """Append-mode windowed agg emits only watermark-expired windows:
+    the reference's missing-watermark bug (T3) fixed and observable."""
+    early = [
+        make_envelope(activity_row(i, 1, "view", f"2024-01-01 0{h}:10:00"), "c", 1704100000000 + i)
+        for i, h in enumerate((1, 2, 3))
+    ]
+    late = [
+        make_envelope(activity_row(99, 1, "view", "2024-01-01 07:00:00"), "c", 1704100009000)
+    ]
+    _write_stream_files(tmp_path / "acts", [early, late])
+
+    raw = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(str(tmp_path / "acts"))
+    )
+    pipe = CdcPipeline(spark, checkpoint_root=str(tmp_path / "ckpt2"))
+    agg = pipe.hourly_aggregation(pipe.activities(raw))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_hourly")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {str(r.window_start) for r in spark.table("wm_hourly").collect()}
+    # watermark advanced to 05:00 (07:00 − 2h): windows 01-03 finalized,
+    # the 07:00 window still open → not emitted in append mode
+    assert got == {
+        "2024-01-01 01:00:00",
+        "2024-01-01 02:00:00",
+        "2024-01-01 03:00:00",
+    }
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """T8: dropDuplicatesWithinWatermark on the decoded stream."""
+    envs = [
+        make_envelope(activity_row(1, 1, "login", "2024-01-01 10:00:00"), "c", 1),
+        make_envelope(activity_row(1, 1, "login", "2024-01-01 10:00:30"), "c", 2),
+        make_envelope(activity_row(2, 1, "click", "2024-01-01 10:01:00"), "c", 3),
+    ]
+    _write_stream_files(tmp_path / "dups", [envs])
+    raw = spark.readStream.text(str(tmp_path / "dups"))
+    pipe = CdcPipeline(spark, checkpoint_root=str(tmp_path / "ckpt3"))
+    acts = pipe.activities(raw).withColumn(
+        "event_ts", F.col("activity_timestamp").cast("timestamp")
+    )
+    deduped = acts.withWatermark("event_ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["id"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("deduped_acts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    ids = [r.id for r in spark.table("deduped_acts").collect()]
+    assert sorted(ids) == ["1", "2"]
+
+
+def test_orchestrator_duplicate_name_rejected(spark, tmp_path):
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.streaming.orchestrator import (
+        StreamOrchestrator,
+    )
+
+    orch = StreamOrchestrator()
+    orch.queries["x"] = object()  # type: ignore[assignment]
+    with pytest.raises(ValueError):
+        orch.register("x", object())  # type: ignore[arg-type]
