@@ -817,6 +817,136 @@ def asof_join_purchase_view(spark, sf_dir):
     )
 
 
+@_register(
+    "events_sliding_window",
+    """
+    WITH contrib AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type, value FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM events
+    )
+    SELECT window_start,
+           window_start + INTERVAL 2 HOUR AS window_end,
+           event_type,
+           count(*) AS event_count,
+           round(sum(value), 4) AS total_value
+    FROM contrib
+    GROUP BY window_start, event_type
+    """,
+    "T2: 2-hour sliding window with 1-hour slide — each event lands in "
+    "two overlapping windows (the oracle models this as a union of the "
+    "two covering contributions)",
+    ("agg", "timewindow", "sliding", "events"),
+)
+def events_sliding_window(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("event_count"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type", "event_count", "total_value",
+        )
+    )
+
+
+@_register(
+    "events_session_window",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+    "T2: session windows (30-min gap) per user via F.session_window; the "
+    "oracle reproduces Spark's [first, last+gap) session bounds with "
+    "lag-based island detection",
+    ("agg", "session", "events"),
+)
+def events_session_window(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@_register(
+    "sql_surface_nation_rank",
+    """
+    WITH rev AS (
+      SELECT n.n_name,
+             CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+      FROM nation n
+      JOIN customer c ON c.c_nationkey = n.n_nationkey
+      JOIN orders o   ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY n.n_name, 2
+    )
+    SELECT n_name, order_year, revenue,
+           CAST(rank() OVER (PARTITION BY order_year
+                             ORDER BY revenue DESC, n_name) AS INTEGER) AS rev_rank
+    FROM rev
+    WHERE order_year <= 2000
+    """,
+    "S6: the batch SQL analytics surface — spark.sql over registered "
+    "views (CTE + multi-join + window rank), the engine's Hive-SQL "
+    "equivalent",
+    ("sql", "join", "window"),
+)
+def sql_surface_nation_rank(spark, sf_dir):
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH rev AS (
+          SELECT n.n_name,
+                 CAST(year(o.o_orderdate) AS INT) AS order_year,
+                 round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+          FROM nation n
+          JOIN customer c ON c.c_nationkey = n.n_nationkey
+          JOIN orders o   ON o.o_custkey = c.c_custkey
+          JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          GROUP BY n.n_name, 2
+        )
+        SELECT n_name, order_year, revenue,
+               CAST(rank() OVER (PARTITION BY order_year
+                                 ORDER BY revenue DESC, n_name) AS INT) AS rev_rank
+        FROM rev
+        WHERE order_year <= 2000
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data ops: dedup / text / similarity / multimodal
 # ---------------------------------------------------------------------------
@@ -1082,6 +1212,74 @@ def embedding_near_dup_pairs_q(spark, sf_dir):
 def embedding_label_centroids(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return label_centroids(emb)
+
+
+@_register(
+    "embedding_zscore_by_label",
+    """
+    WITH un AS (
+      SELECT vec_id, label,
+             unnest(CAST(embedding AS DOUBLE[])) AS val,
+             unnest(generate_series(1, len(embedding))) AS pos
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT label, pos, avg(val) AS m, stddev_pop(val) AS s
+      FROM un GROUP BY label, pos
+    )
+    SELECT un.vec_id,
+           CAST(un.pos - 1 AS INTEGER) AS pos,
+           round((un.val - stats.m) / nullif(stats.s, 0), 4) + 0.0 AS zscore
+    FROM un JOIN stats ON un.label = stats.label AND un.pos = stats.pos
+    """,
+    "Grouped-map pandas op (§2.11 applyInPandas): per-label per-dim "
+    "z-score normalization of embeddings — numpy math inside the group, "
+    "shuffle only by label",
+    ("similarity", "pandas_udf", "embeddings"),
+)
+def embedding_zscore_by_label(spark, sf_dir):
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("pos", IntegerType()),
+            StructField("zscore", DoubleType()),
+        ]
+    )
+
+    # self-contained closure: workers may not have this package on path
+    def zscore(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        m = mat.mean(axis=0)
+        s = mat.std(axis=0)  # population std, ddof=0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(s == 0, np.nan, (mat - m) / s)
+        n, d = z.shape
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(ids, d),
+                "pos": np.tile(np.arange(d, dtype=np.int32), n),
+                "zscore": z.ravel(),
+            }
+        )
+
+    return (
+        emb.groupBy("label")
+        .applyInPandas(zscore, out_schema)
+        .select("vec_id", "pos", (F.round("zscore", 4) + F.lit(0.0)).alias("zscore"))
+    )
 
 
 @_register(
