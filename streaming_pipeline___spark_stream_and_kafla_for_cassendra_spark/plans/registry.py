@@ -420,6 +420,36 @@ def semi_join_overdrawn_buyers(spark, sf_dir):
 
 
 @_register(
+    "full_outer_nation_presence",
+    """
+    WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_customers
+               FROM customer GROUP BY 1),
+    s AS (SELECT s_nationkey AS nk, count(*) AS n_suppliers
+          FROM supplier GROUP BY 1)
+    SELECT coalesce(c.nk, s.nk) AS nationkey, c.n_customers, s.n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+    "Full outer join: customer vs supplier presence per nation — each "
+    "side can be null (§2.4 join family completion)",
+    ("join", "outer"),
+)
+def full_outer_nation_presence(spark, sf_dir):
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk2"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return c.join(s, c.nk == s.nk2, "full_outer").select(
+        F.coalesce("nk", "nk2").alias("nationkey"), "n_customers", "n_suppliers"
+    )
+
+
+@_register(
     "set_ops_customer_cohorts",
     """
     SELECT c_custkey FROM (

@@ -84,3 +84,24 @@ def test_activity_enrichment_golden_columns(spark):
         "2": (20, "medium", False, "Tablet", "2024-01-01"),
         "3": (8, "long", False, "Desktop", "2024-01-01"),
     }
+
+
+def test_orders_cdc_decimal_payload(spark):
+    """S5: earlier-iteration orders schema decodes DECIMAL prices."""
+    from decimal import Decimal
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.schemas import (
+        ORDERS_CDC_SCHEMA,
+    )
+
+    order = {
+        "id": 1, "user_id": 7, "product_name": "widget", "quantity": 2,
+        "price": "19.99", "order_date": "2024-01-01", "status": "NEW",
+    }
+    env = make_envelope(order, "c", 1704100000000)
+    out = decode_cdc(_raw_df(spark, [env]), ORDERS_CDC_SCHEMA).collect()
+    assert len(out) == 1
+    assert out[0].price == Decimal("19.99")
+    assert dict(decode_cdc(_raw_df(spark, [env]), ORDERS_CDC_SCHEMA).dtypes)[
+        "price"
+    ] == "decimal(10,2)"

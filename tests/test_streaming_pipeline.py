@@ -159,3 +159,56 @@ def test_orchestrator_duplicate_name_rejected(spark, tmp_path):
     orch.queries["x"] = object()  # type: ignore[assignment]
     with pytest.raises(ValueError):
         orch.register("x", object())  # type: ignore[arg-type]
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """T9: watermarked stream-stream equi-join with a time-range bound."""
+    import json
+
+    def ev(i, user, ts):
+        return json.dumps({"id": i, "user_id": user, "ts": ts})
+
+    (tmp_path / "l").mkdir()
+    (tmp_path / "r").mkdir()
+    (tmp_path / "l" / "a.jsonl").write_text(
+        "\n".join([
+            ev(1, 1, "2024-01-01 10:05:00"),
+            ev(2, 1, "2024-01-01 12:00:00"),
+            ev(3, 2, "2024-01-01 10:02:00"),
+        ])
+    )
+    (tmp_path / "r" / "a.jsonl").write_text(
+        "\n".join([
+            ev(100, 1, "2024-01-01 10:00:00"),
+            ev(200, 2, "2024-01-01 09:59:00"),
+            ev(300, 2, "2024-01-01 11:00:00"),
+        ])
+    )
+    schema = "id long, user_id long, ts timestamp"
+    left = (
+        spark.readStream.schema(schema).json(str(tmp_path / "l"))
+        .withWatermark("ts", "1 hour")
+        .select(F.col("id").alias("l_id"), F.col("user_id").alias("l_user"),
+                F.col("ts").alias("l_ts"))
+    )
+    right = (
+        spark.readStream.schema(schema).json(str(tmp_path / "r"))
+        .withWatermark("ts", "1 hour")
+        .select(F.col("id").alias("r_id"), F.col("user_id").alias("r_user"),
+                F.col("ts").alias("r_ts"))
+    )
+    joined = left.join(
+        right,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 10 MINUTES")),
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ss_join")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {(r.l_id, r.r_id) for r in spark.table("ss_join").collect()}
+    # 1 matches 100 (5 min before); 3 matches 200 (3 min); 2 matches
+    # nothing (view 2h earlier is out of range)
+    assert got == {(1, 100), (3, 200)}
