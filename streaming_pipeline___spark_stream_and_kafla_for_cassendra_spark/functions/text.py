@@ -79,16 +79,27 @@ def quality_bucket(
 
 
 def word_ngrams(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (space-joined)."""
+    """Distinct word n-gram shingles (space-joined).
+
+    ANSI-safe: documents with fewer than ``n`` tokens yield an empty
+    array (``element_at`` would raise under ANSI mode, Spark 4's
+    default, so the short-doc branch never indexes).
+
+    Prefer :func:`shingle_rows` for bulk corpora — Catalyst does not
+    CSE inside HOF lambdas, so this expression re-tokenizes per
+    element.
+    """
     toks = tokens(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(
         idx,
         lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            " ", *[F.try_element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
         ),
     )
-    return F.array_distinct(grams)
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def shingle_rows(df, id_col: str, text_col: str, n: int = 3):

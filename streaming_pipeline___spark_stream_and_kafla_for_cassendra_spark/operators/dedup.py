@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import content_fingerprint, shingle_rows, tokens
+from ..functions.text import content_fingerprint, shingle_rows
 
 
 def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -54,27 +54,61 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, minhash array<bigint>[num_hashes]) via word-shingle
-    xxhash64 minima. One explode + one groupBy(id): the shuffle is
-    keyed on the doc id and carries only (id, 64 longs)."""
-    # shingles hashed once in a single Arrow pass; the hash family is
-    # derived from the 8-byte gram key JVM-side — 64 re-hashes of a
-    # long, never of the text shingle.
-    grams = shingle_rows(df, id_col, text_col, shingle_n).withColumnRenamed(
-        "_id", id_col
+    """(id, minhash array<bigint>[num_hashes]).
+
+    One Arrow pass per partition: shingle → md5-derived 64-bit gram
+    key → ``num_hashes`` universal-family values (a·h+b with uint64
+    wraparound, seeded) → per-document minima, all vectorized in
+    numpy. No explode, no groupBy — the signature never shuffles raw
+    shingles, only (id, 64 longs) leaves the pass. Closure is
+    self-contained (workers may lack this package on sys.path).
+    """
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    nn, k = shingle_n, num_hashes
+    out_schema = StructType(
+        [
+            StructField("_sig_id", LongType()),
+            StructField("minhash", ArrayType(LongType())),
+        ]
     )
-    hashed = grams.select(
-        id_col,
-        *[
-            F.xxhash64(F.col("gram"), F.lit(seed)).alias(f"h{seed}")
-            for seed in range(num_hashes)
-        ],
-    )
-    sig = hashed.groupBy(id_col).agg(
-        *[F.min(f"h{seed}").alias(f"h{seed}") for seed in range(num_hashes)]
-    )
-    return sig.select(
-        id_col, F.array(*[f"h{seed}" for seed in range(num_hashes)]).alias("minhash")
+
+    def sigs(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(42)
+        A = rng.integers(1, 2**63 - 1, size=k, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+        B = rng.integers(0, 2**63 - 1, size=k, dtype=np.uint64)
+        for pdf in batches:
+            ids, sig_list = [], []
+            for doc_id, text in zip(pdf["_id"], pdf["_text"]):
+                toks = [t for t in (text or "").lower().split() if t]
+                grams = {
+                    " ".join(toks[i : i + nn])
+                    for i in range(max(len(toks) - nn + 1, 0))
+                }
+                if not grams:
+                    continue
+                h = np.frombuffer(
+                    b"".join(hashlib.md5(g.encode()).digest()[:8] for g in grams),
+                    dtype=">u8",
+                ).astype(np.uint64)
+                vals = (h[:, None] * A[None, :] + B[None, :])  # uint64 wraps
+                ids.append(doc_id)
+                sig_list.append(
+                    vals.min(axis=0).astype(np.int64).tolist()
+                )
+            yield pd.DataFrame({"_sig_id": ids, "minhash": sig_list})
+
+    from pyspark.sql import functions as SF
+
+    return (
+        df.select(SF.col(id_col).alias("_id"), SF.col(text_col).alias("_text"))
+        .mapInPandas(sigs, out_schema)
+        .withColumnRenamed("_sig_id", id_col)
     )
 
 
@@ -200,33 +234,49 @@ def ngram_jaccard_pairs(
 def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash per document.
 
-    Token → xxhash64 → per-bit ±1 vote sum → sign vector → packed
-    bigint. The 64 per-bit sums are plain aggregates with map-side
-    combine; the packed fingerprint is reassembled post-agg. Bit 63
-    (the sign bit of the long) is read via ``h < 0`` to avoid
-    literal-overflow on ``1 << 63``.
+    Token → md5-derived 64-bit hash → per-bit ±1 vote sum → sign
+    vector → packed int64, all in one vectorized Arrow pass per
+    partition (no explode, no 64-aggregate shuffle). Deterministic
+    across runs/workers; closure self-contained.
     """
-    toks = df.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
-    ).withColumn("h", F.xxhash64(F.col("tok")))
+    from pyspark.sql.types import LongType, StructField, StructType
 
-    def bit_vote(i: int):
-        if i == 63:
-            on = F.col("h") < 0
-        else:
-            on = F.col("h").bitwiseAND(F.lit(1 << i)) != 0
-        return F.sum(F.when(on, 1).otherwise(-1)).alias(f"b{i}")
+    out_schema = StructType(
+        [StructField("_sh_id", LongType()), StructField("simhash", LongType())]
+    )
 
-    votes = toks.groupBy(id_col).agg(*[bit_vote(i) for i in range(64)])
+    def fingerprints(batches):
+        import hashlib
 
-    fingerprint = None
-    for i in range(63):  # bits 0..62 into a non-negative long
-        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        fingerprint = term if fingerprint is None else fingerprint + term
-    # bit 63 via two's complement: adding -(2^63) when set
-    sign_term = F.when(F.col("b63") > 0, F.lit(-(1 << 63))).otherwise(F.lit(0))
-    return votes.select(
-        F.col(id_col), (fingerprint + sign_term).cast("bigint").alias("simhash")
+        import numpy as np
+        import pandas as pd
+
+        bitpos = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf["_id"], pdf["_text"]):
+                toks = [t for t in (text or "").lower().split() if t]
+                if not toks:
+                    continue
+                h = np.frombuffer(
+                    b"".join(hashlib.md5(t.encode()).digest()[:8] for t in toks),
+                    dtype=">u8",
+                ).astype(np.uint64)
+                bits = ((h[:, None] >> bitpos[None, :]) & np.uint64(1)).astype(
+                    np.int64
+                )
+                votes = (bits * 2 - 1).sum(axis=0)
+                packed = np.uint64(0)
+                for i in np.nonzero(votes > 0)[0]:
+                    packed |= np.uint64(1) << np.uint64(i)
+                ids.append(doc_id)
+                fps.append(int(packed.astype(np.int64)))
+            yield pd.DataFrame({"_sh_id": ids, "simhash": fps})
+
+    return (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+        .mapInPandas(fingerprints, out_schema)
+        .withColumnRenamed("_sh_id", id_col)
     )
 
 

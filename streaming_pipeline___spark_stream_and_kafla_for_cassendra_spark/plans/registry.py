@@ -1245,6 +1245,28 @@ def embedding_label_centroids(spark, sf_dir):
 
 
 @_register(
+    "events_median_value",
+    """
+    SELECT event_type,
+           round(median(value), 4) + 0.0 AS median_value
+    FROM events
+    GROUP BY event_type
+    """,
+    "Grouped-agg pandas_udf (§2.11): exact per-group median — the "
+    "aggregate Spark's built-ins reserve for percentile_approx in "
+    "streaming; numpy/pandas interpolation matches SQL median",
+    ("agg", "pandas_udf", "events"),
+)
+def events_median_value(spark, sf_dir):
+    from ..functions.pandas_aggs import median_udf
+
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        (F.round(median_udf("value"), 4) + F.lit(0.0)).alias("median_value")
+    )
+
+
+@_register(
     "embedding_zscore_by_label",
     """
     WITH un AS (

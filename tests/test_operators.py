@@ -191,3 +191,19 @@ def test_text_functions(spark):
     assert out[2][0] == 1 and out[2][1] == "too_short"
     assert out[3][2] == "es"
     assert out[4][2] == "de"
+
+
+def test_word_ngrams_ansi_safe_on_short_docs(spark):
+    """Docs shorter than n tokens yield [] instead of an ANSI
+    element_at index error (Spark 4 defaults ansi=true)."""
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.functions.text import (
+        word_ngrams,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, ""), (3, None), (4, "a b c")],
+        "id int, text string",
+    )
+    got = {r.id: r.g for r in df.select("id", word_ngrams("text", 3).alias("g")).collect()}
+    assert got[1] == [] and got[2] == [] and got[3] == []
+    assert got[4] == ["a b c"]
