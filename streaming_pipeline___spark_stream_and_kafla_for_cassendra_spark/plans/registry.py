@@ -1424,6 +1424,442 @@ def streaming_hourly_events(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Batch SQL depth: TPC-H-shaped plans over the trimmed star schema
+# (no partsupp table in the fixtures; q09/q17 shapes adapted). These
+# exercise EXISTS / NOT EXISTS, correlated scalar subqueries,
+# nation-pair self-joins, two-level aggregation, disjunctive
+# pushdown, ROLLUP, and exact percentiles/statistical aggregates —
+# the SQL surface SURVEY §2.4/§2.6/§2.7 commits the engine to.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q04_order_priority_exists",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+    GROUP BY o_orderpriority
+    """,
+    "TPC-H Q4 shape: EXISTS correlated subquery → left-semi join + "
+    "grouped count (reference J-family gap, SURVEY §2.4)",
+    ("join", "semi", "tpch"),
+)
+def q04_order_priority_exists(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@_register(
+    "q07_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 4) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             cast(year(l_shipdate) AS INTEGER) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l_shipdate BETWEEN TIMESTAMP '1995-01-01'
+                           AND TIMESTAMP '1997-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "TPC-H Q7 shape: nation self-joined twice (supplier vs customer "
+    "side), disjunctive pair filter, revenue by year — both nation "
+    "dims broadcast",
+    ("join", "broadcast", "tpch"),
+)
+def q07_volume_shipping(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1995-01-01").cast("timestamp"),
+            F.lit("1997-12-31").cast("timestamp"),
+        )
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    rpair = (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")
+    return (
+        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair | rpair)
+        .withColumn("l_year", F.year("l_shipdate").cast("int"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@_register(
+    "q09_product_profit",
+    """
+    SELECT nation, o_year, round(sum(amount), 4) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             cast(year(o_orderdate) AS INTEGER) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - p_retailprice * 0.1 * l_quantity AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%widget%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+    "TPC-H Q9 shape (partsupp-free: supply cost proxied from "
+    "p_retailprice): 5-way join, LIKE pushdown, profit by nation/year",
+    ("join", "tpch"),
+)
+def q09_product_profit(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.lit(0.1) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 4).alias("sum_profit"))
+    )
+
+
+@_register(
+    "q13_customer_order_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+    "TPC-H Q13 shape: left join with join-time predicate, two-level "
+    "aggregation (count per customer, then histogram of counts)",
+    ("join", "agg", "tpch"),
+)
+def q13_customer_order_distribution(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@_register(
+    "q14_promo_revenue",
+    """
+    SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0.0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) + 0.0
+             AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-02-01'
+    """,
+    "TPC-H Q14 shape: conditional aggregate ratio (promo share of "
+    "revenue), broadcast part dim",
+    ("agg", "tpch"),
+)
+def q14_promo_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4) + F.lit(0.0)).alias(
+                "promo_revenue"
+            )
+        )
+    )
+
+
+@_register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                        FROM lineitem l2
+                        WHERE l2.l_partkey = p_partkey)
+    """,
+    "TPC-H Q17 shape: correlated scalar subquery (per-part average "
+    "quantity threshold) → per-key avg + rejoin in Spark",
+    ("join", "subquery", "tpch"),
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    # correlated scalar subquery decorrelated: one per-part aggregate
+    # over the full lineitem, rejoined on the key. At 100 TB the agg
+    # shuffles (partkey, 2 doubles) only; the threshold side is tiny
+    # after the brand filter and broadcasts.
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(thresholds, F.col("t_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg((F.round(F.sum("l_extendedprice") / F.lit(7.0), 4)).alias("avg_yearly"))
+    )
+
+
+@_register(
+    "q19_disjunctive_revenue",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "TPC-H Q19 shape: disjunctive multi-attribute predicates across "
+    "both join sides — Catalyst pushes the brand/size disjunction to "
+    "the part scan",
+    ("join", "filter", "tpch"),
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond1 = (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    cond2 = (
+        (F.col("p_brand") == "Brand#20")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    )
+    cond3 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond1 | cond2 | cond3)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@_register(
+    "q22_idle_rich_customers",
+    """
+    SELECT n_name, count(*) AS numcust,
+           round(sum(c_acctbal), 4) AS totacctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY n_name
+    """,
+    "TPC-H Q22 shape: uncorrelated scalar subquery (global avg "
+    "threshold) + NOT EXISTS anti-join (no urgent orders — every "
+    "fixture customer has ≥1 order, so the anti side is filtered), "
+    "grouped by nation",
+    ("join", "anti", "subquery", "tpch"),
+)
+def q22_idle_rich_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    # scalar subquery: single-row aggregate broadcast by crossJoin —
+    # no driver collect, stays a lazy plan
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            o.filter(F.col("o_orderpriority") == "1-URGENT"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+    )
+
+
+@_register(
+    "rollup_region_nation_sales",
+    """
+    SELECT coalesce(r_name, 'ALL') AS region,
+           coalesce(n_name, 'ALL') AS nation,
+           cast(grouping(r_name) + grouping(n_name) AS INTEGER)
+             AS agg_level,
+           count(*) AS order_count,
+           round(sum(o_totalprice), 4) AS total_sales
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    "ROLLUP hierarchy (engine addition — SURVEY §2.6 notes the "
+    "reference has no grouping sets): region→nation→grand-total in "
+    "one pass, GROUPING() distinguishes subtotal rows",
+    ("agg", "rollup"),
+)
+def rollup_region_nation_sales(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            (F.grouping("r_name") + F.grouping("n_name"))
+            .cast("int")
+            .alias("agg_level"),
+            F.count("*").alias("order_count"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_sales"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            "agg_level",
+            "order_count",
+            "total_sales",
+        )
+    )
+
+
+@_register(
+    "events_value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 4) + 0.0 AS p25,
+           round(quantile_cont(value, 0.50), 4) + 0.0 AS p50,
+           round(quantile_cont(value, 0.90), 4) + 0.0 AS p90
+    FROM events
+    GROUP BY event_type
+    """,
+    "Exact linear-interpolation percentiles per group (batch twin of "
+    "the streaming approx_percentile path); Spark percentile() ≡ "
+    "DuckDB quantile_cont()",
+    ("agg", "percentile", "events"),
+)
+def events_value_percentiles(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    def pct(q, name):
+        return (F.round(F.expr(f"percentile(value, {q})"), 4) + F.lit(0.0)).alias(name)
+    return e.groupBy("event_type").agg(
+        pct(0.25, "p25"), pct(0.50, "p50"), pct(0.90, "p90")
+    )
+
+
+@_register(
+    "lineitem_stats_by_flag",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) + 0.0  AS qty_stddev,
+           round(var_samp(l_quantity), 4) + 0.0     AS qty_var,
+           round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS qty_price_corr
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    "Statistical aggregates (stddev/variance/correlation) with "
+    "partial+final merge — engine addition beyond the reference's "
+    "count/sum/avg census (SURVEY §2.6)",
+    ("agg", "stats"),
+)
+def lineitem_stats_by_flag(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        (F.round(F.stddev_samp("l_quantity"), 4) + F.lit(0.0)).alias("qty_stddev"),
+        (F.round(F.var_samp("l_quantity"), 4) + F.lit(0.0)).alias("qty_var"),
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + F.lit(0.0)).alias(
+            "qty_price_corr"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # public accessors (driver contract)
 # ---------------------------------------------------------------------------
 
