@@ -1859,6 +1859,99 @@ def lineitem_stats_by_flag(spark, sf_dir):
     )
 
 
+@_register(
+    "sessionize_events_batch",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       IS NULL
+                  OR date_diff('second',
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                       ts) > 14400
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 4) + 0.0 AS total_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+    "Gap-and-island sessionization (batch twin of the "
+    "applyInPandasWithState operator): lag marks 4-hour-gap session "
+    "starts, running sum numbers islands, one agg per session — the "
+    "window and the groupBy share the user_id partitioning",
+    ("window", "session", "events"),
+)
+def sessionize_events_batch(spark, sf_dir):
+    from ..streaming.stateful import sessionize_batch_oracle
+
+    e = _t(spark, sf_dir, "events")
+    out = sessionize_batch_oracle(e, gap="4 hours")
+    return out.withColumn("total_value", F.col("total_value") + F.lit(0.0))
+
+
+@_register(
+    "streaming_sessionize_events",
+    None,  # custom stateful streaming — rows-only driver check
+    "applyInPandasWithState sessionization run as a real stream "
+    "(availableNow over events.parquet): per-user gap sessions close "
+    "intra-batch or by event-time timeout; append-mode emission "
+    "(SURVEY §2.10 T8 — the stateful capability the reference lacks)",
+    ("streaming", "stateful", "session"),
+)
+def streaming_sessionize_events(spark, sf_dir):
+    import uuid
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..streaming.stateful import sessionize
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    sessions = sessionize(stream, gap="4 hours", watermark="1 hour")
+    sink = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(sink)
+
+
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,197 @@
+"""Custom stateful streaming operators (SURVEY §2.10 T8 extension).
+
+The reference has no stateful processing beyond built-in windowed
+aggregation (`multi_source_streaming_processor.py:205-238`); its
+activity model (login/click sessions, `README.md:52-57`) begs for
+sessionization, which Spark's built-ins can't express when sessions
+must carry arbitrary running state and emit on gap timeout. This is
+the `applyInPandasWithState` slow-path escape hatch done right:
+
+* state per user is a handful of scalars (epoch-micros bounds, a
+  count, a sum) — tiny, spill-proof, shuffled once on the group key;
+* batches arrive Arrow-vectorized; the per-group work is O(events in
+  batch) numpy/pandas, no row-at-a-time Python in the hot loop;
+* event-time timeout closes idle sessions exactly when the watermark
+  passes `last_event + gap`, so late events inside the watermark
+  still extend their session.
+
+At 100 TB the only shuffle is the hash partition on `user_col`; the
+state store holds one small row per live user, and timeouts bound its
+size (the reference's unbounded-state bug T3 does not recur here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+# open-session state: bounds as epoch micros + running aggregates
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+    ]
+)
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Gap-based sessionization with running aggregates.
+
+    Emits one row per CLOSED session (append semantics): a session
+    closes when a same-user event arrives more than ``gap`` after the
+    previous one (intra- or inter-batch), or when the watermark passes
+    ``last_event + gap`` (event-time timeout). Sessions still open at
+    stream end are never emitted — correct append-mode behavior.
+    """
+    gap_us = _duration_us(gap)
+
+    def fn(key, pdf_iter, state):
+        # Self-contained closure: helpers defined inside so the
+        # function pickles by value (workers may not have this
+        # package importable when the driver cwd moves).
+        import pandas as pd
+
+        user = key[0]
+
+        def emit(start_us, last_us, n, total):
+            return pd.DataFrame(
+                {
+                    "user_id": [user],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                    "total_value": [float(total)],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_us, last_us, n, total = state.get
+            state.remove()
+            yield emit(start_us, last_us, n, total)
+            return
+
+        if state.exists:
+            start_us, last_us, n, total = state.get
+        else:
+            start_us = None
+
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(ts_col)
+            # normalize to micros regardless of pandas datetime unit
+            ts_us = pdf[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+            vals = pdf[value_col].fillna(0.0).to_numpy()
+            for t, v in zip(ts_us, vals):
+                if start_us is None:
+                    start_us, last_us, n, total = int(t), int(t), 1, float(v)
+                elif t - last_us > gap_us:
+                    yield emit(start_us, last_us, n, total)
+                    start_us, last_us, n, total = int(t), int(t), 1, float(v)
+                else:
+                    last_us = max(last_us, int(t))
+                    n += 1
+                    total += float(v)
+
+        if start_us is not None:
+            state.update((start_us, last_us, n, total))
+            # fire when the watermark passes the session's gap horizon
+            state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _duration_us(spec: str) -> int:
+    """'30 minutes' → microseconds (no Spark session needed)."""
+    qty, unit = spec.split()
+    mult = {
+        "second": 1_000_000,
+        "seconds": 1_000_000,
+        "minute": 60_000_000,
+        "minutes": 60_000_000,
+        "hour": 3_600_000_000,
+        "hours": 3_600_000_000,
+        "day": 86_400_000_000,
+        "days": 86_400_000_000,
+    }[unit]
+    return int(qty) * mult
+
+
+def sessionize_batch_oracle(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Batch twin of :func:`sessionize` as pure DataFrame ops.
+
+    Classic gap-and-island: lag over (user, ts) marks session starts,
+    a running sum numbers the islands, then one groupBy aggregates.
+    Two shuffles max (window + agg share the user partitioning; AQE
+    reuses the exchange). Used to cross-check the stateful operator
+    and exported as the SQL-expressible registry entry.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap_s = _duration_us(gap) // 1_000_000
+    # NTZ-safe epoch seconds: TIMESTAMP_NTZ has no direct long cast in
+    # Spark 4; session tz is pinned UTC so the hop is lossless
+    ts_s = F.col(ts_col).cast("timestamp").cast("long")
+    marked = events.withColumn(
+        "_new_session",
+        (ts_s - F.lag(ts_s).over(w) > gap_s).cast("int"),
+    ).withColumn(
+        "_session_no",
+        F.sum(F.coalesce(F.col("_new_session"), F.lit(1))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return marked.groupBy(
+        F.col(user_col).alias("user_id"), F.col("_session_no")
+    ).agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum(value_col), 4).alias("total_value"),
+    ).drop("_session_no")

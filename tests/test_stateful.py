@@ -1,0 +1,116 @@
+"""Stateful sessionization (applyInPandasWithState) — deterministic
+streaming tests plus batch-twin cross-check."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.streaming.stateful import (
+    sessionize,
+    sessionize_batch_oracle,
+)
+
+EVENTS_SCHEMA = "event_id long, ts timestamp, user_id long, value double"
+
+
+def _rows():
+    # user 1: two sessions (10:00-10:10, then 12:00 — gap > 30 min)
+    # user 2: one session with three events
+    return [
+        (1, "2024-01-01 10:00:00", 1, 1.0),
+        (2, "2024-01-01 10:10:00", 1, 2.0),
+        (3, "2024-01-01 12:00:00", 1, 4.0),
+        (4, "2024-01-01 10:05:00", 2, 10.0),
+        (5, "2024-01-01 10:20:00", 2, 10.0),
+        (6, "2024-01-01 10:40:00", 2, 10.0),
+    ]
+
+
+def _write_events(spark, path, rows):
+    df = spark.createDataFrame(rows, "event_id long, ts string, user_id long, value double")
+    df.withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_sessionize_streaming_closes_on_gap(spark, tmp_path):
+    src = str(tmp_path / "events")
+    _write_events(spark, src, _rows())
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, value double"
+    ).parquet(src)
+    sessions = sessionize(stream, gap="30 minutes", watermark="5 minutes")
+
+    sink = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, str(r.session_start)): (r.n_events, r.total_value)
+        for r in spark.table(sink).collect()
+    }
+    # user 1's first session closes intra-batch on the 12:00 gap;
+    # user 2's closes by event-time timeout in the final batch (the
+    # watermark ends at 11:55 > 10:40 + 30 min); the 12:00 singleton
+    # stays open (its horizon 12:30 is past the final watermark).
+    assert got == {
+        (1, "2024-01-01 10:00:00"): (2, 3.0),
+        (2, "2024-01-01 10:05:00"): (3, 30.0),
+    }
+
+
+def test_sessionize_timeout_across_batches(spark, tmp_path):
+    src = str(tmp_path / "events")
+    _write_events(spark, src, _rows()[:2])  # batch 1: user 1, 10:00+10:10
+    # batch 2: far-future event advances the watermark past
+    # last(10:10) + gap(30m) + delay(5m) → event-time timeout fires
+    _write_events(spark, src, [(99, "2024-01-02 00:00:00", 7, 0.5)])
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sessions = sessionize(stream, gap="30 minutes", watermark="5 minutes")
+
+    sink = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in spark.table(sink).collect()
+    }
+    assert (1, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2) in rows
+
+
+def test_batch_oracle_matches_closed_sessions(spark):
+    df = spark.createDataFrame(
+        _rows(), "event_id long, ts string, user_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (r.user_id, str(r.session_start)): (r.n_events, float(r.total_value))
+        for r in sessionize_batch_oracle(df, gap="30 minutes").collect()
+    }
+    assert got == {
+        (1, "2024-01-01 10:00:00"): (2, 3.0),
+        (1, "2024-01-01 12:00:00"): (1, 4.0),
+        (2, "2024-01-01 10:05:00"): (3, 30.0),
+    }
