@@ -126,6 +126,184 @@ def extract_image_features(
     )
 
 
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("rms_energy", StringType()),  # hex-quantized, deterministic
+    ]
+)
+
+
+def extract_audio_features(
+    media: DataFrame, use_stub_decoder: bool = True
+) -> DataFrame:
+    """binary payload → (sample_rate, n_samples, duration, energy).
+
+    Same Arrow plumbing as images; the PCM decode is stubbed (no
+    audio libs in this container) with a deterministic fake that
+    treats payload bytes as 8-bit samples at 16 kHz — swap in
+    soundfile/ffmpeg at deploy time. Narrow, shuffle-free.
+    """
+    if use_stub_decoder:
+        def decoder(payload: bytes):
+            # fake PCM: bytes are unsigned 8-bit samples @ 16 kHz
+            sr = 16_000
+            n = len(payload)
+            return sr, n
+    else:
+        def decoder(payload: bytes):
+            raise NotImplementedError(
+                "audio codecs are not available in this environment"
+            )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = {
+                "media_id": pdf["media_id"],
+                "sample_rate": [],
+                "n_samples": [],
+                "duration_ms": [],
+                "rms_energy": [],
+            }
+            for p in pdf["payload"]:
+                p = p if p is not None else b""
+                sr, n = decoder(p)
+                rows["sample_rate"].append(sr)
+                rows["n_samples"].append(n)
+                rows["duration_ms"].append(n * 1000 // sr if sr else 0)
+                samples = np.frombuffer(p, dtype=np.uint8).astype(np.float64)
+                rms = float(np.sqrt((samples**2).mean())) if n else 0.0
+                rows["rms_energy"].append(f"{int(rms * 100):x}")
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+VIDEO_FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("frame_payload", BinaryType()),
+        StructField("frame_checksum", StringType()),
+    ]
+)
+
+
+def sample_video_frames(
+    media: DataFrame,
+    every_nth: int = 10,
+    frame_bytes: int = 256,
+    use_stub_decoder: bool = True,
+) -> DataFrame:
+    """Video → sampled-frame rows (one row per kept frame).
+
+    The stub treats the payload as fixed-size raw frames of
+    ``frame_bytes`` and keeps every ``every_nth`` one — the exact
+    batch/explode shape a real ffmpeg-backed sampler produces. The
+    fan-out happens executor-local inside mapInPandas (no shuffle of
+    the source payload); downstream ops see per-frame binaries with
+    bounded Arrow batches.
+    """
+    if use_stub_decoder:
+        def frames(payload: bytes):
+            return [
+                payload[i : i + frame_bytes]
+                for i in range(0, len(payload), frame_bytes)
+            ]
+    else:
+        def frames(payload: bytes):
+            raise NotImplementedError(
+                "video codecs are not available in this environment"
+            )
+
+    nth = every_nth
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            ids, nos, payloads, sums = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = p if p is not None else b""
+                for fno, fr in enumerate(frames(p)):
+                    if fno % nth:
+                        continue
+                    ids.append(mid)
+                    nos.append(fno)
+                    payloads.append(fr)
+                    sums.append(hashlib.md5(fr).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_no": nos,
+                    "frame_payload": payloads,
+                    "frame_checksum": sums,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=VIDEO_FRAMES_SCHEMA
+    )
+
+
+def resize_images(
+    media: DataFrame, target_w: int = 64, target_h: int = 64,
+    use_stub_decoder: bool = True,
+) -> DataFrame:
+    """Image resize pass: payload → payload' (+ new dims in meta).
+
+    Stub 'resize' deterministically re-samples the payload bytes to
+    ``target_w × target_h`` length; real deployments plug Pillow in.
+    Demonstrates the payload-in/payload-out transform shape (media
+    stays binary through the pipeline, executor-local)."""
+    if use_stub_decoder:
+        def resize(payload: bytes) -> bytes:
+            need = target_w * target_h
+            if not payload:
+                return b"\x00" * need
+            reps = -(-need // len(payload))
+            return (payload * reps)[:need]
+    else:
+        def resize(payload: bytes) -> bytes:
+            raise NotImplementedError(
+                "image codecs are not available in this environment"
+            )
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        resize(p if p is not None else b"")
+                        for p in pdf["payload"]
+                    ],
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=out_schema
+    )
+
+
 def synthetic_media_from_documents(docs: DataFrame) -> DataFrame:
     """Build a multimodal table from the documents fixture: the text
     bytes stand in for an encoded image payload. Exercises the exact

@@ -1203,6 +1203,23 @@ def ann_topk_lsh(spark, sf_dir):
 
 
 @_register(
+    "ann_topk_ivf",
+    None,  # approximate; recall vs brute force asserted in tests
+    "Similarity search scale path #2: IVF — spherical-k-means coarse "
+    "quantizer (seeded, bounded sample), candidates hash to one "
+    "inverted list, queries probe n_probe lists, cogrouped per-list "
+    "BLAS top-k (shuffle carries lists once, output ≤ q×probe×k rows)",
+    ("similarity", "ann", "ivf", "embeddings"),
+)
+def ann_topk_ivf(spark, sf_dir):
+    from ..operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivf_topk(emb, queries_df, k=5, n_lists=16, n_probe=4)
+
+
+@_register(
     "embedding_near_dup_pairs",
     """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1856,6 +1873,60 @@ def lineitem_stats_by_flag(spark, sf_dir):
         (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + F.lit(0.0)).alias(
             "qty_price_corr"
         ),
+    )
+
+
+@_register(
+    "multimodal_audio_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(16000 AS INTEGER) AS sample_rate,
+           strlen(text) AS n_samples,
+           strlen(text) * 1000 // 16000 AS duration_ms
+    FROM documents
+    """,
+    "Audio-column plumbing: binary payload → sample-rate/duration "
+    "features via Arrow mapInPandas (stub decode: bytes as 8-bit PCM "
+    "@16 kHz — deterministic, so SQL-expressible and oracle-checked)",
+    ("multimodal", "audio", "documents"),
+)
+def multimodal_audio_features(spark, sf_dir):
+    from ..operators.multimodal import (
+        extract_audio_features,
+        synthetic_media_from_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synthetic_media_from_documents(docs)
+    return extract_audio_features(media).select(
+        "media_id", "sample_rate", "n_samples", "duration_ms"
+    )
+
+
+@_register(
+    "multimodal_video_frame_sample",
+    """
+    SELECT doc_id AS media_id,
+           ((strlen(text) + 255) // 256 + 9) // 10 AS n_sampled_frames
+    FROM documents
+    WHERE strlen(text) > 0
+    """,
+    "Video frame sampling: payload → every-10th 256-byte frame rows "
+    "(executor-local fan-out inside mapInPandas), counted per media "
+    "item — count is decoder-independent, so oracle-checked",
+    ("multimodal", "video", "documents"),
+)
+def multimodal_video_frame_sample(spark, sf_dir):
+    from ..operators.multimodal import (
+        sample_video_frames,
+        synthetic_media_from_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synthetic_media_from_documents(docs)
+    frames = sample_video_frames(media, every_nth=10, frame_bytes=256)
+    return frames.groupBy("media_id").agg(
+        F.count("*").alias("n_sampled_frames")
     )
 
 

@@ -207,3 +207,35 @@ def test_word_ngrams_ansi_safe_on_short_docs(spark):
     got = {r.id: r.g for r in df.select("id", word_ngrams("text", 3).alias("g")).collect()}
     assert got[1] == [] and got[2] == [] and got[3] == []
     assert got[4] == ["a b c"]
+
+
+def test_ivf_topk_recall_on_clustered_vectors(spark):
+    """IVF with spherical k-means lists: same planted-cluster fixture
+    as the LSH test; probing 4 of 8 lists must recover ≥80% of top-1
+    neighbors (cluster members land in the same list by construction)."""
+    import numpy as np
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((20, 64))
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(10):
+            v = c + 0.05 * rng.standard_normal(64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = ivf_topk(emb, queries, k=5, n_lists=8, n_probe=4).collect()
+    exact_at1 = {r.query_id: r.neighbor_id for r in exact if r.rank == 1}
+    approx_sets: dict[int, set[int]] = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(1 for q, nn in exact_at1.items() if nn in approx_sets.get(q, set()))
+    assert hits >= int(0.8 * len(exact_at1))
