@@ -42,8 +42,14 @@ HEADLINE = [
     "text_quality",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
+    "ann_topk_ivf",
     "embedding_near_dup_pairs",
     "multimodal_image_features",
+    "q07_volume_shipping",
+    "q09_product_profit",
+    "q13_customer_order_distribution",
+    "rollup_region_nation_sales",
+    "sessionize_events_batch",
     "streaming_hourly_events",
 ]
 

@@ -1,0 +1,109 @@
+"""Deterministic sampling & dataset splitting (training-data ops).
+
+A 100 TB training pipeline needs samples and splits that are:
+
+* **deterministic** — re-running the job reproduces the same rows
+  (no `rand()`: Spark re-evaluates nondeterministic expressions per
+  retry, so a failed task could emit a different sample);
+* **key-stable** — membership depends only on the row's key, so the
+  same document lands in the same split across tables, days, and
+  engines (the DuckDB oracle reproduces these exactly);
+* **scan-local** — a filter on a hash of the key: no shuffle, no
+  driver state, embarrassingly parallel.
+
+Mechanism: the first 8 hex chars of ``md5(salt || key)`` interpreted
+as a uniform fraction of 2^32. Lexicographic compare on the
+fixed-width lowercase hex IS numeric compare, and md5 renders
+identically everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX_WIDTH = 8
+_SPACE = 16**HEX_WIDTH
+
+
+def _bucket_hex(key: Column, salt: str) -> Column:
+    """First 8 hex chars of md5(salt || key) — a uniform [0, 2^32)
+    draw rendered as fixed-width hex."""
+    return F.substring(
+        F.md5(F.concat(F.lit(salt), key.cast("string")).cast("binary")),
+        1,
+        HEX_WIDTH,
+    )
+
+
+def fraction_threshold_hex(fraction: float) -> str:
+    """The literal h such that P[bucket < h] == fraction.
+
+    For fraction == 1.0 the numeric threshold (2^32) would render as
+    9 hex chars and compare lexicographically BELOW 8-char buckets
+    starting with a letter — so keep-everything uses 'g', which sorts
+    above every hex digit at fixed width."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    n = int(fraction * _SPACE)
+    if n >= _SPACE:
+        return "g"
+    return format(n, f"0{HEX_WIDTH}x")
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = "v1"
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash. Same key + salt
+    → same decision, forever, on any engine."""
+    thr = fraction_threshold_hex(fraction)
+    return df.filter(_bucket_hex(F.col(key_col), salt) < thr)
+
+
+def train_test_split(
+    df: DataFrame,
+    key_col: str,
+    test_fraction: float = 0.1,
+    salt: str = "split-v1",
+    split_col: str = "split",
+) -> DataFrame:
+    """Adds a 'train'/'test' column by key hash — a row's assignment
+    is stable across runs and across any table sharing the key."""
+    thr = fraction_threshold_hex(test_fraction)
+    return df.withColumn(
+        split_col,
+        F.when(_bucket_hex(F.col(key_col), salt) < thr, F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    salt: str = "strata-v1",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample dominant
+    languages, keep all rare ones). One scan, no shuffle: the
+    per-stratum threshold is a CASE WHEN on the stratum value."""
+    thr: Column = F.lit(fraction_threshold_hex(default_fraction))
+    expr = None
+    for value, frac in sorted(fractions.items()):
+        cond = F.col(strata_col) == value
+        lit = F.lit(fraction_threshold_hex(frac))
+        expr = F.when(cond, lit) if expr is None else expr.when(cond, lit)
+    thr = expr.otherwise(thr) if expr is not None else thr
+    return df.filter(_bucket_hex(F.col(key_col), salt) < thr)
+
+
+def sample_threshold_sql(fraction: float, key_expr: str, salt: str = "v1") -> str:
+    """The equivalent ANSI-SQL predicate (DuckDB-compatible) — used by
+    the registry oracles so the gate proves cross-engine stability."""
+    thr = fraction_threshold_hex(fraction)
+    return (
+        f"substr(md5('{salt}' || CAST({key_expr} AS VARCHAR)), 1, {HEX_WIDTH})"
+        f" < '{thr}'"
+    )

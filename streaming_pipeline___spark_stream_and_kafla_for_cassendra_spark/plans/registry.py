@@ -2024,6 +2024,112 @@ def streaming_sessionize_events(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Deterministic sampling / splits (training-data ops): membership is
+# md5(salt||key)-hash-based — reproducible across runs, retries, and
+# engines, which is exactly what the oracle gate proves.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "sample_lineitem_deterministic",
+    """
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem
+    WHERE substr(md5('v1' || CAST(l_orderkey AS VARCHAR) || '-'
+                 || CAST(l_linenumber AS VARCHAR)), 1, 8) < '19999999'
+    GROUP BY l_returnflag
+    """,
+    "Deterministic 10% sample by composite-key hash: no rand() (which "
+    "re-evaluates on task retry), no shuffle — a scan-local filter "
+    "both engines reproduce bit-for-bit",
+    ("sampling", "training"),
+)
+def sample_lineitem_deterministic(spark, sf_dir):
+    from ..operators.sampling import deterministic_sample
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "_sample_key",
+        F.concat_ws(
+            "-",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ),
+    )
+    return (
+        deterministic_sample(li, "_sample_key", 0.1, salt="v1")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+    )
+
+
+@_register(
+    "train_test_split_documents",
+    """
+    SELECT source,
+           CASE WHEN substr(md5('split-v1' || CAST(doc_id AS VARCHAR)),
+                            1, 8) < '0ccccccc'
+                THEN 'test' ELSE 'train' END AS split,
+           count(*) AS n_docs,
+           cast(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    "Key-stable train/test split (5% test): a document's assignment "
+    "depends only on md5(salt||doc_id), so every table keyed by "
+    "doc_id lands in the same split across runs and engines",
+    ("sampling", "split", "training", "documents"),
+)
+def train_test_split_documents(spark, sf_dir):
+    from ..operators.sampling import train_test_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        train_test_split(docs, "doc_id", test_fraction=0.05)
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@_register(
+    "stratified_sample_events",
+    """
+    SELECT event_type, count(*) AS n_sampled
+    FROM events
+    WHERE substr(md5('strata-v1' || CAST(event_id AS VARCHAR)), 1, 8)
+          < CASE event_type
+              WHEN 'click'    THEN '0ccccccc'
+              WHEN 'view'     THEN '19999999'
+              WHEN 'purchase' THEN 'g'
+              ELSE '00000000' END
+    GROUP BY event_type
+    """,
+    "Stratified deterministic sampling: per-stratum hash thresholds "
+    "in one scan-local CASE filter (downsample dominant event types, "
+    "keep all rare purchases) — the training-data rebalance pattern",
+    ("sampling", "stratified", "training", "events"),
+)
+def stratified_sample_events(spark, sf_dir):
+    from ..operators.sampling import stratified_sample
+
+    e = _t(spark, sf_dir, "events")
+    sampled = stratified_sample(
+        e,
+        "event_type",
+        {"click": 0.05, "view": 0.1, "purchase": 1.0},
+        key_col="event_id",
+    )
+    return sampled.groupBy("event_type").agg(F.count("*").alias("n_sampled"))
+
+
+# ---------------------------------------------------------------------------
 # public accessors (driver contract)
 # ---------------------------------------------------------------------------
 

@@ -239,3 +239,37 @@ def test_ivf_topk_recall_on_clustered_vectors(spark):
         approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
     hits = sum(1 for q, nn in exact_at1.items() if nn in approx_sets.get(q, set()))
     assert hits >= int(0.8 * len(exact_at1))
+
+
+def test_deterministic_sampling_and_split(spark):
+    """Hash-based sampling: reproducible across runs, fraction within
+    tolerance, split is a partition, fraction=1.0 keeps everything."""
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.sampling import (
+        deterministic_sample,
+        stratified_sample,
+        train_test_split,
+    )
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    a = deterministic_sample(df, "k", 0.2)
+    assert a.count() == deterministic_sample(df, "k", 0.2).count()  # stable
+    assert abs(a.count() / 5000 - 0.2) < 0.03
+    assert deterministic_sample(df, "k", 1.0).count() == 5000
+    assert deterministic_sample(df, "k", 0.0).count() == 0
+
+    split = train_test_split(df, "k", test_fraction=0.25)
+    counts = {r.split: r["count"] for r in split.groupBy("split").count().collect()}
+    assert counts["test"] + counts["train"] == 5000
+    assert abs(counts["test"] / 5000 - 0.25) < 0.03
+
+    strat = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(2000)], "k long, s string"
+    )
+    got = {
+        r.s: r["count"]
+        for r in stratified_sample(strat, "s", {"a": 1.0, "b": 0.1}, "k")
+        .groupBy("s")
+        .count()
+        .collect()
+    }
+    assert got["a"] == 1000 and abs(got.get("b", 0) / 1000 - 0.1) < 0.05
