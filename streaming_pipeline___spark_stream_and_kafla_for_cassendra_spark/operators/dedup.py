@@ -231,6 +231,77 @@ def ngram_jaccard_pairs(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (rolling hash, MOSS-style).
+
+    Per document: character k-gram Rabin-Karp rolling hashes → sliding
+    window of ``window`` hashes → keep each window's minimum (rightmost
+    on ties) → distinct (doc, fingerprint) rows. Guarantee: any shared
+    substring of length ≥ ``window + k - 1`` between two documents
+    yields at least one shared fingerprint, while storing only
+    ~2/(window+1) of all hashes.
+
+    One vectorized Arrow pass (numpy sliding windows, no Python loop
+    over characters); output rows are (long, long) — at 100 TB the
+    fingerprint index shuffles fixed-width keys, never text. Join two
+    corpora on ``fingerprint`` for plagiarism/overlap detection.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("_wf_id", LongType()),
+            StructField("fingerprint", LongType()),
+        ]
+    )
+    kk, ww = k, window
+
+    def fingerprints(batches):
+        import numpy as np
+        import pandas as pd
+
+        B = np.uint64(1_000_003)  # polynomial base
+
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf["_id"], pdf["_text"]):
+                s = (text or "").lower()
+                if len(s) < kk:
+                    continue
+                codes = np.frombuffer(
+                    s.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.uint64)
+                n = len(codes) - kk + 1
+                # all k-gram polynomial hashes at once: Horner over k
+                # shifted slices (k vector ops, uint64 wraparound)
+                h = np.zeros(n, dtype=np.uint64)
+                for j in range(kk):
+                    h = h * B + codes[j : j + n]
+                if n < ww:
+                    sel = np.array([int(h.argmin())])
+                else:
+                    win = np.lib.stride_tricks.sliding_window_view(h, ww)
+                    # rightmost minimum per window (winnowing tie rule)
+                    rev_arg = ww - 1 - np.argmin(win[:, ::-1], axis=1)
+                    sel = np.unique(np.arange(len(win)) + rev_arg)
+                chosen = np.unique(h[sel]).astype(np.int64)
+                ids.extend([doc_id] * len(chosen))
+                fps.extend(chosen.tolist())
+            yield pd.DataFrame({"_wf_id": ids, "fingerprint": fps})
+
+    return (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+        .mapInPandas(fingerprints, out_schema)
+        .withColumnRenamed("_wf_id", id_col)
+    )
+
+
 def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash per document.
 

@@ -1877,6 +1877,61 @@ def lineitem_stats_by_flag(spark, sf_dir):
 
 
 @_register(
+    "winnow_overlap_pairs",
+    None,  # hash-based fingerprints; guarantee property asserted in tests
+    "Rolling-hash winnowing fingerprints (MOSS): char-5-gram "
+    "polynomial hashes, per-window rightmost minima, fingerprint-"
+    "index self-join, containment ratio shared/min(|A|,|B|) ≥ 0.8 — "
+    "substring-overlap pairs at ~2/(w+1) fingerprint storage",
+    ("dedup", "fingerprint", "documents"),
+)
+def winnow_overlap_pairs(spark, sf_dir):
+    from ..operators.dedup import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, "text", "doc_id").localCheckpoint(
+        eager=False
+    )
+    counts = fps.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = fps.alias("fa"), fps.alias("fb")
+    shared = (
+        a.join(
+            b,
+            on=[
+                F.col("fa.fingerprint") == F.col("fb.fingerprint"),
+                F.col("fa.doc_id") < F.col("fb.doc_id"),
+            ],
+        )
+        .groupBy(
+            F.col("fa.doc_id").alias("id_a"), F.col("fb.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("shared_fingerprints"))
+    )
+    return (
+        shared.join(
+            counts.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+                "n", "n_a"
+            ),
+            "id_a",
+        )
+        .join(
+            counts.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "n", "n_b"
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "overlap_ratio",
+            F.round(
+                F.col("shared_fingerprints") / F.least("n_a", "n_b"), 4
+            ),
+        )
+        .filter(F.col("overlap_ratio") >= 0.8)
+        .select("id_a", "id_b", "shared_fingerprints", "overlap_ratio")
+    )
+
+
+@_register(
     "multimodal_audio_features",
     """
     SELECT doc_id AS media_id,

@@ -1,0 +1,83 @@
+"""Winnowing fingerprints: the MOSS guarantee, property-tested.
+
+Pure-Python reference implementation cross-checked against the Spark
+operator once; the guarantee property runs under hypothesis on the
+reference (fast), so hundreds of cases cost no Spark jobs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.dedup import (
+    winnow_fingerprints,
+)
+
+K, W = 5, 4
+
+
+def ref_winnow(text: str, k: int = K, w: int = W) -> set[int]:
+    """Straight-line reference mirroring the operator's math."""
+    s = text.lower()
+    if len(s) < k:
+        return set()
+    B = np.uint64(1_000_003)
+    codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    n = len(codes) - k + 1
+    h = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        h = h * B + codes[j : j + n]
+    if n < w:
+        sel = {int(h.argmin())}
+    else:
+        sel = set()
+        for i in range(n - w + 1):
+            win = h[i : i + w]
+            m = win.min()
+            sel.add(i + int(np.nonzero(win == m)[0][-1]))  # rightmost min
+    return {int(np.int64(h[i])) for i in sel}
+
+
+@given(st.text(alphabet="abcdef ", min_size=0, max_size=120))
+@settings(max_examples=200, deadline=None)
+def test_reference_fingerprints_are_deterministic_and_nonempty(text):
+    a, b = ref_winnow(text), ref_winnow(text)
+    assert a == b
+    if len(text) >= K:
+        assert a  # ≥1 fingerprint whenever any k-gram exists
+
+
+@given(
+    st.text(alphabet="abcdef ", min_size=W + K - 1, max_size=60),
+    st.text(alphabet="uvwxyz", min_size=0, max_size=40),
+    st.text(alphabet="uvwxyz", min_size=0, max_size=40),
+)
+@settings(max_examples=200, deadline=None)
+def test_winnowing_guarantee(shared, pre, post):
+    """Any shared substring of length ≥ w+k-1 ⇒ ≥1 shared fingerprint
+    (the MOSS guarantee) — here doc2 embeds `shared` verbatim."""
+    doc1 = shared
+    doc2 = pre + shared + post
+    assert ref_winnow(doc1) & ref_winnow(doc2)
+
+
+def test_spark_operator_matches_reference(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "sphinx of black quartz judge my vow",
+        "ab",  # shorter than k → no fingerprints
+        "",
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got: dict[int, set[int]] = {}
+    for r in winnow_fingerprints(df, "text", "doc_id").collect():
+        got.setdefault(r.doc_id, set()).add(r.fingerprint)
+    for i, t in enumerate(texts):
+        expected = ref_winnow(t) if t else set()
+        assert got.get(i, set()) == expected
