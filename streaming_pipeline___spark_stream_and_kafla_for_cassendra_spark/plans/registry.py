@@ -2078,6 +2078,110 @@ def streaming_sessionize_events(spark, sf_dir):
     return spark.table(sink)
 
 
+@_register(
+    "events_pivot_by_type",
+    """
+    SELECT user_id,
+           round(coalesce(sum(CASE WHEN event_type = 'click'    THEN value END), 0.0), 4) AS click_value,
+           round(coalesce(sum(CASE WHEN event_type = 'error'    THEN value END), 0.0), 4) AS error_value,
+           round(coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0.0), 4) AS purchase_value,
+           round(coalesce(sum(CASE WHEN event_type = 'signup'   THEN value END), 0.0), 4) AS signup_value,
+           round(coalesce(sum(CASE WHEN event_type = 'view'     THEN value END), 0.0), 4) AS view_value
+    FROM events
+    GROUP BY user_id
+    """,
+    "Pivot (long→wide): per-user value sums spread across the five "
+    "event types — df.groupBy().pivot() with explicit pivot values "
+    "(no extra distinct-discovery job; single shuffle)",
+    ("pivot", "agg", "events"),
+)
+def events_pivot_by_type(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        e.groupBy("user_id")
+        .pivot("event_type", types)  # explicit values: no discovery scan
+        .sum("value")
+    )
+    return wide.select(
+        "user_id",
+        *[
+            F.round(F.coalesce(F.col(t), F.lit(0.0)), 4).alias(f"{t}_value")
+            for t in types
+        ],
+    )
+
+
+@_register(
+    "documents_top_tokens",
+    """
+    SELECT tok, count(*) AS n
+    FROM (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+      WHERE length(trim(text)) > 0
+    )
+    WHERE tok <> ''
+    GROUP BY tok
+    ORDER BY n DESC, tok ASC
+    LIMIT 20
+    """,
+    "Word count, the explode canon: tokenize → explode → count → "
+    "global top-20 (deterministic tie order). Explode fans out "
+    "executor-local; the shuffle carries (token, partial count) after "
+    "map-side combine",
+    ("explode", "agg", "topk", "documents"),
+)
+def documents_top_tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.filter(F.length(F.trim("text")) > 0).select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
+    )
+    return (
+        toks.filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+
+
+@_register(
+    "orders_date_arithmetic",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           date_diff('day', o_orderdate,
+                     TIMESTAMP '2001-01-01') AS days_to_y2001,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS order_dow
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+      AND o_orderdate < TIMESTAMP '2000-02-01'
+    """,
+    "Date arithmetic census (SURVEY §2.5 notes the reference has "
+    "none): date_add, trunc-to-month, datediff, day-of-week — all "
+    "codegen expressions over the pruned scan",
+    ("dates", "scalar"),
+)
+def orders_date_arithmetic(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2000-02-01").cast("timestamp"))
+    )
+    return o.select(
+        "o_orderkey",
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.trunc(F.col("o_orderdate").cast("date"), "month").alias(
+            "order_month"
+        ),
+        F.datediff(
+            F.lit("2001-01-01").cast("date"), F.col("o_orderdate").cast("date")
+        ).cast("long").alias("days_to_y2001"),
+        F.dayofweek(F.col("o_orderdate")).cast("int").alias("order_dow"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling / splits (training-data ops): membership is
 # md5(salt||key)-hash-based — reproducible across runs, retries, and
