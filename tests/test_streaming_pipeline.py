@@ -212,3 +212,52 @@ def test_stream_stream_join(spark, tmp_path):
     # 1 matches 100 (5 min before); 3 matches 200 (3 min); 2 matches
     # nothing (view 2h earlier is out of range)
     assert got == {(1, 100), (3, 200)}
+
+
+def test_stream_static_broadcast_join(spark, tmp_path):
+    """J1: the employees↔activities FK enrichment as a stream-static
+    join — the static dim is broadcast to every micro-batch; no state,
+    no watermark needed on the static side."""
+    import json
+    import uuid
+
+    static_emps = spark.createDataFrame(
+        [(1, "emp1", "Engineering"), (2, "emp2", "Sales")],
+        "id long, name string, department string",
+    )
+    (tmp_path / "acts").mkdir()
+    (tmp_path / "acts" / "a.jsonl").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"activity_id": 10, "employee_id": 1, "activity_type": "login"},
+                {"activity_id": 11, "employee_id": 2, "activity_type": "click"},
+                {"activity_id": 12, "employee_id": 99, "activity_type": "click"},
+            ]
+        )
+    )
+    acts = spark.readStream.schema(
+        "activity_id long, employee_id long, activity_type string"
+    ).json(str(tmp_path / "acts"))
+
+    enriched = acts.join(
+        F.broadcast(static_emps),
+        acts.employee_id == static_emps.id,
+        "left",
+    ).select("activity_id", "activity_type", "name", "department")
+
+    sink = f"stream_static_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.activity_id: (r.name, r.department) for r in spark.table(sink).collect()}
+    assert got == {
+        10: ("emp1", "Engineering"),
+        11: ("emp2", "Sales"),
+        12: (None, None),  # unmatched FK keeps the activity (left join)
+    }
