@@ -1,0 +1,81 @@
+"""Scale techniques as first-class helpers: bucketed co-located
+joins and salted skew joins.
+
+The reference never needed these (single-partition Kafka topics,
+sf-tiny tables) but a 100 TB deployment does:
+
+* **Bucketing** — two fact tables bucketed by the same key into the
+  same bucket count join WITHOUT a shuffle: each task reads matching
+  bucket files from both sides. The exchange that dominates a
+  fact-fact join disappears from the plan (asserted in tests).
+* **Salting** — when one join key value carries a disproportionate
+  share of rows (a hot user, a null-ish default), AQE's skew split
+  helps shuffles but not broadcast-ineligible hot keys. Salting
+  spreads the hot key across ``parts`` sub-keys: the big side gets a
+  uniform salt, the small side is replicated ``parts`` times, and
+  correctness is invariant to which salt a row draws.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str | list[str],
+    n_buckets: int,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` bucketed (and sorted) by ``key`` so equi-joins
+    and aggregations on the key run shuffle-free against any table
+    sharing (key, n_buckets). ``path`` makes it an external table."""
+    keys = [key] if isinstance(key, str) else list(key)
+    writer = (
+        df.write.format("parquet")
+        .mode(mode)
+        .bucketBy(n_buckets, keys[0], *keys[1:])
+        .sortBy(keys[0], *keys[1:])
+    )
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table (bucket metadata comes from the catalog —
+    a plain ``spark.read.parquet`` on the files would lose it)."""
+    return spark.table(table)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    how: str = "inner",
+    parts: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Equi-join with the big side's hot keys spread across ``parts``
+    salt buckets and the small side replicated once per salt.
+
+    The result is identical to ``big.join(small, key, how)`` for any
+    salt assignment (each big row meets the full small side for its
+    key exactly once), so the nondeterminism of ``rand`` across task
+    retries cannot change the output — only the partition a row lands
+    in. Supports inner/left joins (the salted small side would
+    multiply unmatched right rows for right/full joins — rejected).
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how}")
+    salted_big = big.withColumn(
+        "_salt", F.floor(F.rand(seed) * parts).cast("int")
+    )
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(parts)]))
+    )
+    out = salted_big.join(salted_small, on=[key, "_salt"], how=how)
+    return out.drop("_salt")

@@ -1,0 +1,82 @@
+"""Bucketed co-located joins and salted skew joins — the plan-level
+proof that the scale techniques do what PLANS.md claims."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.scale import (
+    salted_join,
+    save_bucketed,
+)
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    left = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    save_bucketed(left, "t_left_bkt", "k", 4, path=str(tmp_path / "l"))
+    save_bucketed(right, "t_right_bkt", "k", 4, path=str(tmp_path / "r"))
+    try:
+        l, r = spark.table("t_left_bkt"), spark.table("t_right_bkt")
+        # force a sort-merge join so the bucket co-location is what
+        # removes the exchanges (not a broadcast)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = l.join(r, "k")
+            plan = _plan(joined)
+            assert "SortMergeJoin" in plan
+            assert "(Exchange" not in plan and ") Exchange" not in plan.replace(
+                "ReusedExchange", ""
+            )
+            assert joined.count() == 10_000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_left_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_right_bkt")
+
+
+def test_salted_join_matches_plain_join(spark):
+    # skew: key 7 carries 5000 rows; dim has one row per key
+    big = spark.createDataFrame(
+        [(7 if i % 2 else i % 50, i) for i in range(10_000)], "k int, v int"
+    )
+    small = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(50)], "k int, name string"
+    )
+    plain = big.join(small, "k").groupBy("k").count()
+    salted = salted_join(big, small, "k").groupBy("k").count()
+    assert {(r.k, r["count"]) for r in salted.collect()} == {
+        (r.k, r["count"]) for r in plain.collect()
+    }
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    big = spark.createDataFrame([(1, "x"), (2, "y")], "k int, v string")
+    small = spark.createDataFrame([(1, "dim1")], "k int, name string")
+    got = {
+        r.k: r.name for r in salted_join(big, small, "k", how="left").collect()
+    }
+    assert got == {1: "dim1", 2: None}
+
+
+def test_salted_join_rejects_right_joins(spark):
+    df = spark.createDataFrame([(1, 1)], "k int, v int")
+    with pytest.raises(ValueError):
+        salted_join(df, df, "k", how="full")
