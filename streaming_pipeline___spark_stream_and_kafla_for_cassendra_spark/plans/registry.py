@@ -2147,6 +2147,85 @@ def documents_top_tokens(spark, sf_dir):
 
 
 @_register(
+    "documents_array_ops",
+    """
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(len(list_filter(toks, t -> len(t) > 5)) AS INTEGER)
+             AS n_long_tokens,
+           list_sort(toks)[1:3] AS first3_sorted
+    FROM (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+      WHERE length(trim(text)) > 0
+    )
+    """,
+    "Array-function census (HOFs stay JVM-side): split → size / "
+    "filter-lambda / sort+slice, mirrored by DuckDB list lambdas — "
+    "no explode, no shuffle, pure codegen over the scan",
+    ("arrays", "hof", "documents"),
+)
+def documents_array_ops(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 5)).alias(
+            "n_long_tokens"
+        ),
+        F.slice(F.array_sort(toks), 1, 3).alias("first3_sorted"),
+    )
+
+
+@_register(
+    "events_union_by_name",
+    """
+    SELECT event_type,
+           count(*) AS n_rows,
+           count(value) AS n_with_value,
+           count(user_id) AS n_with_user
+    FROM (
+      (SELECT event_id, event_type, user_id, value
+       FROM events WHERE event_type = 'click')
+      UNION ALL BY NAME
+      (SELECT event_id, event_type, value
+       FROM events WHERE event_type = 'purchase')
+      UNION ALL BY NAME
+      (SELECT event_id, event_type, user_id
+       FROM events WHERE event_type = 'error')
+    )
+    GROUP BY event_type
+    """,
+    "unionByName(allowMissingColumns) — the canonical-stream merge "
+    "SURVEY §2.9 suggests for the Postgres-CDC + Cassandra activity "
+    "feeds: sources with differing column subsets align by name, "
+    "absent columns become typed nulls",
+    ("setops", "union", "events"),
+)
+def events_union_by_name(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    b = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "event_type", "value"
+    )
+    c = e.filter(F.col("event_type") == "error").select(
+        "event_id", "event_type", "user_id"
+    )
+    unioned = a.unionByName(b, allowMissingColumns=True).unionByName(
+        c, allowMissingColumns=True
+    )
+    return unioned.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.count("value").alias("n_with_value"),
+        F.count("user_id").alias("n_with_user"),
+    )
+
+
+@_register(
     "orders_date_arithmetic",
     """
     SELECT o_orderkey,
