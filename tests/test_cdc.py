@@ -105,3 +105,31 @@ def test_orders_cdc_decimal_payload(spark):
     assert dict(decode_cdc(_raw_df(spark, [env]), ORDERS_CDC_SCHEMA).dtypes)[
         "price"
     ] == "decimal(10,2)"
+
+
+def test_decode_tolerates_malformed_envelopes(spark):
+    """PERMISSIVE parse: corrupt JSON, missing payload, and non-JSON
+    after-images become nulls and are filtered with the op gate
+    instead of failing the batch (poison-pill safety)."""
+    from conftest import employee_row, make_envelope
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.schemas import (
+        EMPLOYEE_SCHEMA,
+    )
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.sources.cdc import (
+        decode_cdc,
+    )
+
+    lines = [
+        make_envelope(employee_row(1), "c", 1704100000000),  # good
+        "{not json at all",                                   # corrupt
+        "{}",                                                 # no payload
+        '{"payload": {"op": "c", "after": "not-json", "ts_ms": 1}}',
+    ]
+    raw = spark.createDataFrame([(v,) for v in lines], "value string")
+    decoded = decode_cdc(raw, EMPLOYEE_SCHEMA)
+    rows = decoded.select("id", "op").collect()
+    good = [r for r in rows if r.id is not None]
+    assert len(good) == 1 and good[0].id == 1
+    # the non-JSON after-image decodes to a null row, not an error
+    assert all(r.op in ("c", "u") for r in rows)
