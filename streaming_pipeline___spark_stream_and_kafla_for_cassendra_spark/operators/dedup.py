@@ -82,25 +82,47 @@ def minhash_signatures(
         rng = np.random.default_rng(42)
         A = rng.integers(1, 2**63 - 1, size=k, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
         B = rng.integers(0, 2**63 - 1, size=k, dtype=np.uint64)
+        GB = np.uint64(0x9E3779B97F4A7C15)  # gram-combination base
+
         for pdf in batches:
-            ids, sig_list = [], []
+            # hash each UNIQUE token once per batch (md5 is the only
+            # per-string cost; corpora repeat tokens heavily), then
+            # derive gram keys by positional polynomial combination —
+            # all per-doc work after tokenization is numpy.
+            vocab: dict[str, int] = {}
+            tok_hashes: list[int] = []
+            doc_ids, doc_tokids = [], []
             for doc_id, text in zip(pdf["_id"], pdf["_text"]):
-                toks = [t for t in (text or "").lower().split() if t]
-                grams = {
-                    " ".join(toks[i : i + nn])
-                    for i in range(max(len(toks) - nn + 1, 0))
-                }
-                if not grams:
+                toks = (text or "").lower().split()
+                if len(toks) < nn:
                     continue
-                h = np.frombuffer(
-                    b"".join(hashlib.md5(g.encode()).digest()[:8] for g in grams),
-                    dtype=">u8",
-                ).astype(np.uint64)
-                vals = (h[:, None] * A[None, :] + B[None, :])  # uint64 wraps
+                row = np.empty(len(toks), dtype=np.int64)
+                for j, t in enumerate(toks):
+                    i = vocab.get(t)
+                    if i is None:
+                        i = len(vocab)
+                        vocab[t] = i
+                        tok_hashes.append(
+                            int.from_bytes(
+                                hashlib.md5(t.encode()).digest()[:8], "big"
+                            )
+                        )
+                    row[j] = i
+                doc_ids.append(doc_id)
+                doc_tokids.append(row)
+
+            TH = np.array(tok_hashes, dtype=np.uint64)
+            ids, sig_list = [], []
+            for doc_id, row in zip(doc_ids, doc_tokids):
+                th = TH[row]
+                n = len(th) - nn + 1
+                keys = np.zeros(n, dtype=np.uint64)
+                for j in range(nn):  # Horner over nn shifted slices
+                    keys = keys * GB + th[j : j + n]
+                h = np.unique(keys)  # distinct shingles, like the set()
+                vals = h[:, None] * A[None, :] + B[None, :]  # uint64 wraps
                 ids.append(doc_id)
-                sig_list.append(
-                    vals.min(axis=0).astype(np.int64).tolist()
-                )
+                sig_list.append(vals.min(axis=0).astype(np.int64).tolist())
             yield pd.DataFrame({"_sig_id": ids, "minhash": sig_list})
 
     from pyspark.sql import functions as SF
@@ -324,15 +346,33 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame
 
         bitpos = np.arange(64, dtype=np.uint64)
         for pdf in batches:
-            ids, fps = [], []
+            # per-batch unique-token hash cache (see minhash_signatures)
+            vocab: dict[str, int] = {}
+            tok_hashes: list[int] = []
+            doc_ids, doc_tokids = [], []
             for doc_id, text in zip(pdf["_id"], pdf["_text"]):
-                toks = [t for t in (text or "").lower().split() if t]
+                toks = (text or "").lower().split()
                 if not toks:
                     continue
-                h = np.frombuffer(
-                    b"".join(hashlib.md5(t.encode()).digest()[:8] for t in toks),
-                    dtype=">u8",
-                ).astype(np.uint64)
+                row = np.empty(len(toks), dtype=np.int64)
+                for j, t in enumerate(toks):
+                    i = vocab.get(t)
+                    if i is None:
+                        i = len(vocab)
+                        vocab[t] = i
+                        tok_hashes.append(
+                            int.from_bytes(
+                                hashlib.md5(t.encode()).digest()[:8], "big"
+                            )
+                        )
+                    row[j] = i
+                doc_ids.append(doc_id)
+                doc_tokids.append(row)
+
+            TH = np.array(tok_hashes, dtype=np.uint64)
+            ids, fps = [], []
+            for doc_id, row in zip(doc_ids, doc_tokids):
+                h = TH[row]
                 bits = ((h[:, None] >> bitpos[None, :]) & np.uint64(1)).astype(
                     np.int64
                 )
