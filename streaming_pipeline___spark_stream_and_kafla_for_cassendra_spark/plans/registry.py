@@ -2372,6 +2372,64 @@ def events_union_by_name(spark, sf_dir):
 
 
 @_register(
+    "documents_token_positions",
+    """
+    SELECT doc_id,
+           CAST(unnest(generate_series(0, least(len(toks), 3) - 1))
+                AS INTEGER) AS pos,
+           unnest(toks[1:3]) AS tok
+    FROM (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+      WHERE length(trim(text)) > 0
+    )
+    """,
+    "posexplode (explode with ordinality): first three tokens with "
+    "their positions — DuckDB oracle zips parallel unnest with "
+    "generate_series (no WITH ORDINALITY in 1.0)",
+    ("explode", "arrays", "documents"),
+)
+def documents_token_positions(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    return d.select(
+        "doc_id", F.posexplode(F.slice(toks, 1, 3)).alias("pos", "tok")
+    )
+
+
+@_register(
+    "part_string_functions",
+    """
+    SELECT p_partkey,
+           CAST(regexp_extract(p_brand, '#(\\d+)', 1) AS INTEGER)
+             AS brand_no,
+           upper(substr(p_type, 1, 3)) AS type_prefix,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           replace(p_name, ' ', '_') AS name_snake,
+           CAST(strpos(p_name, 'widget') AS INTEGER) AS widget_pos,
+           CAST(length(p_name) AS INTEGER) AS name_len
+    FROM part
+    """,
+    "String-function census beyond the reference's F1-F13: "
+    "regexp_extract, substring, lpad, replace-all, instr/strpos, "
+    "length — all codegen, no UDFs",
+    ("strings", "scalar"),
+)
+def part_string_functions(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"#(\d+)", 1).cast("int").alias("brand_no"),
+        F.upper(F.substring("p_type", 1, 3)).alias("type_prefix"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.instr(F.col("p_name"), "widget").cast("int").alias("widget_pos"),
+        F.length("p_name").cast("int").alias("name_len"),
+    )
+
+
+@_register(
     "orders_date_arithmetic",
     """
     SELECT o_orderkey,
