@@ -47,7 +47,10 @@ class LakeTable:
             return False
 
     def read(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.path)
+        # mergeSchema: partitions written before a schema evolution
+        # lack the newer columns — without it the first footer's
+        # schema wins and evolved columns silently disappear
+        return spark.read.option("mergeSchema", "true").parquet(self.path)
 
     # -- core upsert ----------------------------------------------------
 

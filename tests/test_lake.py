@@ -76,3 +76,32 @@ def test_compaction_reduces_files(spark, tmp_path):
     after = len(glob.glob(str(tmp_path / "t4" / "*" / "*.parquet")))
     assert after <= before and after == 1
     assert table.read(spark).count() == 50
+
+
+def test_upsert_schema_evolution_across_batches(spark, tmp_path):
+    """A later batch introduces a column (additive evolution): old
+    partitions read as typed nulls via mergeSchema; an old-schema
+    batch arriving after the evolution still upserts cleanly."""
+    import datetime as dt
+
+    d1, d2 = dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+    t1 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    t2 = dt.datetime(2024, 1, 2, 10, 0, 0)
+    t3 = dt.datetime(2024, 1, 3, 10, 0, 0)
+    table = LakeTable(path=str(tmp_path / "evo"))
+
+    table.upsert_batch(_rows(spark, [(1, "a", t1, d1)]), spark)
+    evolved = spark.createDataFrame(
+        [(2, "b", "gold", t2, d2)],
+        "id int, val string, tier string, "
+        "processing_timestamp timestamp, processing_date date",
+    )
+    table.upsert_batch(evolved, spark)
+    got = {r.id: (r.val, r.tier) for r in table.read(spark).collect()}
+    assert got == {1: ("a", None), 2: ("b", "gold")}
+
+    # pre-evolution producer still writes (missing col -> null),
+    # and its newer precombine wins over the evolved row
+    table.upsert_batch(_rows(spark, [(2, "b2", t3, d2)]), spark)
+    got = {r.id: (r.val, r.tier) for r in table.read(spark).collect()}
+    assert got == {1: ("a", None), 2: ("b2", None)}
