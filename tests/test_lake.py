@@ -105,3 +105,21 @@ def test_upsert_schema_evolution_across_batches(spark, tmp_path):
     table.upsert_batch(_rows(spark, [(2, "b2", t3, d2)]), spark)
     got = {r.id: (r.val, r.tier) for r in table.read(spark).collect()}
     assert got == {1: ("a", None), 2: ("b2", None)}
+
+
+def test_upsert_redelivery_is_idempotent(spark, tmp_path):
+    """foreachBatch may redeliver a batch after a failure between
+    write and checkpoint commit; replaying the identical batch must
+    not duplicate rows (the exactly-once claim, MSP-parity
+    PROJECT_DOCUMENTATION.md:532-543)."""
+    import datetime as dt
+
+    d = dt.date(2024, 1, 1)
+    t = dt.datetime(2024, 1, 1, 10, 0, 0)
+    table = LakeTable(path=str(tmp_path / "idem"))
+    batch = _rows(spark, [(1, "a", t, d), (2, "b", t, d)])
+    table.upsert_batch(batch, spark)
+    table.upsert_batch(batch, spark)  # redelivery
+    rows = table.read(spark).collect()
+    assert len(rows) == 2
+    assert {r.id: r.val for r in rows} == {1: "a", 2: "b"}
