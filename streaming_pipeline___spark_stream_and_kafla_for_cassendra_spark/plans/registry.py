@@ -1924,6 +1924,321 @@ def q16_supplier_part_counts(spark, sf_dir):
 
 
 @_register(
+    "q02_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             min(l_extendedprice * (1 - l_discount) / l_quantity)
+               AS ps_supplycost
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+           round(ps_supplycost, 4) AS supplycost
+    FROM part
+    JOIN ps       ON p_partkey = ps_partkey
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE p_type = 'ECONOMY' AND p_size <= 25 AND r_name = 'EUROPE'
+      AND ps_supplycost = (
+        SELECT min(ps2.ps_supplycost)
+        FROM ps ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+        WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+    """,
+    "TPC-H Q2 shape (partsupp emulated as per-(part,supplier) min "
+    "unit cost derived from lineitem — fixture has no partsupp "
+    "table): correlated MIN subquery decorrelated into a grouped "
+    "min + equality join, dims broadcast",
+    ("join", "subquery", "tpch"),
+)
+def q02_min_cost_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 25)
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    # partsupp stand-in: cheapest observed discounted unit price
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            / F.col("l_quantity")
+        ).alias("ps_supplycost")
+    )
+    eu_supp = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps_eu = ps.join(
+        F.broadcast(eu_supp), F.col("ps_suppkey") == F.col("s_suppkey")
+    ).localCheckpoint(eager=False)
+    min_eu = ps_eu.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        ps_eu.join(
+            min_eu,
+            (ps_eu["ps_partkey"] == min_eu["ps_partkey"])
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .drop(min_eu["ps_partkey"])
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.round("ps_supplycost", 4).alias("supplycost"),
+        )
+    )
+
+
+@_register(
+    "q11_important_stock",
+    """
+    SELECT l_partkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS part_value
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7'
+    GROUP BY l_partkey
+    HAVING sum(l_extendedprice * (1 - l_discount)) > (
+      SELECT sum(l_extendedprice * (1 - l_discount)) * 0.001
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7')
+    """,
+    "TPC-H Q11 shape (stock value emulated as discounted revenue per "
+    "part over one nation's suppliers): grouped agg + HAVING against "
+    "an uncorrelated scalar-subquery threshold — the single-row "
+    "total broadcasts back, no second shuffle of the big side",
+    ("agg", "subquery", "tpch"),
+)
+def q11_important_stock(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    supp7 = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_7"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    vals = (
+        li.join(F.broadcast(supp7), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("pv")
+        )
+        .localCheckpoint(eager=False)
+    )
+    total = vals.agg(F.sum("pv").alias("total_pv"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(F.col("pv") > F.col("total_pv") * 0.001)
+        .select("l_partkey", F.round("pv", 4).alias("part_value"))
+    )
+
+
+@_register(
+    "q12_late_shipment_priority",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+      AND l_shipdate BETWEEN TIMESTAMP '1997-01-01'
+                         AND TIMESTAMP '1997-12-31'
+    GROUP BY l_returnflag
+    """,
+    "TPC-H Q12 shape (l_shipmode/commitdate absent from fixture — "
+    "late shipment = shipped >30 days after order, bucketed by "
+    "returnflag): join-time interval arithmetic predicate + "
+    "conditional-count pivot by order priority",
+    ("join", "agg", "tpch"),
+)
+def q12_late_shipment_priority(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1997-01-01").cast("timestamp"),
+            F.lit("1997-12-31").cast("timestamp"),
+        )
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@_register(
+    "q20_excess_shippers",
+    """
+    WITH pq AS (
+      SELECT l_suppkey, l_partkey,
+             sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                       AND l_shipdate <  TIMESTAMP '1997-01-01'
+                      THEN l_quantity ELSE 0 END) AS qty_96,
+             sum(l_quantity) AS qty_all
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'red%'
+      GROUP BY 1, 2
+    )
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+      AND s_suppkey IN (SELECT l_suppkey FROM pq
+                        WHERE qty_96 > 0.3 * qty_all)
+    """,
+    "TPC-H Q20 shape (availqty emulated: suppliers who shipped >30% "
+    "of their all-time quantity of a 'red%' part during 1996): "
+    "correlated-agg IN-subquery decorrelated to a grouped ratio "
+    "filter + left-semi join; quantity sums are integer-valued so "
+    "the ratio compare is engine-exact",
+    ("join", "semi", "subquery", "tpch"),
+)
+def q20_excess_shippers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    red_parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    in_96 = F.col("l_shipdate").between(
+        F.lit("1996-01-01").cast("timestamp"),
+        F.lit("1996-12-31 23:59:59").cast("timestamp"),
+    )
+    excess = (
+        li.join(F.broadcast(red_parts), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in_96, F.col("l_quantity")).otherwise(0.0)).alias(
+                "qty_96"
+            ),
+            F.sum("l_quantity").alias("qty_all"),
+        )
+        .filter(F.col("qty_96") > 0.3 * F.col("qty_all"))
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        s.join(excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@_register(
+    "q21_waiting_suppliers",
+    """
+    WITH lines AS (
+      SELECT l_orderkey, l_suppkey,
+             (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM lines l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE l1.late
+      AND EXISTS (SELECT 1 FROM lines l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lines l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late)
+    GROUP BY s_name
+    """,
+    "TPC-H Q21 shape (late = shipped >60 days after order date; "
+    "fixture lacks commit/receipt dates): the hardest TPC-H plan — "
+    "EXISTS (another supplier on the order) as a left-semi join plus "
+    "NOT EXISTS (another LATE supplier) as a left-anti join, both "
+    "with non-equi supplier-inequality conditions; the shared "
+    "order-lines frame is lazily checkpointed so the three uses "
+    "don't re-shuffle the base join",
+    ("join", "semi", "anti", "tpch"),
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    lines = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("late"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    l1 = lines.filter(F.col("late"))
+    l2 = lines.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = lines.filter(F.col("late")).select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    return (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@_register(
     "rollup_region_nation_sales",
     """
     SELECT coalesce(r_name, 'ALL') AS region,
