@@ -253,6 +253,85 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an edge list — near-dup clustering.
+
+    Returns (node, comp) where ``comp`` is the minimum node id
+    reachable from ``node``; all members of a duplicate cluster share
+    one comp, so "keep one doc per cluster" is a groupBy(comp) away.
+
+    Algorithm: min-label propagation fused with pointer jumping
+    (path halving), the DataFrame rendition of two-phase star
+    contraction. Per iteration:
+
+      1. every node takes min(own label, neighbours' labels) — one
+         shuffle join keyed by node id;
+      2. labels chase their parent's label (``comp -> comp-of-comp``)
+         — a second self-join that halves label-chain depth, giving
+         O(log diameter) convergence instead of O(diameter).
+
+    Scale notes: state per iteration is exactly one (node, comp) row
+    per distinct endpoint — never the payload; each iteration
+    ``localCheckpoint``s to truncate lineage (iterative plans
+    otherwise grow exponentially); convergence check is a count()
+    aggregate, not a collect. Near-dup graphs are unions of
+    small-diameter clusters, so 2-3 iterations are typical; max_iter
+    bounds pathological chains.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        e.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            e.join(labels, e["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        # pointer jumping: comp := comp's comp (comp is always itself a
+        # node, so the inner join is total)
+        parent = stepped.select(
+            F.col("node").alias("pnode"), F.col("comp").alias("pcomp")
+        )
+        jumped = (
+            stepped.join(parent, stepped["comp"] == parent["pnode"])
+            .select("node", F.col("pcomp").alias("comp"))
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            jumped.alias("new")
+            .join(labels.alias("old"), "node")
+            .filter(F.col("new.comp") != F.col("old.comp"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str,

@@ -37,6 +37,7 @@ from ..functions.text import (
     tokens,
 )
 from ..operators.dedup import (
+    connected_components,
     dedup_exact,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -1032,6 +1033,53 @@ def dedup_exact_documents(spark, sf_dir):
 def ngram_jaccard_pairs_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.2)
+
+
+@_register(
+    "near_dup_clusters",
+    """
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+            FROM toks)
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) inter
+      JOIN cnt ca ON ca.doc_id = id_a
+      JOIN cnt cb ON cb.doc_id = id_b
+      WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.2
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges) base
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+    )
+    SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+    """,
+    "Near-duplicate clustering: connected components (min-label "
+    "propagation + pointer jumping, O(log diameter) iterations) over "
+    "the exact 3-gram Jaccard pair graph — every cluster member maps "
+    "to the minimum doc_id of its component; oracle is a recursive-"
+    "CTE reachability fixpoint over the same edge set",
+    ("dedup", "clustering", "iterative", "documents"),
+)
+def near_dup_clusters_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.2)
+    labels = connected_components(pairs, "id_a", "id_b")
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
 
 
 @_register(

@@ -273,3 +273,36 @@ def test_deterministic_sampling_and_split(spark):
         .collect()
     }
     assert got["a"] == 1000 and abs(got.get("b", 0) / 1000 - 0.1) < 0.05
+
+
+def test_connected_components_known_graphs(spark):
+    """Triangle + chain + isolated edge resolve to min-id components;
+    a 9-node chain forces multiple propagation rounds (pointer
+    jumping keeps it within the iteration budget)."""
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 1), (10, 11), (20, 21), (21, 22)]
+    # 9-node chain 30-31-...-38: diameter 8
+    edges += [(i, i + 1) for i in range(30, 38)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.comp for r in connected_components(df, "src", "dst").collect()
+    }
+    assert got == {
+        **{n: 1 for n in (1, 2, 3)},
+        **{n: 10 for n in (10, 11)},
+        **{n: 20 for n in (20, 21, 22)},
+        **{n: 30 for n in range(30, 39)},
+    }
+
+
+def test_connected_components_direction_insensitive(spark):
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.dedup import (
+        connected_components,
+    )
+
+    fwd = spark.createDataFrame([(5, 1), (1, 9), (9, 2)], "src long, dst long")
+    got = {r.node: r.comp for r in connected_components(fwd, "src", "dst").collect()}
+    assert set(got.values()) == {1}
