@@ -79,3 +79,48 @@ def asof_join(
         F.col("_match.*"),
     )
     return out
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval range join without an equi-key.
+
+    Spark turns a bare ``p BETWEEN s AND e`` join condition into
+    BroadcastNestedLoopJoin — O(|P|·|I|) comparisons, a non-starter
+    when both sides are large. This bucketizes time instead: each
+    interval explodes into the coarse buckets it overlaps, each point
+    maps to exactly ONE bucket, and the join becomes a hash equi-join
+    on bucket id followed by the exact range filter. Cost is
+    O(|P| + |I|·w/bucket + matches); each (point, interval) pair
+    meets in exactly one bucket, so no post-join dedup is needed.
+
+    Pick ``bucket_seconds`` ≈ the typical interval width: shorter
+    buckets shrink the candidate set but fan intervals into more
+    bucket rows. Skewed hot buckets are handled by AQE skew-join
+    splitting at runtime.
+    """
+    epoch = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
+    pb = points.withColumn("_bucket", F.floor(epoch(point_col) / bucket_seconds))
+    ib = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(epoch(start_col) / bucket_seconds),
+                F.floor(epoch(end_col) / bucket_seconds),
+            )
+        ),
+    )
+    return (
+        pb.join(ib, "_bucket")
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) <= F.col(end_col))
+        )
+        .drop("_bucket")
+    )

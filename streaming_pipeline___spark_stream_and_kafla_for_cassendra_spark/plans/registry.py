@@ -43,7 +43,7 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_fingerprints,
 )
-from ..operators.joins import asof_join
+from ..operators.joins import asof_join, range_join
 from ..operators.multimodal import extract_image_features, synthetic_media_from_documents
 from ..operators.similarity import (
     brute_force_topk,
@@ -2932,6 +2932,98 @@ def stratified_sample_events(spark, sf_dir):
         key_col="event_id",
     )
     return sampled.groupBy("event_type").agg(F.count("*").alias("n_sampled"))
+
+
+@_register(
+    "range_join_incident_windows",
+    """
+    SELECT i.event_id AS incident_id, count(*) AS n_in_window
+    FROM events e
+    JOIN (SELECT event_id, ts FROM events WHERE value > 250) i
+      ON e.ts BETWEEN i.ts - INTERVAL 2 HOUR AND i.ts + INTERVAL 2 HOUR
+    GROUP BY 1
+    """,
+    "Keyless point-in-interval range join: high-value 'incident' "
+    "events open ±2 h windows; count all events inside each. "
+    "Implemented as a bucketized equi-join (intervals explode into "
+    "coarse time buckets, points map to exactly one bucket) instead "
+    "of the BroadcastNestedLoopJoin a bare BETWEEN condition yields",
+    ("join", "range", "events"),
+)
+def range_join_incident_windows(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    incidents = e.filter(F.col("value") > 250).select(
+        F.col("event_id").alias("incident_id"),
+        (F.col("ts") - F.expr("INTERVAL 2 HOURS")).alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+    )
+    matches = range_join(
+        e.select("event_id", "ts"),
+        incidents,
+        point_col="ts",
+        start_col="w_start",
+        end_col="w_end",
+        bucket_seconds=4 * 3600,
+    )
+    return matches.groupBy("incident_id").agg(
+        F.count("*").alias("n_in_window")
+    )
+
+
+@_register(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+                  FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM toks WHERE term <> '' GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, term,
+           round(tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0), 4) AS tfidf,
+           CAST(rnk AS INTEGER) AS term_rank
+    FROM (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, n.n_docs,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * (ln((1.0 + n.n_docs) / (1.0 + dfreq.df)) + 1.0)
+                        DESC,
+                        tf.term) AS rnk
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n) s
+    WHERE rnk <= 5
+    """,
+    "TF-IDF top-5 terms per document (smoothed idf = ln((1+N)/(1+df)) "
+    "+ 1): token explode → per-doc tf → corpus df (one term-keyed "
+    "shuffle, map-side combined) → scalar N broadcast back → "
+    "per-doc row_number top-k with deterministic term tie-break",
+    ("text", "window", "agg", "documents"),
+)
+def tfidf_top_terms(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    raw = (
+        F.col("tf")
+        * (F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("_raw").desc(), F.col("term")
+    )
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("_raw", raw)
+        .withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= 5)
+        .select(
+            "doc_id",
+            "term",
+            F.round("_raw", 4).alias("tfidf"),
+            F.col("term_rank"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

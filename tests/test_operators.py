@@ -306,3 +306,38 @@ def test_connected_components_direction_insensitive(spark):
     fwd = spark.createDataFrame([(5, 1), (1, 9), (9, 2)], "src long, dst long")
     got = {r.node: r.comp for r in connected_components(fwd, "src", "dst").collect()}
     assert set(got.values()) == {1}
+
+
+def test_range_join_matches_naive_between(spark):
+    """Bucketized range join ≡ naive BETWEEN join (inclusive bounds),
+    including intervals that span several buckets and points exactly
+    on interval edges; no duplicate pairs."""
+    import datetime as dt
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.joins import (
+        range_join,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(i, base + dt.timedelta(minutes=7 * i)) for i in range(200)],
+        "pid long, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (j, base + dt.timedelta(minutes=60 * j), base + dt.timedelta(minutes=60 * j + 150))
+            for j in range(20)
+        ],
+        "iid long, s timestamp, e timestamp",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in range_join(pts, ivs, "ts", "s", "e", bucket_seconds=1800).collect()
+    )
+    naive = sorted(
+        (r.pid, r.iid)
+        for r in pts.join(
+            ivs, (F.col("ts") >= F.col("s")) & (F.col("ts") <= F.col("e"))
+        ).collect()
+    )
+    assert got == naive and len(got) == len(set(got))
