@@ -3026,6 +3026,156 @@ def tfidf_top_terms(spark, sf_dir):
     )
 
 
+@_register(
+    "agg_census_argmax",
+    """
+    SELECT event_type,
+           arg_max(event_id, ts) AS last_event_id,
+           arg_min(event_id, ts) AS first_event_id,
+           bool_and(value > 0.0)  AS all_positive,
+           bool_or(value > 300.0) AS any_extreme,
+           CAST(count_if(value > 100.0) AS BIGINT) AS n_over_100
+    FROM events
+    GROUP BY event_type
+    """,
+    "Aggregate-function census beyond SURVEY §2.6: max_by/min_by "
+    "(argmax on the unique ts key — deterministic), bool_and/bool_or, "
+    "count_if — all single-shuffle hash aggregates with map-side "
+    "partials",
+    ("agg", "census", "events"),
+)
+def agg_census_argmax(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.max_by("event_id", "ts").alias("last_event_id"),
+        F.min_by("event_id", "ts").alias("first_event_id"),
+        F.bool_and(F.col("value") > 0.0).alias("all_positive"),
+        F.bool_or(F.col("value") > 300.0).alias("any_extreme"),
+        F.count_if(F.col("value") > 100.0).alias("n_over_100"),
+    )
+
+
+@_register(
+    "lineitem_regression_by_flag",
+    """
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(covar_samp(l_quantity, l_extendedprice), 4)     AS qty_price_covar,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    "ANSI linear-regression aggregates (regr_slope/intercept/count, "
+    "covar_samp) per return flag — one pass, partial-aggregable "
+    "moment sketches",
+    ("agg", "stats", "census"),
+)
+def lineitem_regression_by_flag(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(
+            F.regr_intercept("l_extendedprice", "l_quantity"), 4
+        ).alias("intercept"),
+        F.round(
+            F.covar_samp("l_quantity", "l_extendedprice"), 4
+        ).alias("qty_price_covar"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n_pairs"),
+    )
+
+
+@_register(
+    "cube_status_priority_sales",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(grouping(o_orderstatus) AS INTEGER)   AS g_status,
+           CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS total_sales
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "CUBE grouping-sets aggregation (all 4 grouping combinations in "
+    "one shuffle) with GROUPING() disambiguation of the ALL rows — "
+    "completes the rollup/cube/grouping-sets family",
+    ("agg", "cube", "tpch"),
+)
+def cube_status_priority_sales(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_sales"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "g_status",
+            "g_priority",
+            "n_orders",
+            "total_sales",
+        )
+    )
+
+
+@_register(
+    "corpus_clean_pipeline",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, text,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+      WHERE lang = 'en'
+    ),
+    quality AS (
+      SELECT doc_id, text, len(toks) AS n_tokens,
+             round(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) * 1.0
+                   / greatest(len(toks), 1), 4) AS stop_ratio
+      FROM scored
+      WHERE len(toks) >= 5
+        AND len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) * 1.0
+            / greatest(len(toks), 1) <= 0.5
+    )
+    SELECT min(doc_id) AS doc_id,
+           CAST(count(*) AS BIGINT) AS dup_count,
+           min(n_tokens) AS n_tokens,
+           min(stop_ratio) AS stop_ratio
+    FROM quality
+    GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+    """,
+    "End-to-end corpus cleaning for training data: language filter "
+    "(stored label) → quality gate (≥5 tokens, stopword ratio ≤ 0.5) "
+    "→ exact near-dup collapse on the normalized content hash, "
+    "keeping the lowest doc_id. One narrow pipeline then one "
+    "hash-keyed shuffle; text never shuffles, only 16-byte hashes",
+    ("text", "dedup", "pipeline", "documents"),
+)
+def corpus_clean_pipeline(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    toks = tokens("text")
+    scored = d.select(
+        "doc_id",
+        "text",
+        F.size(toks).alias("n_tokens"),
+        F.round(stopword_ratio("text"), 4).alias("stop_ratio"),
+    ).filter((F.col("n_tokens") >= 5) & (F.col("stop_ratio") <= 0.5))
+    return (
+        scored.groupBy(content_fingerprint(F.col("text")).alias("_h"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").alias("dup_count"),
+            F.min("n_tokens").alias("n_tokens"),
+            F.min("stop_ratio").alias("stop_ratio"),
+        )
+        .drop("_h")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
 # ---------------------------------------------------------------------------

@@ -261,3 +261,62 @@ def test_stream_static_broadcast_join(spark, tmp_path):
         11: ("emp2", "Sales"),
         12: (None, None),  # unmatched FK keeps the activity (left join)
     }
+
+
+def test_stream_stream_left_outer_join(spark, tmp_path):
+    """T9+: watermarked stream-stream LEFT OUTER join — unmatched left
+    rows must still emit (with nulls) once the watermark passes the
+    join window, which availableNow's final batch forces."""
+    import json
+
+    def ev(i, user, ts):
+        return json.dumps({"id": i, "user_id": user, "ts": ts})
+
+    (tmp_path / "l").mkdir()
+    (tmp_path / "r").mkdir()
+    # flush rows at 12:00 push BOTH streams' watermarks (the join uses
+    # the min) past the 10-minute window so unmatched-left state is
+    # evicted and emitted with nulls; the flush rows themselves stay
+    # pending and never emit.
+    (tmp_path / "l" / "a.jsonl").write_text(
+        "\n".join([
+            ev(1, 1, "2024-01-01 10:05:00"),
+            ev(2, 9, "2024-01-01 10:06:00"),   # no right-side match
+            ev(3, 2, "2024-01-01 10:02:00"),
+            ev(99, 97, "2024-01-01 12:00:00"),
+        ])
+    )
+    (tmp_path / "r" / "a.jsonl").write_text(
+        "\n".join([
+            ev(100, 1, "2024-01-01 10:00:00"),
+            ev(200, 2, "2024-01-01 09:59:00"),
+            ev(900, 98, "2024-01-01 12:00:00"),
+        ])
+    )
+    schema = "id long, user_id long, ts timestamp"
+    left = (
+        spark.readStream.schema(schema).json(str(tmp_path / "l"))
+        .withWatermark("ts", "10 minutes")
+        .select(F.col("id").alias("l_id"), F.col("user_id").alias("l_user"),
+                F.col("ts").alias("l_ts"))
+    )
+    right = (
+        spark.readStream.schema(schema).json(str(tmp_path / "r"))
+        .withWatermark("ts", "10 minutes")
+        .select(F.col("id").alias("r_id"), F.col("user_id").alias("r_user"),
+                F.col("ts").alias("r_ts"))
+    )
+    joined = left.join(
+        right,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 10 MINUTES")),
+        "leftOuter",
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ss_left_join")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {(r.l_id, r.r_id) for r in spark.table("ss_left_join").collect()}
+    assert got == {(1, 100), (3, 200), (2, None)}
