@@ -3026,6 +3026,82 @@ def tfidf_top_terms(spark, sf_dir):
     )
 
 
+def _pagerank_oracle_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank CTE chain (recursive CTEs
+    with aggregation in the recursive member are non-portable; an
+    unrolled chain is plain ANSI SQL)."""
+    ctes = [
+        """edges AS (
+      SELECT cn.n_name AS src, sn.n_name AS dst,
+             CAST(count(*) AS DOUBLE) AS w
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      GROUP BY 1, 2
+    )""",
+        "outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1)",
+        """frac AS (SELECT e.src, e.dst, e.w / o.ow AS frac
+               FROM edges e JOIN outw o ON o.src = e.src)""",
+        """nodes AS (SELECT DISTINCT src AS node FROM edges
+               UNION SELECT DISTINCT dst FROM edges)""",
+        "pr0 AS (SELECT node, 1.0 AS rank FROM nodes)",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"""pr{k} AS (
+      SELECT n.node,
+             {1.0 - damping} + {damping} * coalesce(s.acc, 0.0) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT f.dst AS node, sum(p.rank * f.frac) AS acc
+        FROM frac f JOIN pr{k - 1} p ON p.node = f.src
+        GROUP BY f.dst) s ON s.node = n.node)"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT node, round(rank, 4) AS rank FROM pr{iterations}"
+    )
+
+
+@_register(
+    "nation_trade_pagerank",
+    _pagerank_oracle_sql(5),
+    "Weighted PageRank (5 fixed iterations, d=0.85) over the "
+    "customer-nation → supplier-nation trade graph (edge weight = "
+    "lineitem count). Iterative DataFrame algorithm: per-iteration "
+    "join+agg with lineage-truncating checkpoints; oracle is the "
+    "identical recurrence unrolled as an ANSI CTE chain",
+    ("graph", "iterative", "pagerank"),
+)
+def nation_trade_pagerank(spark, sf_dir):
+    from ..operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("src")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("dst")
+    )
+    edges = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    ranks = pagerank(edges, "src", "dst", "w", iterations=5, damping=0.85)
+    return ranks.select("node", F.round("rank", 4).alias("rank"))
+
+
 @_register(
     "agg_census_argmax",
     """

@@ -341,3 +341,27 @@ def test_range_join_matches_naive_between(spark):
         ).collect()
     )
     assert got == naive and len(got) == len(set(got))
+
+
+def test_pagerank_uniform_cycle_and_sink(spark):
+    """On a 3-cycle with equal weights every node's rank stays 1.0;
+    a pure sink fed by one node settles above its feeder."""
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.graph import (
+        pagerank,
+    )
+
+    cyc = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0)],
+        "src string, dst string, w double",
+    )
+    got = {r.node: r["rank"] for r in pagerank(cyc, weight="w").collect()}
+    assert all(abs(v - 1.0) < 1e-9 for v in got.values())
+
+    star = spark.createDataFrame(
+        [("h", "x", 3.0), ("u1", "h", 1.0), ("u2", "h", 1.0)],
+        "src string, dst string, w double",
+    )
+    got = {r.node: r["rank"] for r in pagerank(star, weight="w").collect()}
+    # u1/u2 have no in-edges -> 0.15; h collects both; x collects h
+    assert abs(got["u1"] - 0.15) < 1e-9 and abs(got["u2"] - 0.15) < 1e-9
+    assert got["h"] > got["u1"] and got["x"] > got["u1"]
