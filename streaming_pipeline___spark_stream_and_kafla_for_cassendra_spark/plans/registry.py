@@ -3002,8 +3002,11 @@ def tfidf_top_terms(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = d.agg(F.count("*").alias("n_docs"))
+    # document frequency as a window count over the tf rows — one
+    # term-keyed exchange replaces the groupBy + re-shuffled join
+    # (3 exchanges total: tf agg, df window, top-k window)
+    dfw = F.count("*").over(Window.partitionBy("term"))
     raw = (
         F.col("tf")
         * (F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0)
@@ -3012,7 +3015,7 @@ def tfidf_top_terms(spark, sf_dir):
         F.col("_raw").desc(), F.col("term")
     )
     return (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", dfw)
         .crossJoin(F.broadcast(n))
         .withColumn("_raw", raw)
         .withColumn("term_rank", F.row_number().over(w))
