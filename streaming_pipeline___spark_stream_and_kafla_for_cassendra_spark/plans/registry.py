@@ -3255,6 +3255,45 @@ def corpus_clean_pipeline(spark, sf_dir):
     )
 
 
+@_register(
+    "docs_with_embedding_norm",
+    """
+    SELECT doc_id, lang,
+           CAST(len(list_filter(string_split(lower(text), ' '),
+                                x -> x <> '')) AS INTEGER) AS n_tokens,
+           round(sqrt(list_sum(list_transform(embedding,
+                                              x -> CAST(x AS DOUBLE) * x))),
+                 4) AS vec_norm
+    FROM documents JOIN embeddings ON doc_id = vec_id
+    """,
+    "Cross-modal join: text table ⋈ embedding table on the shared id "
+    "(doc_id = vec_id), emitting token stats + L2 norm — the "
+    "text-plus-vector row shape a training pipeline feeds to "
+    "curation; norm accumulates left-to-right in double on both "
+    "engines",
+    ("multimodal", "join", "documents", "embeddings"),
+)
+def docs_with_embedding_norm(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    vec_norm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return (
+        d.join(emb, d["doc_id"] == emb["vec_id"])
+        .select(
+            "doc_id",
+            "lang",
+            token_count("text").alias("n_tokens"),
+            F.round(vec_norm, 4).alias("vec_norm"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
 # ---------------------------------------------------------------------------
