@@ -3256,6 +3256,47 @@ def corpus_clean_pipeline(spark, sf_dir):
 
 
 @_register(
+    "events_multi_grain_rollup",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_bucket,
+           CAST(date_trunc('day', ts)  AS TIMESTAMP) AS day_bucket,
+           coalesce(event_type, 'ALL') AS event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY GROUPING SETS (
+      (date_trunc('hour', ts)),
+      (date_trunc('day', ts)),
+      (date_trunc('day', ts), event_type)
+    )
+    """,
+    "Hypertable-style multi-resolution rollup: hourly, daily, and "
+    "daily-by-type aggregates of one scan via GROUPING SETS — the "
+    "continuous-aggregate shape, one shuffle for all three grains "
+    "(SQL surface: runs as spark.sql over a registered view)",
+    ("agg", "grouping-sets", "sql-surface", "events"),
+)
+def events_multi_grain_rollup(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    e.createOrReplaceTempView("events_mgr")
+    return spark.sql(
+        """
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_bucket,
+               CAST(date_trunc('day', ts)  AS TIMESTAMP) AS day_bucket,
+               coalesce(event_type, 'ALL') AS event_type,
+               count(*) AS n_events,
+               round(sum(value), 4) AS total_value
+        FROM events_mgr
+        GROUP BY GROUPING SETS (
+          (date_trunc('hour', ts)),
+          (date_trunc('day', ts)),
+          (date_trunc('day', ts), event_type)
+        )
+        """
+    )
+
+
+@_register(
     "docs_with_embedding_norm",
     """
     SELECT doc_id, lang,

@@ -123,3 +123,37 @@ def test_upsert_redelivery_is_idempotent(spark, tmp_path):
     rows = table.read(spark).collect()
     assert len(rows) == 2
     assert {r.id: r.val for r in rows} == {1: "a", 2: "b"}
+
+
+def test_clustered_compaction_produces_disjoint_file_ranges(spark, tmp_path):
+    """With cluster_key set, compaction range-sorts each partition's
+    files so their min/max cluster-key ranges are pairwise disjoint —
+    the parquet-footer data-skipping layout. Content must survive
+    unchanged."""
+    import datetime as dt
+
+    import duckdb
+
+    d1, d2 = dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+    t = dt.datetime(2024, 1, 1, 10, 0, 0)
+    table = LakeTable(path=str(tmp_path / "cl"), cluster_key="id")
+    # interleaved ids across two dates, written in shuffled order
+    data = [(i, f"v{i}", t, d1 if i % 2 else d2) for i in range(400)]
+    import random
+
+    random.Random(7).shuffle(data)
+    table.upsert_batch(_rows(spark, data), spark)
+    table.compact(spark, target_files_per_partition=4)
+
+    for part_dir in glob.glob(str(tmp_path / "cl" / "processing_date=*")):
+        ranges = []
+        for f in glob.glob(part_dir + "/*.parquet"):
+            mn, mx = duckdb.sql(
+                f"SELECT min(id), max(id) FROM read_parquet('{f}')"
+            ).fetchone()
+            ranges.append((mn, mx))
+        ranges.sort()
+        for (_, amax), (bmin, _) in zip(ranges, ranges[1:]):
+            assert amax < bmin, f"overlapping file ranges in {part_dir}: {ranges}"
+    got = {r.id: r.val for r in table.read(spark).collect()}
+    assert got == {i: f"v{i}" for i in range(400)}
