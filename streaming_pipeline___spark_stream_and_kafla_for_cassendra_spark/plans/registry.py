@@ -3256,6 +3256,42 @@ def corpus_clean_pipeline(spark, sf_dir):
 
 
 @_register(
+    "window_census_user_events",
+    """
+    SELECT user_id, event_id,
+           round(lag(value)  OVER w, 4) AS prev_value,
+           round(lead(value) OVER w, 4) AS next_value,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           round(percent_rank() OVER w, 4) AS pct_rank,
+           round(cume_dist() OVER w, 4) AS cume,
+           round(first_value(value) OVER w, 4) AS first_seen_value
+    FROM events
+    WHERE user_id < 50
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    """,
+    "Analytic-window census beyond rank/row_number: lag/lead, ntile, "
+    "percent_rank, cume_dist, first_value over a per-user event-time "
+    "ordering ((user_id, ts) is unique, so every function is "
+    "deterministic); one hash exchange on the partition key serves "
+    "all six functions",
+    ("window", "census", "events"),
+)
+def window_census_user_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.lag("value").over(w), 4).alias("prev_value"),
+        F.round(F.lead("value").over(w), 4).alias("next_value"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        F.round(F.first("value").over(w), 4).alias("first_seen_value"),
+    )
+
+
+@_register(
     "events_multi_grain_rollup",
     """
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_bucket,

@@ -365,3 +365,21 @@ def test_pagerank_uniform_cycle_and_sink(spark):
     # u1/u2 have no in-edges -> 0.15; h collects both; x collects h
     assert abs(got["u1"] - 0.15) < 1e-9 and abs(got["u2"] - 0.15) < 1e-9
     assert got["h"] > got["u1"] and got["x"] > got["u1"]
+
+
+def test_approx_sketches_within_tolerance(spark):
+    """Sketch aggregates are the scale path for distincts/quantiles
+    (exact countDistinct is illegal in streaming; exact percentile
+    holds all values). Bound their error against exact answers."""
+    df = spark.range(0, 50_000).select(
+        (F.col("id") % 9973).alias("k"), (F.col("id") * 17 % 10007).alias("v")
+    )
+    exact_d = df.select(F.countDistinct("k")).first()[0]
+    approx_d = df.select(F.approx_count_distinct("k", rsd=0.02)).first()[0]
+    assert abs(approx_d - exact_d) / exact_d < 0.05
+
+    exact_p = df.select(F.percentile("v", F.lit(0.5))).first()[0]
+    approx_p = df.select(
+        F.percentile_approx("v", F.lit(0.5), F.lit(10_000))
+    ).first()[0]
+    assert abs(approx_p - exact_p) / max(exact_p, 1) < 0.01
