@@ -1488,6 +1488,61 @@ def streaming_hourly_events(spark, sf_dir):
     return spark.table(sink)
 
 
+@_register(
+    "streaming_dedup_events",
+    None,  # genuinely streaming: stateful dedup, arrival-order dependent state
+    "Real Structured Streaming stateful dedup (T8): parquet file "
+    "stream → watermark → dropDuplicatesWithinWatermark on user_id → "
+    "memory sink via availableNow; emits each user's first arrival, "
+    "state bounded by the watermark horizon instead of growing "
+    "forever",
+    ("streaming", "dedup", "stateful"),
+)
+def streaming_dedup_events(spark, sf_dir):
+    import uuid
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id"])
+        .select("user_id")
+    )
+    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink)
+
+
 # ---------------------------------------------------------------------------
 # Batch SQL depth: TPC-H-shaped plans over the trimmed star schema
 # (no partsupp table in the fixtures; q09/q17 shapes adapted). These
