@@ -133,3 +133,35 @@ def test_decode_tolerates_malformed_envelopes(spark):
     assert len(good) == 1 and good[0].id == 1
     # the non-JSON after-image decodes to a null row, not an error
     assert all(r.op in ("c", "u") for r in rows)
+
+
+def test_jsonl_and_csv_readers_quarantine_corrupt(spark, tmp_path):
+    """Declared-schema file ingestion: well-formed rows parse, corrupt
+    lines go to the quarantine column (or drop), no inference pass."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.sources.files import (
+        read_csv,
+        read_jsonl,
+    )
+
+    schema = StructType(
+        [StructField("id", IntegerType()), StructField("name", StringType())]
+    )
+    jl = tmp_path / "d.jsonl"
+    jl.write_text('{"id": 1, "name": "a"}\nnot-json\n{"id": 2, "name": "b"}\n')
+    good = read_jsonl(spark, str(jl), schema)
+    assert {(r.id, r.name) for r in good.collect()} == {(1, "a"), (2, "b")}
+    kept = read_jsonl(spark, str(jl), schema, keep_corrupt=True)
+    corrupt = kept.filter(kept["_corrupt_record"].isNotNull()).collect()
+    assert len(corrupt) == 1 and corrupt[0]["_corrupt_record"] == "not-json"
+
+    cv = tmp_path / "d.csv"
+    cv.write_text("id,name\n1,a\nbad-int,b\n2,c\n")
+    good_csv = read_csv(spark, str(cv), schema)
+    assert {(r.id, r.name) for r in good_csv.collect()} == {(1, "a"), (2, "c")}
