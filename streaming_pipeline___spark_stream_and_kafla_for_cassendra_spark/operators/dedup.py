@@ -301,32 +301,29 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        stepped = (
-            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
-                ).alias("comp"),
-            )
+        stepped = labels.join(
+            nbr_min, labels["node"] == nbr_min["a"], "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+            ).alias("_step"),
+            F.col("comp").alias("_prev"),
         )
         # pointer jumping: comp := comp's comp (comp is always itself a
-        # node, so the inner join is total)
+        # node, so the inner join is total). The previous label rides
+        # along so the convergence check is a filter-count on the same
+        # materialization — no extra join against the old frame.
         parent = stepped.select(
-            F.col("node").alias("pnode"), F.col("comp").alias("pcomp")
+            F.col("node").alias("pnode"), F.col("_step").alias("pcomp")
         )
         jumped = (
-            stepped.join(parent, stepped["comp"] == parent["pnode"])
-            .select("node", F.col("pcomp").alias("comp"))
+            stepped.join(parent, stepped["_step"] == parent["pnode"])
+            .select("node", F.col("pcomp").alias("comp"), "_prev")
             .localCheckpoint(eager=False)
         )
-        changed = (
-            jumped.alias("new")
-            .join(labels.alias("old"), "node")
-            .filter(F.col("new.comp") != F.col("old.comp"))
-            .count()
-        )
-        labels = jumped
+        changed = jumped.filter(F.col("comp") != F.col("_prev")).count()
+        labels = jumped.select("node", "comp")
         if changed == 0:
             break
     return labels
