@@ -66,3 +66,71 @@ class StreamOrchestrator:
         deadline = time.monotonic() + timeout
         for q in self.queries.values():
             q.awaitTermination(max(deadline - time.monotonic(), 0))
+
+
+class MetricsListener:
+    """Engine-native observability for the fan-out (the reference
+    monitored via console sinks and Kafka UI lag inspection,
+    README.md:98-118; this captures the same signals in-process).
+
+    Wraps ``StreamingQueryListener``: per query name keeps a bounded
+    history of progress snapshots (input rows, rows/sec, batch
+    duration, state rows) plus terminal status. Attach once per
+    session; all orchestrated queries report through it.
+    """
+
+    def __init__(self, history: int = 100):
+        from collections import defaultdict, deque
+
+        self.history = history
+        self._progress = defaultdict(lambda: deque(maxlen=history))
+        self._terminated = {}
+        self._listener = None
+
+    def attach(self, spark) -> "MetricsListener":
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        outer = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                state_rows = sum(
+                    s.numRowsTotal for s in (p.stateOperators or [])
+                )
+                outer._progress[p.name or str(p.id)].append(
+                    {
+                        "batch_id": p.batchId,
+                        "num_input_rows": p.numInputRows,
+                        "input_rows_per_second": p.inputRowsPerSecond,
+                        "batch_duration_ms": p.batchDuration,
+                        "state_rows": state_rows,
+                    }
+                )
+
+            def onQueryTerminated(self, event):
+                outer._terminated[str(event.id)] = event.exception
+
+            def onQueryIdle(self, event):
+                pass
+
+        self._listener = _L()
+        spark.streams.addListener(self._listener)
+        return self
+
+    def detach(self, spark) -> None:
+        if self._listener is not None:
+            spark.streams.removeListener(self._listener)
+            self._listener = None
+
+    def progress(self, name: str) -> list[dict]:
+        return list(self._progress.get(name, []))
+
+    def totals(self) -> dict[str, int]:
+        return {
+            name: sum(p["num_input_rows"] for p in snaps)
+            for name, snaps in self._progress.items()
+        }

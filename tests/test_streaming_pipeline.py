@@ -320,3 +320,49 @@ def test_stream_stream_left_outer_join(spark, tmp_path):
     q.awaitTermination(180)
     got = {(r.l_id, r.r_id) for r in spark.table("ss_left_join").collect()}
     assert got == {(1, 100), (3, 200), (2, None)}
+
+
+def test_metrics_listener_captures_progress(spark, tmp_path):
+    """MetricsListener sees per-batch input rows and state size for a
+    named query (engine-native twin of the reference's console/UI
+    monitoring)."""
+    import json
+    import time as _time
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.streaming.orchestrator import (
+        MetricsListener,
+    )
+
+    (tmp_path / "in").mkdir()
+    (tmp_path / "in" / "a.jsonl").write_text(
+        "\n".join(
+            json.dumps({"id": i, "ts": f"2024-01-01 10:{i:02d}:00"})
+            for i in range(30)
+        )
+    )
+    metrics = MetricsListener().attach(spark)
+    try:
+        stream = spark.readStream.schema("id long, ts timestamp").json(
+            str(tmp_path / "in")
+        )
+        agg = stream.withWatermark("ts", "1 hour").groupBy(
+            F.window("ts", "10 minutes")
+        ).count()
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("metrics_probe")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener delivery is async; allow it to drain
+        for _ in range(50):
+            if metrics.totals().get("metrics_probe", 0) >= 30:
+                break
+            _time.sleep(0.2)
+        snaps = metrics.progress("metrics_probe")
+        assert sum(p["num_input_rows"] for p in snaps) == 30
+        assert any(p["state_rows"] > 0 for p in snaps)
+    finally:
+        metrics.detach(spark)
