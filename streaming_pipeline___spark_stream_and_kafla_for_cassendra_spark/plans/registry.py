@@ -3311,6 +3311,100 @@ def corpus_clean_pipeline(spark, sf_dir):
 
 
 @_register(
+    "lateral_top_orders_per_customer",
+    """
+    SELECT c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    WHERE c_custkey < 100
+    """,
+    "LATERAL correlated subquery (top-2 orders per customer with a "
+    "deterministic tie-break) — Catalyst decorrelates the per-row "
+    "ORDER BY LIMIT into a ranked join, no driver loop; runs "
+    "verbatim on the spark.sql surface",
+    ("join", "lateral", "sql-surface", "tpch"),
+)
+def lateral_top_orders_per_customer(spark, sf_dir):
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat")
+    return spark.sql(
+        """
+        SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer_lat, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders_lat
+          WHERE o_custkey = c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c_custkey < 100
+        """
+    )
+
+
+@_register(
+    "events_hourly_gapfill",
+    """
+    WITH grid AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-05 00:00:00',
+                                    TIMESTAMP '2024-01-05 23:00:00',
+                                    INTERVAL 1 HOUR)) AS hour_start
+    ),
+    hourly AS (
+      SELECT date_trunc('hour', ts) AS h, count(*) AS cnt,
+             round(avg(value), 4) AS avg_value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-06'
+      GROUP BY 1
+    )
+    SELECT hour_start, coalesce(cnt, 0) AS n_events,
+           last_value(avg_value IGNORE NULLS) OVER (ORDER BY hour_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg
+    FROM grid LEFT JOIN hourly ON h = hour_start
+    """,
+    "Time-series resample with gap fill: a generated dense hour grid "
+    "(sequence + explode — no data scan) left-joins the sparse "
+    "hourly aggregate; missing hours get 0 counts and forward-filled "
+    "averages via last(ignoreNulls) — the hypertable 'time_bucket_"
+    "gapfill + locf' shape",
+    ("timeseries", "window", "events"),
+)
+def events_hourly_gapfill(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    day = (
+        (F.col("ts") >= F.lit("2024-01-05").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-06").cast("timestamp"))
+    )
+    hourly = (
+        e.filter(day)
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+    grid = e.sparkSession.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-05 00:00:00").cast("timestamp"),
+                F.lit("2024-01-05 23:00:00").cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour_start")
+    )
+    w = Window.orderBy("hour_start").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        grid.join(hourly, hourly["h"] == grid["hour_start"], "left")
+        .select(
+            "hour_start",
+            F.coalesce("cnt", F.lit(0)).alias("n_events"),
+            F.last("avg_value", ignorenulls=True).over(w).alias("filled_avg"),
+        )
+    )
+
+
+@_register(
     "window_census_user_events",
     """
     SELECT user_id, event_id,

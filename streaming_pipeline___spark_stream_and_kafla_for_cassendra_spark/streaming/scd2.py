@@ -182,3 +182,35 @@ class Scd2Table:
             )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def write_stream_to_scd2(
+    df: DataFrame,
+    table: Scd2Table,
+    checkpoint_root: str,
+    processing_time: str | None = "2 minutes",
+    available_now: bool = False,
+):
+    """Stream → SCD2 history lake via foreachBatch (same trigger and
+    checkpoint contract as ``write_stream_to_lake``; replays of a
+    committed batch are idempotent because stale versions drop)."""
+    spark = df.sparkSession
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        table.upsert_batch(batch, spark)
+
+    writer = (
+        df.writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation",
+            os.path.join(
+                checkpoint_root, f"scd2-{os.path.basename(table.path)}"
+            ),
+        )
+        .queryName(f"scd2-{os.path.basename(table.path)}")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

@@ -111,3 +111,42 @@ def test_scd2_untouched_buckets_not_rewritten(spark, tmp_path):
     # and the data is still right
     cur = {r.id: r.val for r in table.read_current(spark).collect()}
     assert cur[1] == "v1b" and cur[2] == "v2" and len(cur) == 40
+
+
+def test_scd2_streaming_sink(spark, tmp_path):
+    """File stream → SCD2 via foreachBatch: versions across
+    micro-batches chain into validity intervals."""
+    import json
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.streaming.scd2 import (
+        write_stream_to_scd2,
+    )
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    (indir / "b0.jsonl").write_text(
+        json.dumps({"id": 1, "val": "v1", "processing_timestamp": "2024-01-01 10:00:00"})
+    )
+    (indir / "b1.jsonl").write_text(
+        json.dumps({"id": 1, "val": "v2", "processing_timestamp": "2024-01-01 12:00:00"})
+    )
+    stream = (
+        spark.readStream.schema(
+            "id int, val string, processing_timestamp timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+    )
+    table = Scd2Table(path=str(tmp_path / "t"))
+    q = write_stream_to_scd2(
+        stream, table, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(180)
+    hist = {
+        r.val: (r._valid_from, r._valid_to)
+        for r in table.read_history(spark).collect()
+    }
+    assert hist == {
+        "v1": (_t(10), _t(12)),
+        "v2": (_t(12), None),
+    }
