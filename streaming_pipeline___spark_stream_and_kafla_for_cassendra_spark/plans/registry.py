@@ -3311,6 +3311,55 @@ def corpus_clean_pipeline(spark, sf_dir):
 
 
 @_register(
+    "lineitem_quality_report",
+    """
+    WITH agg AS (
+      SELECT CAST(count_if(l_quantity <= 0) AS BIGINT)   AS qty_nonpositive,
+             CAST(count_if(l_discount < 0 OR l_discount > 0.1) AS BIGINT)
+               AS discount_out_of_range,
+             CAST(count_if(l_shipdate IS NULL) AS BIGINT) AS shipdate_null,
+             CAST(count_if(l_extendedprice <
+                           l_quantity * 0.9) AS BIGINT)   AS price_below_floor,
+             count(*) AS total_rows
+      FROM lineitem
+    )
+    SELECT rule, violations, total_rows,
+           round(violations * 1.0 / total_rows, 6) AS violation_ratio
+    FROM (
+      SELECT 'qty_nonpositive' AS rule, qty_nonpositive AS violations,
+             total_rows FROM agg
+      UNION ALL
+      SELECT 'discount_out_of_range', discount_out_of_range, total_rows
+      FROM agg
+      UNION ALL
+      SELECT 'shipdate_null', shipdate_null, total_rows FROM agg
+      UNION ALL
+      SELECT 'price_below_floor', price_below_floor, total_rows FROM agg)
+    """,
+    "Data-contract validation: four expectation rules evaluated as "
+    "count_if columns of ONE aggregation pass (adding rules adds "
+    "columns, not scans), unpivoted to a per-rule violation report "
+    "— the ingestion-gate shape of a training-data pipeline",
+    ("quality", "agg", "pipeline", "tpch"),
+)
+def lineitem_quality_report(spark, sf_dir):
+    from ..operators.quality import validate
+
+    li = _t(spark, sf_dir, "lineitem")
+    return validate(
+        li,
+        {
+            "qty_nonpositive": F.col("l_quantity") <= 0,
+            "discount_out_of_range": (F.col("l_discount") < 0)
+            | (F.col("l_discount") > 0.1),
+            "shipdate_null": F.col("l_shipdate").isNull(),
+            "price_below_floor": F.col("l_extendedprice")
+            < F.col("l_quantity") * 0.9,
+        },
+    )
+
+
+@_register(
     "lateral_top_orders_per_customer",
     """
     SELECT c_custkey, t.o_orderkey, t.o_totalprice

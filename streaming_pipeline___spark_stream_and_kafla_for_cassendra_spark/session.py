@@ -54,6 +54,10 @@ def get_session(
         "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
         # scale: AQE skew-join split for fact-fact joins
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # scale: runtime bloom-filter semi-join pruning — a selective
+        # dim filter reaches the fact scan as a row-level bloom probe
+        # even when static partition pruning can't apply
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         # deterministic event-time + oracle parity
         "spark.sql.session.timeZone": "UTC",
         # Arrow for every pandas-UDF / toPandas path

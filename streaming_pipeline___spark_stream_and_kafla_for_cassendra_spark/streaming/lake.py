@@ -70,16 +70,37 @@ class LakeTable:
             .drop("_rn")
         )
 
-    def upsert_batch(self, batch: DataFrame, spark: SparkSession) -> None:
+    def upsert_batch(
+        self,
+        batch: DataFrame,
+        spark: SparkSession,
+        delete_col: str | None = None,
+    ) -> None:
         """Merge a micro-batch into the table, rewriting only the
-        partitions the batch touches."""
+        partitions the batch touches.
+
+        ``delete_col`` names a boolean column marking CDC tombstones
+        (``op = 'd'`` rows decoded from their ``before`` image — the
+        reference silently dropped these, ``MSP:119``): the delete
+        competes in precombine order with other versions of its key,
+        and a winning tombstone removes the key from the touched
+        partition. Like Hudi's default non-global index, keys are
+        unique within a partition, not across partitions."""
         if len(batch.take(1)) == 0:
             return
-        incoming = self._dedupe(batch)
+        if delete_col is not None:
+            incoming = batch.withColumn(
+                "_del", F.coalesce(F.col(delete_col), F.lit(False))
+            ).drop(delete_col)
+        else:
+            incoming = batch.withColumn("_del", F.lit(False))
+        incoming = self._dedupe(incoming)
 
         if not self.exists(spark):
             (
-                incoming.write.partitionBy(self.partition_field)
+                incoming.filter(~F.col("_del"))
+                .drop("_del")
+                .write.partitionBy(self.partition_field)
                 .mode("overwrite")
                 .parquet(self.path)
             )
@@ -90,16 +111,19 @@ class LakeTable:
             r[0]
             for r in incoming.select(self.partition_field).distinct().collect()
         ]
-        existing = self.read(spark).filter(
-            F.col(self.partition_field).isin(touched)
+        existing = (
+            self.read(spark)
+            .filter(F.col(self.partition_field).isin(touched))
+            .withColumn("_del", F.lit(False))
         )
         merged = self._dedupe(
             existing.unionByName(incoming, allowMissingColumns=True)
         )
+        final = merged.filter(~F.col("_del")).drop("_del")
         # dynamic partition overwrite: replaces only `touched` partitions
         with _partition_overwrite_dynamic(spark):
             (
-                merged.write.partitionBy(self.partition_field)
+                final.write.partitionBy(self.partition_field)
                 .mode("overwrite")
                 .parquet(self.path)
             )

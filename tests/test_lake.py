@@ -157,3 +157,46 @@ def test_clustered_compaction_produces_disjoint_file_ranges(spark, tmp_path):
             assert amax < bmin, f"overlapping file ranges in {part_dir}: {ranges}"
     got = {r.id: r.val for r in table.read(spark).collect()}
     assert got == {i: f"v{i}" for i in range(400)}
+
+
+def test_upsert_with_cdc_tombstones(spark, tmp_path):
+    """A winning delete tombstone removes its key; a later re-insert
+    resurrects it; deleting a missing key is a no-op."""
+    import datetime as dt
+
+    d = dt.date(2024, 1, 1)
+
+    def rows(data):
+        return spark.createDataFrame(
+            data,
+            "id int, val string, processing_timestamp timestamp, "
+            "processing_date date, is_delete boolean",
+        )
+
+    t1 = dt.datetime(2024, 1, 1, 10)
+    t2 = dt.datetime(2024, 1, 1, 11)
+    t3 = dt.datetime(2024, 1, 1, 12)
+    table = LakeTable(path=str(tmp_path / "tomb"))
+    table.upsert_batch(
+        rows([(1, "a", t1, d, False), (2, "b", t1, d, False)]),
+        spark,
+        delete_col="is_delete",
+    )
+    # delete 1, insert 3, delete missing 9
+    table.upsert_batch(
+        rows([(1, None, t2, d, True), (3, "c", t2, d, False),
+              (9, None, t2, d, True)]),
+        spark,
+        delete_col="is_delete",
+    )
+    assert {r.id: r.val for r in table.read(spark).collect()} == {
+        2: "b", 3: "c"
+    }
+    # stale delete loses to the newer version in the same batch
+    table.upsert_batch(
+        rows([(2, None, t1, d, True), (2, "b2", t3, d, False)]),
+        spark,
+        delete_col="is_delete",
+    )
+    got = {r.id: r.val for r in table.read(spark).collect()}
+    assert got == {2: "b2", 3: "c"}
