@@ -3311,6 +3311,40 @@ def corpus_clean_pipeline(spark, sf_dir):
 
 
 @_register(
+    "part_name_edit_distance_pairs",
+    """
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_partkey < b.p_partkey
+     AND a.p_partkey < 40 AND b.p_partkey < 40
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    "Edit-distance (Levenshtein) near-match pairs on a bounded key "
+    "slice — the fuzzy-string tier of dedup, complementing the "
+    "token-level Jaccard/MinHash ops; at scale the candidate set "
+    "comes from an LSH/blocking pass, never the raw cross join",
+    ("text", "similarity", "census"),
+)
+def part_name_edit_distance_pairs(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 40)
+    a = p.select(
+        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a")
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b")
+    )
+    return (
+        a.join(b, F.col("key_a") < F.col("key_b"))
+        .withColumn(
+            "edit_dist", F.levenshtein("name_a", "name_b").cast("int")
+        )
+        .filter(F.col("edit_dist") <= 3)
+        .select("key_a", "key_b", "edit_dist")
+    )
+
+
+@_register(
     "lineitem_quality_report",
     """
     WITH agg AS (
