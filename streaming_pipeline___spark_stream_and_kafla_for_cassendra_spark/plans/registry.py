@@ -3311,6 +3311,39 @@ def corpus_clean_pipeline(spark, sf_dir):
 
 
 @_register(
+    "user_event_timelines",
+    """
+    SELECT user_id,
+           list(event_type ORDER BY ts, event_id) AS timeline,
+           CAST(len(list(event_type ORDER BY ts, event_id)) AS INTEGER)
+             AS n_events
+    FROM events
+    WHERE user_id < 20
+    GROUP BY user_id
+    """,
+    "Ordered array aggregation: per-user event-type timeline in "
+    "event-time order. Spark's collect_list is arrival-ordered "
+    "(nondeterministic under parallelism), so the engine sorts "
+    "(ts, event_id, type) structs post-agg and projects — the "
+    "deterministic ordered-array idiom; DuckDB's list(x ORDER BY y) "
+    "is the oracle",
+    ("agg", "array", "census", "events"),
+)
+def user_event_timelines(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ),
+        lambda s: s["event_type"],
+    )
+    return e.groupBy("user_id").agg(
+        ordered.alias("timeline"),
+        F.size(ordered).alias("n_events"),
+    )
+
+
+@_register(
     "part_name_edit_distance_pairs",
     """
     SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
