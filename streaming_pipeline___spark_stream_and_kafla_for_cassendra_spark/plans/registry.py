@@ -2036,7 +2036,7 @@ def q16_supplier_part_counts(spark, sf_dir):
       FROM lineitem GROUP BY 1, 2
     )
     SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
-           round(ps_supplycost, 4) AS supplycost
+           floor(ps_supplycost * 10000 + 0.5) / 10000.0 AS supplycost
     FROM part
     JOIN ps       ON p_partkey = ps_partkey
     JOIN supplier ON s_suppkey = ps_suppkey
@@ -2100,7 +2100,13 @@ def q02_min_cost_supplier(spark, sf_dir):
             "n_name",
             "p_partkey",
             "p_brand",
-            F.round("ps_supplycost", 4).alias("supplycost"),
+            # stable HALF_UP in pure IEEE arithmetic — plain round()
+            # diverges between engines when the cost lands exactly on
+            # a 4-decimal boundary (see _stable_avg4)
+            (
+                F.floor(F.col("ps_supplycost") * 10000 + F.lit(0.5))
+                / F.lit(10000.0)
+            ).alias("supplycost"),
         )
     )
 

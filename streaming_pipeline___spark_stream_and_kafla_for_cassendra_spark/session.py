@@ -27,6 +27,11 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# local[*] runs driver+executors in ONE JVM whose default heap is 1g —
+# 32 concurrent task threads starve and the JVM dies under checkpoint/
+# broadcast pressure long before the machine (128 GiB) is anywhere
+# near full. Only effective when set before the JVM launches.
+DEFAULT_DRIVER_MEMORY = os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "24g")
 
 
 def get_session(
@@ -47,6 +52,7 @@ def get_session(
         builder = builder.master(f"local[{DEFAULT_CPUS}]")
 
     conf = {
+        "spark.driver.memory": DEFAULT_DRIVER_MEMORY,
         # reference parity: MSP:36-40
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
