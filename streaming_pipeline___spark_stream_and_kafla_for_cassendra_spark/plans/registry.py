@@ -3317,6 +3317,84 @@ def corpus_clean_pipeline(spark, sf_dir):
 
 
 @_register(
+    "set_ops_all_variants",
+    """
+    WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+         b AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT 'union_all' AS op, count(*) AS n FROM (SELECT k FROM a UNION ALL SELECT k FROM b)
+    UNION ALL
+    SELECT 'intersect_all', count(*) FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+    UNION ALL
+    SELECT 'except_all', count(*) FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+    """,
+    "Bag-semantics set operations (UNION/INTERSECT/EXCEPT ALL — "
+    "multiplicity-preserving, unlike the distinct variants already "
+    "covered): INTERSECT ALL keeps min(multiplicity), EXCEPT ALL "
+    "subtracts it",
+    ("setops", "census", "tpch"),
+)
+def set_ops_all_variants(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+    def count_of(df, name):
+        return df.agg(F.count("*").alias("n")).select(
+            F.lit(name).alias("op"), "n"
+        )
+    return (
+        count_of(a.unionAll(b), "union_all")
+        .unionAll(count_of(a.intersectAll(b), "intersect_all"))
+        .unionAll(count_of(a.exceptAll(b), "except_all"))
+    )
+
+
+@_register(
+    "null_safe_join_props",
+    """
+    WITH keyed AS (
+      SELECT event_id,
+             nullif(CAST(json_extract_string(props, '$.k') AS INTEGER) % 7,
+                    3) AS r
+      FROM events WHERE event_id < 150
+    )
+    SELECT e1.event_id AS id_a, e2.event_id AS id_b
+    FROM keyed e1 JOIN keyed e2
+      ON e1.r IS NOT DISTINCT FROM e2.r AND e1.event_id < e2.event_id
+    """,
+    "Null-safe equality join (Spark <=> ≡ ANSI IS NOT DISTINCT FROM): "
+    "rows with NULL join keys match EACH OTHER instead of vanishing — "
+    "the semantics needed when joining on optional attributes "
+    "(~1/7 of the derived keys are NULLed via nullif)",
+    ("join", "null-safe", "census", "events"),
+)
+def null_safe_join_props(spark, sf_dir):
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 150)
+        .select(
+            "event_id",
+            F.nullif(
+                F.get_json_object("props", "$.k").cast("int") % 7, F.lit(3)
+            ).alias("r"),
+        )
+    )
+    e1 = e.select(F.col("event_id").alias("id_a"), F.col("r").alias("r_a"))
+    e2 = e.select(F.col("event_id").alias("id_b"), F.col("r").alias("r_b"))
+    return (
+        e1.join(
+            e2,
+            e1["r_a"].eqNullSafe(e2["r_b"])
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+    )
+
+
+@_register(
     "user_event_timelines",
     """
     SELECT user_id,
