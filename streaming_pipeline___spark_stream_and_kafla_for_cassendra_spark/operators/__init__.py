@@ -1,5 +1,6 @@
 from .aggregates import daily_activity_aggregation, hourly_activity_aggregation
 from .dedup import (
+    connected_components,
     dedup_exact,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -9,7 +10,8 @@ from .dedup import (
     winnow_fingerprints,
 )
 from .enrich import enrich_activities, enrich_employees
-from .joins import asof_join
+from .graph import pagerank
+from .joins import asof_join, range_join
 from .multimodal import (
     extract_audio_features,
     extract_image_features,
@@ -17,6 +19,7 @@ from .multimodal import (
     sample_video_frames,
     synthetic_media_from_documents,
 )
+from .quality import validate
 from .sampling import deterministic_sample, stratified_sample, train_test_split
 from .scale import salted_join, save_bucketed
 from .similarity import (
@@ -29,6 +32,7 @@ from .similarity import (
 
 __all__ = [
     "asof_join",
+    "connected_components",
     "brute_force_topk",
     "daily_activity_aggregation",
     "dedup_exact",
@@ -45,6 +49,8 @@ __all__ = [
     "minhash_lsh_pairs",
     "minhash_signatures",
     "ngram_jaccard_pairs",
+    "pagerank",
+    "range_join",
     "resize_images",
     "salted_join",
     "sample_video_frames",
@@ -54,5 +60,6 @@ __all__ = [
     "stratified_sample",
     "synthetic_media_from_documents",
     "train_test_split",
+    "validate",
     "winnow_fingerprints",
 ]
