@@ -51,6 +51,15 @@ class LakeTable:
             return False
 
     def read(self, spark: SparkSession) -> DataFrame:
+        """Live rows only — tombstones filtered out."""
+        raw = self._read_raw(spark)
+        if "_del" in raw.columns:
+            raw = raw.filter(
+                ~F.coalesce(F.col("_del"), F.lit(False))
+            ).drop("_del")
+        return raw
+
+    def _read_raw(self, spark: SparkSession) -> DataFrame:
         # mergeSchema: partitions written before a schema evolution
         # lack the newer columns — without it the first footer's
         # schema wins and evolved columns silently disappear
@@ -82,10 +91,13 @@ class LakeTable:
         ``delete_col`` names a boolean column marking CDC tombstones
         (``op = 'd'`` rows decoded from their ``before`` image — the
         reference silently dropped these, ``MSP:119``): the delete
-        competes in precombine order with other versions of its key,
-        and a winning tombstone removes the key from the touched
-        partition. Like Hudi's default non-global index, keys are
-        unique within a partition, not across partitions."""
+        competes in precombine order with other versions of its key.
+        A winning tombstone PERSISTS as a hidden marker row (``_del``,
+        filtered by :meth:`read`) so an out-of-order or replayed older
+        insert cannot resurrect the key — the Hudi/Delta delete-log
+        discipline; ``compact`` purges markers. Like Hudi's default
+        non-global index, keys are unique within a partition, not
+        across partitions."""
         if len(batch.take(1)) == 0:
             return
         if delete_col is not None:
@@ -98,9 +110,7 @@ class LakeTable:
 
         if not self.exists(spark):
             (
-                incoming.filter(~F.col("_del"))
-                .drop("_del")
-                .write.partitionBy(self.partition_field)
+                incoming.write.partitionBy(self.partition_field)
                 .mode("overwrite")
                 .parquet(self.path)
             )
@@ -111,19 +121,18 @@ class LakeTable:
             r[0]
             for r in incoming.select(self.partition_field).distinct().collect()
         ]
-        existing = (
-            self.read(spark)
-            .filter(F.col(self.partition_field).isin(touched))
-            .withColumn("_del", F.lit(False))
+        existing = self._read_raw(spark).filter(
+            F.col(self.partition_field).isin(touched)
         )
+        if "_del" not in existing.columns:
+            existing = existing.withColumn("_del", F.lit(False))
         merged = self._dedupe(
             existing.unionByName(incoming, allowMissingColumns=True)
         )
-        final = merged.filter(~F.col("_del")).drop("_del")
         # dynamic partition overwrite: replaces only `touched` partitions
         with _partition_overwrite_dynamic(spark):
             (
-                final.write.partitionBy(self.partition_field)
+                merged.write.partitionBy(self.partition_field)
                 .mode("overwrite")
                 .parquet(self.path)
             )
@@ -185,16 +194,19 @@ def write_stream_to_lake(
     available_now: bool = False,
     compact_every_n_batches: int = 5,
     output_mode: str = "append",
+    delete_col: str | None = None,
 ) -> StreamingQuery:
     """Stream → upsert lake via foreachBatch (MSP:260-292 semantics).
 
     Compaction runs inline every N micro-batches, mirroring Hudi's
-    "5 delta commits" cadence (MSP:280).
+    "5 delta commits" cadence (MSP:280). ``delete_col`` marks CDC
+    tombstone rows (``decode_cdc(keep_deletes=True)`` + an
+    ``op = 'd'`` flag) that remove their key instead of upserting.
     """
     spark = df.sparkSession
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        table.upsert_batch(batch, spark)
+        table.upsert_batch(batch, spark, delete_col=delete_col)
         if compact_every_n_batches and batch_id > 0 and (
             batch_id % compact_every_n_batches == 0
         ):

@@ -200,3 +200,35 @@ def test_upsert_with_cdc_tombstones(spark, tmp_path):
     )
     got = {r.id: r.val for r in table.read(spark).collect()}
     assert got == {2: "b2", 3: "c"}
+
+
+def test_tombstone_blocks_stale_resurrection(spark, tmp_path):
+    """A persisted tombstone outranks an older insert replayed AFTER
+    the delete (out-of-order micro-batches): the key stays dead until
+    a genuinely newer version arrives. Compaction purges markers."""
+    import datetime as dt
+
+    d = dt.date(2024, 1, 1)
+
+    def rows(data):
+        return spark.createDataFrame(
+            data,
+            "id int, val string, processing_timestamp timestamp, "
+            "processing_date date, is_delete boolean",
+        )
+
+    t1, t2, t3 = (dt.datetime(2024, 1, 1, h) for h in (10, 11, 12))
+    table = LakeTable(path=str(tmp_path / "res"))
+    table.upsert_batch(
+        rows([(1, None, t2, d, True)]), spark, delete_col="is_delete"
+    )
+    # older insert replayed after the delete: must NOT resurrect
+    table.upsert_batch(
+        rows([(1, "old", t1, d, False)]), spark, delete_col="is_delete"
+    )
+    assert table.read(spark).filter("id = 1").count() == 0
+    # genuinely newer version does resurrect
+    table.upsert_batch(
+        rows([(1, "new", t3, d, False)]), spark, delete_col="is_delete"
+    )
+    assert [r.val for r in table.read(spark).filter("id = 1").collect()] == ["new"]

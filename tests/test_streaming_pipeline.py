@@ -366,3 +366,55 @@ def test_metrics_listener_captures_progress(spark, tmp_path):
         assert any(p["state_rows"] > 0 for p in snaps)
     finally:
         metrics.detach(spark)
+
+
+def test_cdc_deletes_flow_to_lake_tombstones(spark, tmp_path):
+    """End-to-end changelog: CDC inserts then a delete envelope stream
+    through decode_cdc(keep_deletes=True) into the upsert lake — the
+    tombstone removes its key (the reference silently dropped
+    deletes, MSP:119)."""
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.schemas import (
+        EMPLOYEE_SCHEMA,
+    )
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.sources.cdc import (
+        decode_cdc,
+    )
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.streaming.lake import (
+        LakeTable,
+        write_stream_to_lake,
+    )
+
+    batch1 = [
+        make_envelope(employee_row(1), "c", 1704100000000),
+        make_envelope(employee_row(2), "c", 1704100001000),
+    ]
+    batch2 = [
+        make_envelope(None, "d", 1704100002000, before=employee_row(1)),
+        make_envelope(employee_row(3), "c", 1704100003000),
+    ]
+    _write_stream_files(tmp_path / "cdc", [batch1, batch2])
+
+    raw = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(str(tmp_path / "cdc"))
+    )
+    decoded = (
+        decode_cdc(raw, EMPLOYEE_SCHEMA, keep_deletes=True)
+        .withColumn("_is_delete", F.col("op") == "d")
+        .withColumn("processing_date", F.to_date("processing_timestamp"))
+    )
+    # precombine on the SOURCE change time (ts_ms → event_timestamp),
+    # not arrival time: correct winner even if micro-batches arrive
+    # out of order (file-source mtime ties can reorder tiny batches)
+    table = LakeTable(
+        path=str(tmp_path / "lake_emp"), precombine_field="event_timestamp"
+    )
+    q = write_stream_to_lake(
+        decoded,
+        table,
+        str(tmp_path / "ckpt_tomb"),
+        available_now=True,
+        delete_col="_is_delete",
+    )
+    q.awaitTermination(180)
+    assert {r.id for r in table.read(spark).collect()} == {2, 3}
