@@ -383,3 +383,69 @@ def test_approx_sketches_within_tolerance(spark):
         F.percentile_approx("v", F.lit(0.5), F.lit(10_000))
     ).first()[0]
     assert abs(approx_p - exact_p) / max(exact_p, 1) < 0.01
+
+
+def test_asof_join_matches_pandas_merge_asof_randomized(spark):
+    """asof_join ≡ pandas.merge_asof (backward, inclusive) over five
+    seeded random datasets with duplicate keys, unmatched keys, and
+    exact-timestamp ties."""
+    import numpy as np
+    import pandas as pd
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.joins import (
+        asof_join,
+    )
+
+    for seed in range(5):
+        rng = np.random.default_rng(seed)
+        n_l, n_r = 80, 60
+        left_pd = pd.DataFrame(
+            {
+                "k": rng.integers(0, 6, n_l),
+                "lts": pd.to_datetime(
+                    rng.integers(0, 10_000, n_l), unit="s"
+                ),
+                "lid": np.arange(n_l),
+            }
+        )
+        right_pd = pd.DataFrame(
+            {
+                "k": rng.integers(0, 8, n_r),  # some keys never match
+                "rts": pd.to_datetime(
+                    rng.integers(0, 10_000, n_r), unit="s"
+                ),
+                "rval": rng.normal(size=n_r).round(6),
+            }
+        )
+        # merge_asof needs per-key unique ordering for determinism:
+        # collapse right duplicates to the greatest rval per (k, rts)
+        right_pd = (
+            right_pd.groupby(["k", "rts"], as_index=False)["rval"].max()
+        )
+        expected = pd.merge_asof(
+            left_pd.sort_values("lts", kind="stable"),
+            right_pd.sort_values("rts", kind="stable"),
+            left_on="lts",
+            right_on="rts",
+            by="k",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        exp = {
+            int(r.lid): (None if pd.isna(r.rval) else round(float(r.rval), 6))
+            for r in expected.itertuples()
+        }
+
+        left = spark.createDataFrame(left_pd.rename(columns={"lts": "ts"}))
+        right = spark.createDataFrame(right_pd.rename(columns={"rts": "ts"}))
+        got_rows = asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_cols=["rval"],
+        ).collect()
+        got = {
+            int(r.lid): (
+                None if r.rval_right is None else round(float(r.rval_right), 6)
+            )
+            for r in got_rows
+        }
+        assert got == exp, f"seed {seed} mismatch"
