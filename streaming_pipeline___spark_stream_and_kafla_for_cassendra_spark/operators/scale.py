@@ -18,7 +18,7 @@ sf-tiny tables) but a 100 TB deployment does:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -79,3 +79,29 @@ def salted_join(
     )
     out = salted_big.join(salted_small, on=[key, "_salt"], how=how)
     return out.drop("_salt")
+
+
+def zorder_value(a: Column, b: Column, bits: int = 16) -> Column:
+    """Morton (Z-order) interleaving of two non-negative integer
+    columns — multi-dimensional clustering for data skipping.
+
+    A single-column range sort gives tight per-file min/max on that
+    column but leaves every other column spanning the full domain in
+    every file; interleaving the bits of two keys orders rows along a
+    space-filling curve so per-file bounding boxes shrink on BOTH
+    dimensions — selective predicates on either column (or both) skip
+    files on parquet footers. Callers bucketize/rank non-integer
+    columns first. Pure codegen bit arithmetic (2·bits ORs), no UDF.
+
+    Use as the ``cluster_key`` input of a compaction rewrite:
+    ``df.withColumn("_z", zorder_value(F.col("x"), F.col("y")))`` then
+    ``repartitionByRange + sortWithinPartitions`` on ``_z``.
+    """
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))
+        z = z.bitwiseOR(F.shiftleft(abit, 2 * i)).bitwiseOR(
+            F.shiftleft(bbit, 2 * i + 1)
+        )
+    return z

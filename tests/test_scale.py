@@ -80,3 +80,58 @@ def test_salted_join_rejects_right_joins(spark):
     df = spark.createDataFrame([(1, 1)], "k int, v int")
     with pytest.raises(ValueError):
         salted_join(df, df, "k", how="full")
+
+
+def test_zorder_layout_shrinks_bounding_boxes_on_both_dims(spark, tmp_path):
+    """Z-order clustering vs single-column sort: per-file (x,y)
+    bounding-box area must shrink dramatically, enabling footer-based
+    skipping for predicates on EITHER dimension."""
+    import glob
+
+    import duckdb
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.scale import (
+        zorder_value,
+    )
+
+    grid = (
+        spark.range(256 * 256)
+        .select(
+            (F.col("id") % 256).alias("x"),
+            (F.col("id") / 256).cast("long").alias("y"),
+        )
+    )
+
+    def avg_spans(path):
+        xs, ys = [], []
+        for f in glob.glob(path + "/*.parquet"):
+            xmin, xmax, ymin, ymax = duckdb.sql(
+                f"SELECT min(x), max(x), min(y), max(y) FROM read_parquet('{f}')"
+            ).fetchone()
+            xs.append(xmax - xmin + 1)
+            ys.append(ymax - ymin + 1)
+        return sum(xs) / len(xs), sum(ys) / len(ys)
+
+    xsort = str(tmp_path / "xsort")
+    (
+        grid.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.parquet(xsort)
+    )
+    zsort = str(tmp_path / "zsort")
+    (
+        grid.withColumn("_z", zorder_value(F.col("x"), F.col("y")))
+        .repartitionByRange(16, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.parquet(zsort)
+    )
+    # x-sorted files are tight on x but span the FULL y domain in
+    # every file — a y-predicate can never skip. Z-ordered files keep
+    # BOTH spans well below the domain (≈ square-ish tiles), so
+    # selective predicates on either column skip files.
+    x_span_xsort, y_span_xsort = avg_spans(xsort)
+    x_span_z, y_span_z = avg_spans(zsort)
+    assert y_span_xsort == 256          # the degenerate dimension
+    assert y_span_z < 0.6 * 256
+    assert x_span_z < 0.6 * 256
