@@ -74,9 +74,15 @@ def salted_join(
     salted_big = big.withColumn(
         "_salt", F.floor(F.rand(seed) * parts).cast("int")
     )
+    # Catalyst's size estimate ignores the ×parts explode, so static
+    # planning can pick a broadcast that materializes `parts` times
+    # larger than estimated (observed: a "64 MB" dim exploding into a
+    # 9.4 GiB broadcast failure at 50M rows). Salting targets shuffle
+    # joins by definition — pin sort-merge so the plan is size-safe at
+    # any scale.
     salted_small = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(parts)]))
-    )
+    ).hint("merge")
     out = salted_big.join(salted_small, on=[key, "_salt"], how=how)
     return out.drop("_salt")
 

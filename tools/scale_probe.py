@@ -1,0 +1,107 @@
+"""Scale headroom probe — the engine's heavy paths at 100× bench rows.
+
+sf0.1 bench data is ~600k lineitem rows; this generates 50M fact rows
+(range source, no disk) and drives the operator classes that dominate
+at cluster scale: a fact⋈dim shuffle join with aggregation, a salted
+hot-key join, a partitioned analytic window, and a high-cardinality
+distinct sketch. Prints one JSON line of wall seconds.
+
+Usage: python tools/scale_probe.py [n_facts]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark import get_session
+from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.scale import (
+    salted_join,
+)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000_000
+    n_dim = max(n // 10, 1)
+    spark = get_session("scale-probe")
+    timings: dict[str, float] = {}
+
+    def run(name, df):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 2)
+
+    facts = spark.range(n).select(
+        (F.col("id") % n_dim).alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+        # hot key: 2% of rows share key 0 on top of the uniform load
+        F.when(F.col("id") % 50 == 0, F.lit(0))
+        .otherwise(F.col("id") % n_dim)
+        .alias("skewed_k"),
+    )
+    dims = spark.range(n_dim).select(
+        F.col("id").alias("k"), (F.col("id") % 1000).alias("grp")
+    )
+
+    # 1. fact⋈dim shuffle join + grouped agg (merge hint pins the
+    # canonical two-exchange sort-merge plan a cluster-scale dim
+    # forces, so the probe times shuffles rather than a broadcast)
+    run(
+        "shuffle_join_agg",
+        facts.join(dims.hint("merge"), "k").groupBy("grp").agg(
+            F.count("*").alias("n"), F.sum("v").alias("sv")
+        ),
+    )
+
+    # 2. salted join against the hot key (2% of 50M on one key would
+    # stall one task; the salt spreads it)
+    run(
+        "salted_hot_join",
+        salted_join(
+            facts.select(F.col("skewed_k").alias("k"), "v"),
+            dims,
+            key="k",
+            parts=16,
+        ).groupBy("grp").agg(F.count("*").alias("n")),
+    )
+
+    # 3. partitioned analytic window over every fact row
+    w = Window.partitionBy(F.col("k") % 100_000).orderBy("v")
+    run(
+        "analytic_window",
+        facts.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= 3
+        ),
+    )
+
+    # 4. high-cardinality distinct: HLL sketch vs the full shuffle an
+    # exact distinct would need
+    run(
+        "approx_distinct",
+        facts.groupBy(F.col("k") % 1000).agg(
+            F.approx_count_distinct("k", rsd=0.02).alias("nd")
+        ),
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "scale_probe_wall_seconds",
+                "n_facts": n,
+                "value": round(sum(timings.values()), 2),
+                "unit": "sec",
+                "stages": timings,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
