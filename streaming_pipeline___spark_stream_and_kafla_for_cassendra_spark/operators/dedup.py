@@ -281,7 +281,11 @@ def connected_components(
     otherwise grow exponentially); convergence check is a count()
     aggregate, not a collect. Near-dup graphs are unions of
     small-diameter clusters, so 2-3 iterations are typical; max_iter
-    bounds pathological chains.
+    bounds pathological chains. Caveat measured at 2M random edges:
+    a GIANT sparse component (diameter ~log n, e.g. an Erdős–Rényi
+    graph) needs ~10+ rounds — per round stays cheap (one join+agg,
+    one self-join), but if your graphs look like that, prefer an
+    alternating large-star/small-star variant over raising max_iter.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = (

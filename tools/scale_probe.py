@@ -89,6 +89,23 @@ def main() -> None:
         ),
     )
 
+    # 5. iterative connected components on the near-dup cluster shape
+    # (200k chains of 10 nodes — worst small-diameter layout): the
+    # whole loop, convergence counts included
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n_nodes = min(n // 25, 2_000_000)
+    chains = spark.range(n_nodes - 1).filter(
+        F.col("id") % 10 != 9
+    ).select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    t0 = time.perf_counter()
+    labels = connected_components(chains, "src", "dst")
+    n_comp = labels.select("comp").distinct().count()
+    timings["connected_components"] = round(time.perf_counter() - t0, 2)
+    assert n_comp == n_nodes // 10, n_comp
+
     print(
         json.dumps(
             {
