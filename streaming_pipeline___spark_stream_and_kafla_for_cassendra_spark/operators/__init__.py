@@ -1,6 +1,7 @@
 from .aggregates import daily_activity_aggregation, hourly_activity_aggregation
 from .dedup import (
     connected_components,
+    connected_components_star,
     dedup_exact,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -33,6 +34,7 @@ from .similarity import (
 __all__ = [
     "asof_join",
     "connected_components",
+    "connected_components_star",
     "brute_force_topk",
     "daily_activity_aggregation",
     "dedup_exact",

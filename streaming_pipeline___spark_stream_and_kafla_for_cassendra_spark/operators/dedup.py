@@ -520,3 +520,74 @@ def simhash_near_dup_pairs(
         "id_b",
         F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming_distance"),
     )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction — the O(log n)-round algorithm for GIANT components.
+
+    ``connected_components`` (min-label propagation) moves the minimum
+    label one hop per round, so a sparse giant component of diameter d
+    needs ~d rounds; star contraction restructures the edge set itself
+    each round (large-star hangs every node's larger neighbors onto
+    its minimum neighbor, small-star the smaller ones), provably
+    converging in O(log n) rounds on any topology. Same contract:
+    returns (node, comp = min reachable node id).
+
+    Per round: two grouped mins + two joins over the current edge
+    set, which only shrinks toward the final star forest; lineage is
+    checkpoint-truncated per round and convergence is a
+    count+hash-sum equality, not an edge-set collect.
+    """
+    def sym(e):
+        return e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+
+    def star(e_sym, large):
+        m = e_sym.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        joined = e_sym.join(m, "a")
+        if large:
+            out = joined.filter(F.col("b") > F.col("a")).select(
+                F.col("b").alias("a"), F.col("m").alias("b")
+            )
+        else:
+            out = joined.filter(F.col("b") <= F.col("a")).select(
+                F.col("b").alias("a"), F.col("m").alias("b")
+            ).union(m.select(F.col("a"), F.col("m").alias("b")))
+        return out.filter(F.col("a") != F.col("b")).distinct()
+
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    isolated = None  # nodes only ever seen as self-loops drop out of `e`
+    prev_sig = None
+    for _ in range(max_rounds):
+        e = star(sym(e), large=True)
+        e = star(sym(e), large=False).localCheckpoint(eager=False)
+        sig = e.agg(
+            F.count("*").alias("n"),
+            # modular reduction keeps the ANSI long sum overflow-free
+            # at any edge count
+            F.sum(F.xxhash64("a", "b") % F.lit(1_000_000_007)).alias("h"),
+        ).first()
+        if prev_sig == (sig["n"], sig["h"]):
+            break
+        prev_sig = (sig["n"], sig["h"])
+    # final edge set is a star forest: (node, root) for non-roots
+    nodes = sym(e).select(F.col("a").alias("node")).distinct()
+    comp = e.groupBy("a").agg(F.min("b").alias("root"))
+    return nodes.join(
+        comp, nodes["node"] == comp["a"], "left"
+    ).select(
+        "node",
+        F.least(F.col("node"), F.coalesce("root", F.col("node"))).alias("comp"),
+    )

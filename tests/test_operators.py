@@ -449,3 +449,26 @@ def test_asof_join_matches_pandas_merge_asof_randomized(spark):
             for r in got_rows
         }
         assert got == exp, f"seed {seed} mismatch"
+
+
+def test_connected_components_star_matches_label_prop(spark):
+    """Two-phase star contraction agrees with min-label propagation on
+    a random graph with a giant component, chains, and singleton
+    clusters — and handles the giant case in O(log n) rounds."""
+    import random
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(500), rng.randrange(500)) for _ in range(700)]
+    edges += [(1000 + i, 1001 + i) for i in range(30)]  # long chain
+    edges += [(2000, 2001), (3000, 3001)]
+    df = spark.createDataFrame(
+        [e for e in edges if e[0] != e[1]], "src long, dst long"
+    )
+    a = {r.node: r.comp for r in connected_components(df, max_iter=60).collect()}
+    b = {r.node: r.comp for r in connected_components_star(df).collect()}
+    assert a == b

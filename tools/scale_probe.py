@@ -106,6 +106,25 @@ def main() -> None:
     timings["connected_components"] = round(time.perf_counter() - t0, 2)
     assert n_comp == n_nodes // 10, n_comp
 
+    # 6. giant-component stress: a 1M-node sparse random graph
+    # (diameter ~log n) via two-phase star contraction — the shape
+    # that label propagation cannot finish in bounded rounds
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    n_g = min(n // 50, 1_000_000)
+    giant = spark.range(2 * n_g).select(
+        (F.col("id") % n_g).alias("src"),
+        ((F.col("id") * 31 + 7) % n_g).alias("dst"),
+    )
+    t0 = time.perf_counter()
+    star_labels = connected_components_star(giant)
+    star_labels.select("comp").distinct().count()
+    timings["connected_components_star_giant"] = round(
+        time.perf_counter() - t0, 2
+    )
+
     print(
         json.dumps(
             {
