@@ -195,3 +195,99 @@ def sessionize_batch_oracle(
         F.count("*").alias("n_events"),
         F.round(F.sum(value_col), 4).alias("total_value"),
     ).drop("_session_no")
+
+
+DEBOUNCE_SCHEMA = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("suppressed_since_last", LongType()),
+    ]
+)
+
+_DEBOUNCE_STATE = StructType(
+    [
+        StructField("last_emit_us", LongType()),
+        StructField("suppressed", LongType()),
+    ]
+)
+
+
+def debounce(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    cooldown: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-key debounce / rate limit: emit the first event of each
+    key, then suppress further events until ``cooldown`` has elapsed
+    in EVENT time; each emitted row carries how many events it
+    absorbed. The alerting/dedup-burst primitive (one alert per
+    incident, not one per symptom) that plain ``dropDuplicates``
+    cannot express — suppression depends on the last EMITTED
+    timestamp, not key equality.
+
+    Same scale contract as :func:`sessionize`: one shuffle on the
+    key, two-scalar state per live key, state expired by event-time
+    timeout once the watermark passes the cooldown horizon.
+    """
+    cd_us = _duration_us(cooldown)
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        k = key[0]
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        if state.exists:
+            last_emit_us, suppressed = state.get
+        else:
+            last_emit_us, suppressed = None, 0
+
+        out_ts, out_val, out_sup = [], [], []
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(ts_col)
+            ts_us = pdf[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+            vals = pdf[value_col].fillna(0.0).to_numpy()
+            for t, v in zip(ts_us, vals):
+                if last_emit_us is None or t - last_emit_us >= cd_us:
+                    out_ts.append(int(t))
+                    out_val.append(float(v))
+                    out_sup.append(int(suppressed))
+                    last_emit_us, suppressed = int(t), 0
+                else:
+                    suppressed += 1
+
+        if last_emit_us is not None:
+            state.update((last_emit_us, suppressed))
+            state.setTimeoutTimestamp((last_emit_us + cd_us) // 1000)
+        if out_ts:
+            yield pd.DataFrame(
+                {
+                    "key": [k] * len(out_ts),
+                    "ts": [pd.Timestamp(t, unit="us") for t in out_ts],
+                    "value": out_val,
+                    "suppressed_since_last": out_sup,
+                }
+            )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=DEBOUNCE_SCHEMA,
+            stateStructType=_DEBOUNCE_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

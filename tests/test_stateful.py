@@ -114,3 +114,57 @@ def test_batch_oracle_matches_closed_sessions(spark):
         (1, "2024-01-01 12:00:00"): (1, 4.0),
         (2, "2024-01-01 10:05:00"): (3, 30.0),
     }
+
+
+def test_debounce_emits_first_and_counts_suppressed(spark, tmp_path):
+    """Per-key event-time debounce: first event emits, events inside
+    the cooldown are absorbed and counted, the next event after the
+    cooldown emits with the suppression count; state survives across
+    micro-batches."""
+    import json
+
+    def ev(k, ts, v):
+        return json.dumps({"user_id": k, "ts": ts, "value": v})
+
+    batch1 = [
+        ev(1, "2024-01-01 10:00:00", 1.0),
+        ev(1, "2024-01-01 10:01:00", 2.0),   # suppressed
+        ev(1, "2024-01-01 10:02:00", 3.0),   # suppressed
+        ev(2, "2024-01-01 10:00:30", 9.0),
+    ]
+    batch2 = [
+        ev(1, "2024-01-01 10:06:00", 4.0),   # > 5 min after 10:00 -> emits
+        ev(2, "2024-01-01 10:03:00", 8.0),   # suppressed (cooldown)
+    ]
+    d = tmp_path / "deb"
+    d.mkdir()
+    (d / "b0.jsonl").write_text("\n".join(batch1))
+    (d / "b1.jsonl").write_text("\n".join(batch2))
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.streaming.stateful import (
+        debounce,
+    )
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    out = debounce(stream, cooldown="5 minutes", watermark="1 minute")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("debounced")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {
+        (r.key, str(r.ts)): (r.value, r.suppressed_since_last)
+        for r in spark.table("debounced").collect()
+    }
+    assert rows == {
+        (1, "2024-01-01 10:00:00"): (1.0, 0),
+        (1, "2024-01-01 10:06:00"): (4.0, 2),
+        (2, "2024-01-01 10:00:30"): (9.0, 0),
+    }
