@@ -1543,6 +1543,66 @@ def streaming_dedup_events(spark, sf_dir):
     return spark.table(sink)
 
 
+@_register(
+    "streaming_debounce_events",
+    None,  # genuinely streaming: stateful recurrence on last-EMITTED time
+    "Real Structured Streaming custom stateful op: per-user "
+    "event-time debounce (applyInPandasWithState) over the events "
+    "file stream — emits each user's first event then absorbs "
+    "repeats inside a 6-hour cooldown, carrying the suppression "
+    "count; the rate-limit/alerting primitive",
+    ("streaming", "stateful", "debounce"),
+)
+def streaming_debounce_events(spark, sf_dir):
+    import uuid
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..streaming.stateful import debounce
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out = debounce(
+        stream,
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        cooldown="6 hours",
+        watermark="1 hour",
+    )
+    sink = f"stream_debounce_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink)
+
+
 # ---------------------------------------------------------------------------
 # Batch SQL depth: TPC-H-shaped plans over the trimmed star schema
 # (no partsupp table in the fixtures; q09/q17 shapes adapted). These
