@@ -291,3 +291,49 @@ def debounce(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def debounce_batch(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    cooldown: str = "5 minutes",
+) -> DataFrame:
+    """Batch twin of :func:`debounce` for backfills — identical
+    semantics over bounded data (kappa parity: one definition of
+    "debounced", two execution modes). The recurrence depends on the
+    last EMITTED timestamp, which no window function expresses, so
+    this is a grouped ``applyInPandas`` scan: one shuffle on the key,
+    per-group sequential pass in Arrow batches."""
+    cd_us = _duration_us(cooldown)
+
+    def fn(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(ts_col)
+        ts_us = pdf[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        vals = pdf[value_col].fillna(0.0).to_numpy()
+        keys = pdf[key_col].to_numpy()
+        out_k, out_ts, out_val, out_sup = [], [], [], []
+        last_emit, suppressed = None, 0
+        for k, t, v in zip(keys, ts_us, vals):
+            if last_emit is None or t - last_emit >= cd_us:
+                out_k.append(int(k))
+                out_ts.append(pd.Timestamp(int(t), unit="us"))
+                out_val.append(float(v))
+                out_sup.append(int(suppressed))
+                last_emit, suppressed = int(t), 0
+            else:
+                suppressed += 1
+        return pd.DataFrame(
+            {
+                "key": out_k,
+                "ts": out_ts,
+                "value": out_val,
+                "suppressed_since_last": out_sup,
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandas(fn, DEBOUNCE_SCHEMA)

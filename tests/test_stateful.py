@@ -168,3 +168,59 @@ def test_debounce_emits_first_and_counts_suppressed(spark, tmp_path):
         (1, "2024-01-01 10:06:00"): (4.0, 2),
         (2, "2024-01-01 10:00:30"): (9.0, 0),
     }
+
+
+def test_debounce_streaming_matches_batch_twin(spark, tmp_path):
+    """Kappa parity: the streaming debounce over a replayed file
+    stream emits exactly what the batch twin computes on the same
+    bounded data."""
+    import json
+    import random
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.streaming.stateful import (
+        debounce,
+        debounce_batch,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        {
+            "user_id": rng.randrange(5),
+            "ts": f"2024-01-01 {h:02d}:{m:02d}:00",
+            "value": round(rng.random() * 10, 3),
+        }
+        for h in range(6)
+        for m in sorted(rng.sample(range(60), 8))
+    ]
+    d = tmp_path / "kappa"
+    d.mkdir()
+    half = len(rows) // 2
+    (d / "b0.jsonl").write_text("\n".join(json.dumps(r) for r in rows[:half]))
+    (d / "b1.jsonl").write_text("\n".join(json.dumps(r) for r in rows[half:]))
+
+    schema = "user_id long, ts timestamp, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        debounce(stream, cooldown="45 minutes", watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("kappa_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got_stream = {
+        (r.key, str(r.ts)): (r.value, r.suppressed_since_last)
+        for r in spark.table("kappa_stream").collect()
+    }
+
+    batch_df = spark.read.schema(schema).json(str(d))
+    got_batch = {
+        (r.key, str(r.ts)): (r.value, r.suppressed_since_last)
+        for r in debounce_batch(batch_df, cooldown="45 minutes").collect()
+    }
+    assert got_stream == got_batch and len(got_batch) > 10
