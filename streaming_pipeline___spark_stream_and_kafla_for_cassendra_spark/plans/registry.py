@@ -3455,6 +3455,75 @@ def null_safe_join_props(spark, sf_dir):
 
 
 @_register(
+    "part_string_census_extended",
+    """
+    SELECT p_partkey,
+           translate(p_name, 'aeiou', '_____') AS devoweled,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded_size,
+           rpad(p_brand, 12, '.') AS padded_brand,
+           reverse(p_type) AS type_reversed,
+           repeat(left(p_name, 2), 2) AS doubled_prefix
+    FROM part WHERE p_partkey < 120
+    """,
+    "Extended string-function census: translate, lpad/rpad, reverse, "
+    "repeat, left — completing the string surface beyond the core "
+    "upper/trim/concat/substring census",
+    ("string", "census"),
+)
+def part_string_census_extended(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 120)
+    return p.select(
+        "p_partkey",
+        F.translate("p_name", "aeiou", "_____").alias("devoweled"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("padded_size"),
+        F.rpad("p_brand", 12, ".").alias("padded_brand"),
+        F.reverse("p_type").alias("type_reversed"),
+        F.repeat(F.substring("p_name", 1, 2), 2).alias("doubled_prefix"),
+    )
+
+
+@_register(
+    "documents_array_set_ops",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               list_filter(string_split(lower(text), ' '), x -> x <> '')))
+               AS toks
+      FROM documents WHERE doc_id < 40
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           list_sort(list_intersect(a.toks, b.toks)) AS common_tokens,
+           CAST(len(list_intersect(a.toks, b.toks)) AS INTEGER) AS n_common
+    FROM t a JOIN t b ON a.doc_id + 1 = b.doc_id
+    """,
+    "Array set-operation census: array_distinct + array_sort + "
+    "array_intersect between adjacent documents' token sets — the "
+    "array algebra used by set-similarity ops, kept deterministic by "
+    "sorting every array output",
+    ("array", "census", "documents"),
+)
+def documents_array_set_ops(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    t = d.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(tokens("text"))).alias("toks"),
+    )
+    a = t.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"))
+    b = t.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
+    inter = F.array_intersect("toks_a", "toks_b")
+    return (
+        a.join(b, F.col("id_a") + 1 == F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.array_sort(inter).alias("common_tokens"),
+            F.size(inter).alias("n_common"),
+        )
+    )
+
+
+@_register(
     "user_event_timelines",
     """
     SELECT user_id,
