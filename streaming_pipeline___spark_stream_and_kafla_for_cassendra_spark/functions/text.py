@@ -176,3 +176,28 @@ def lang_id_heuristic(text: Column | str) -> Column:
     )
     best = F.array_max(scored)
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+# PII patterns (public, standard shapes): email, NANP-style phone
+# number, IPv4. Order matters — emails first so their digit runs are
+# not half-eaten by the phone pattern.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{2,3}[-.]\d{3}[-.]\d{3,4}[-.]\d{4}\b", "<PHONE>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_scrub(text: Column | str) -> Column:
+    """Redact common PII shapes from free text.
+
+    A chain of `regexp_replace` calls — pure Catalyst codegen, so the
+    scrub is a scan-local map with zero shuffle at any corpus size.
+    The patterns are deliberately conservative (high precision): a
+    100 TB pre-training scrub wants no false merges of ordinary
+    numerics into <PHONE>.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    for pattern, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, token)
+    return c

@@ -21,7 +21,12 @@ from .multimodal import (
     synthetic_media_from_documents,
 )
 from .quality import validate
-from .sampling import deterministic_sample, stratified_sample, train_test_split
+from .sampling import (
+    deterministic_sample,
+    mixture_reweight,
+    stratified_sample,
+    train_test_split,
+)
 from .scale import salted_join, save_bucketed
 from .similarity import (
     brute_force_topk,
@@ -39,6 +44,7 @@ __all__ = [
     "daily_activity_aggregation",
     "dedup_exact",
     "deterministic_sample",
+    "mixture_reweight",
     "embedding_near_dup_pairs",
     "enrich_activities",
     "enrich_employees",

@@ -19,7 +19,7 @@ identically everywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 HEX_WIDTH = 8
@@ -106,4 +106,63 @@ def sample_threshold_sql(fraction: float, key_expr: str, salt: str = "v1") -> st
     return (
         f"substr(md5('{salt}' || CAST({key_expr} AS VARCHAR)), 1, {HEX_WIDTH})"
         f" < '{thr}'"
+    )
+
+
+def mixture_reweight(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    target_weights: dict[str, float] | None = None,
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Downsample strata so the surviving rows match a target mixture.
+
+    The standard training-data "domain mixing" op: given observed
+    stratum sizes n_s and target shares w_s (default uniform over the
+    observed strata), the largest feasible corpus with exactly that
+    mixture is T = min_s(n_s / w_s); each stratum keeps kept_s =
+    T * w_s rows, i.e. a per-stratum rate r_s = T * w_s / n_s.
+
+    The keep decision reuses the deterministic md5 draw from
+    :func:`deterministic_sample` compared against a *runtime*
+    threshold: ``printf('%08x', floor(r * 2^32))`` — identical SQL on
+    any engine, so the DuckDB oracle reproduces membership exactly.
+    r == 1 (the binding stratum) bypasses the compare, since 2^32
+    renders as 9 hex chars and would break the fixed-width trick.
+
+    Scale shape: one tiny per-stratum count aggregate (k rows),
+    broadcast back onto the scan, then a scan-local filter — no big
+    shuffle, no driver loop, rerun-stable under task retries.
+    """
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("_n"))
+    if target_weights is None:
+        w_all = Window.partitionBy(F.lit(1))
+        counts = counts.withColumn(
+            "_w", F.lit(1.0) / F.count("*").over(w_all)
+        )
+    else:
+        total_w = sum(target_weights.values())
+        expr = None
+        for value, w in sorted(target_weights.items()):
+            lit = F.lit(w / total_w)
+            cond = F.col(strata_col) == value
+            expr = F.when(cond, lit) if expr is None else expr.when(cond, lit)
+        counts = counts.withColumn("_w", expr.otherwise(F.lit(0.0)))
+    counts = counts.filter(F.col("_w") > 0)
+    w_all = Window.partitionBy(F.lit(1))
+    rates = counts.withColumn(
+        "_t", F.min(F.col("_n") / F.col("_w")).over(w_all)
+    ).withColumn(
+        "_rate", F.col("_t") * F.col("_w") / F.col("_n")
+    ).select(strata_col, "_rate")
+    thr = F.format_string(
+        "%08x", F.floor(F.col("_rate") * F.lit(float(_SPACE))).cast("bigint")
+    )
+    return (
+        df.join(F.broadcast(rates), on=strata_col, how="inner")
+        .filter(
+            (F.col("_rate") >= 1.0) | (_bucket_hex(F.col(key_col), salt) < thr)
+        )
+        .drop("_rate")
     )

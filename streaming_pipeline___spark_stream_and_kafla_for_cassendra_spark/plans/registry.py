@@ -3850,6 +3850,546 @@ def docs_with_embedding_norm(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Training-data ops, batch 2: PII scrub, repetition quality, domain
+# mixing, sequence packing — plus window-frame / higher-order-array /
+# unpivot SQL-surface census queries.
+# ---------------------------------------------------------------------------
+
+
+def _stable_ratio6(num, den):
+    """Engine-stable 6-decimal ratio of two exact (integer) values:
+    one IEEE divide then the floor(x*1e6+0.5) trick — identical on
+    Spark and DuckDB regardless of round() implementation."""
+    q = num / den
+    return F.floor(q * 1000000 + F.lit(0.5)) / F.lit(1000000.0)
+
+
+@_register(
+    "pii_redaction_customers",
+    r"""
+    WITH base AS (
+      SELECT c_custkey,
+             'Reach ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR)
+             || '@example.com or '
+             || printf('%02d-%03d-%03d-%04d',
+                       c_custkey % 90 + 10, (c_custkey * 7) % 1000,
+                       (c_custkey * 13) % 1000, (c_custkey * 97) % 10000)
+             || ' (ip 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.7)'
+             AS note
+      FROM customer
+    )
+    SELECT c_custkey,
+           md5('pii-v1' || CAST(c_custkey AS VARCHAR)) AS pseudonym,
+           regexp_replace(regexp_replace(regexp_replace(note,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{2,3}[-.]\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g'),
+               '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS note_clean
+    FROM base
+    """,
+    "PII redaction: email/phone/IPv4 scrubbed from free text by a "
+    "regexp_replace chain (scan-local codegen, no shuffle) plus "
+    "key-stable md5 pseudonymization. Contact strings are synthesized "
+    "deterministically from c_custkey on both engines, then scrubbed — "
+    "the redaction path itself is what's under test",
+    ("text", "pii", "training"),
+)
+def pii_redaction_customers(spark, sf_dir):
+    from ..functions.text import pii_scrub
+
+    c = _t(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    note = F.concat(
+        F.lit("Reach "),
+        F.col("c_name"),
+        F.lit(" at user"),
+        key.cast("string"),
+        F.lit("@example.com or "),
+        F.format_string(
+            "%02d-%03d-%03d-%04d",
+            key % 90 + 10,
+            (key * 7) % 1000,
+            (key * 13) % 1000,
+            (key * 97) % 10000,
+        ),
+        F.lit(" (ip 10.0."),
+        (key % 256).cast("string"),
+        F.lit(".7)"),
+    )
+    return c.select(
+        "c_custkey",
+        F.md5(
+            F.concat(F.lit("pii-v1"), key.cast("string")).cast("binary")
+        ).alias("pseudonym"),
+        pii_scrub(note).alias("note_clean"),
+    )
+
+
+@_register(
+    "repetition_quality_documents",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    uni AS (
+      SELECT doc_id, lang, tok, count(*) AS c
+      FROM (SELECT doc_id, lang, unnest(toks) AS tok FROM t)
+      GROUP BY doc_id, lang, tok
+    ),
+    u AS (
+      SELECT doc_id, lang, sum(c) AS total, count(*) AS dist, max(c) AS mx
+      FROM uni GROUP BY doc_id, lang
+    ),
+    bt AS (
+      SELECT doc_id,
+             list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1]) AS bgs
+      FROM t
+    ),
+    bi AS (
+      SELECT doc_id, bg, count(*) AS c
+      FROM (SELECT doc_id, unnest(bgs) AS bg FROM bt)
+      GROUP BY doc_id, bg
+    ),
+    b AS (SELECT doc_id, sum(c) AS total_bi, max(c) AS mx_bi FROM bi GROUP BY doc_id)
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(total) AS BIGINT) AS total_tokens,
+           CAST(sum(dist) AS BIGINT) AS distinct_tokens,
+           floor((1.0 - sum(dist) * 1.0 / sum(total)) * 1000000 + 0.5)
+             / 1000000.0 AS dup_token_frac,
+           floor(sum(mx) * 1.0 / sum(total) * 1000000 + 0.5)
+             / 1000000.0 AS top_token_frac,
+           floor(sum(mx_bi) * 1.0 / greatest(sum(total_bi), 1) * 1000000 + 0.5)
+             / 1000000.0 AS top_bigram_frac
+    FROM u LEFT JOIN b USING (doc_id)
+    GROUP BY lang
+    """,
+    "Gopher-style repetition quality signals: per-doc duplicate-token "
+    "fraction, top-token fraction, top-bigram fraction, aggregated per "
+    "language from exact integer sums (engine-stable ratios). The "
+    "explode/groupBy shape is a map-side-combinable shuffle keyed by "
+    "(doc_id, token) — scales linearly, no skew (doc_id spreads keys)",
+    ("text", "quality", "training", "documents"),
+)
+def repetition_quality_documents(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
+    uni = (
+        base.select("doc_id", "lang", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "lang", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").alias("total"),
+            F.count("*").alias("dist"),
+            F.max("c").alias("mx"),
+        )
+    )
+    n = F.size(F.col("toks"))
+    bigrams = F.zip_with(
+        F.slice(F.col("toks"), 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(F.col("toks"), 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bi = (
+        base.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("total_bi"), F.max("c").alias("mx_bi"))
+    )
+    per_doc = uni.join(bi, on="doc_id", how="left")
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("total").alias("total_tokens"),
+        F.sum("dist").alias("distinct_tokens"),
+        _stable_ratio6(
+            F.lit(1.0) - F.sum("dist") * F.lit(1.0) / F.sum("total"), F.lit(1.0)
+        ).alias("dup_token_frac"),
+        _stable_ratio6(F.sum("mx") * F.lit(1.0), F.sum("total")).alias(
+            "top_token_frac"
+        ),
+        _stable_ratio6(
+            F.sum("mx_bi") * F.lit(1.0), F.greatest(F.sum("total_bi"), F.lit(1))
+        ).alias("top_bigram_frac"),
+    )
+
+
+@_register(
+    "domain_mix_reweight",
+    """
+    WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    w AS (SELECT source, n, 1.0 / (SELECT count(*) FROM counts) AS w FROM counts),
+    r AS (
+      SELECT source, n, w,
+             (SELECT min(n / w) FROM w) * w / n AS rate
+      FROM w
+    )
+    SELECT d.source,
+           count(*) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS chars_kept
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE r.rate >= 1.0
+       OR substr(md5('mix-v1' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+          < printf('%08x', CAST(floor(r.rate * 4294967296.0) AS BIGINT))
+    GROUP BY d.source
+    """,
+    "Domain mixture reweighting: downsample every source to the "
+    "uniform-mixture feasibility bound T=min(n_s/w_s) via per-stratum "
+    "deterministic hash rates — tiny broadcast agg + scan-local "
+    "filter, no big shuffle, retry-stable (operators/sampling.py::"
+    "mixture_reweight)",
+    ("sampling", "training", "documents"),
+)
+def domain_mix_reweight(spark, sf_dir):
+    from ..operators.sampling import mixture_reweight
+
+    d = _t(spark, sf_dir, "documents")
+    kept = mixture_reweight(d, "source", "doc_id", salt="mix-v1")
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+    )
+
+
+@_register(
+    "sequence_pack_documents",
+    """
+    WITH t AS (
+      SELECT lang, doc_id,
+             len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT lang, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT lang,
+           CAST(floor((cum - 1) / 512.0) AS BIGINT) AS bin_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           floor(sum(n_tokens) * 1.0 / 512 * 1000000 + 0.5) / 1000000.0
+             AS fill_ratio
+    FROM c
+    GROUP BY lang, bin_id
+    """,
+    "LLM sequence packing: contiguous-fill binning of documents into "
+    "512-token training sequences via a per-language ordered cumsum — "
+    "the distributed-scale packing strategy (exact first-fit is "
+    "inherently sequential; contiguous fill is one window per "
+    "partition, parallel across languages/shards)",
+    ("packing", "training", "documents", "window"),
+)
+def sequence_pack_documents(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("lang", "doc_id", token_count(F.col("text")).alias("n_tokens"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    binned = c.withColumn(
+        "bin_id", F.floor((F.col("cum") - 1) / F.lit(512.0)).cast("bigint")
+    )
+    return binned.groupBy("lang", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+        _stable_ratio6(F.sum("n_tokens") * F.lit(1.0), F.lit(512)).alias(
+            "fill_ratio"
+        ),
+    )
+
+
+@_register(
+    "events_window_frame_census",
+    """
+    SELECT user_id, event_id,
+           floor(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                 * 10000 + 0.5) / 10000.0 AS rows_avg4,
+           min(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+             AS rows_min4,
+           floor(sum(value) OVER (PARTITION BY user_id
+                                  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                 * 10000 + 0.5) / 10000.0 AS range_sum_1h,
+           CAST(count(*) OVER (PARTITION BY user_id
+                               ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS range_n_1h
+    FROM events
+    WHERE user_id % 7 = 0
+    """,
+    "Window frame census: ROWS BETWEEN moving aggregates (tie-broken "
+    "ordering) and event-time RANGE BETWEEN frames over epoch seconds "
+    "— one exchange per partition key, frames evaluated in a single "
+    "sort pass",
+    ("window", "events"),
+)
+def events_window_frame_census(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") % 7 == 0)
+    w_rows = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    )
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    stable4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)
+    return e.select(
+        "user_id",
+        "event_id",
+        stable4(F.avg("value").over(w_rows)).alias("rows_avg4"),
+        F.min("value").over(w_rows).alias("rows_min4"),
+        stable4(F.sum("value").over(w_range)).alias("range_sum_1h"),
+        F.count("*").over(w_range).alias("range_n_1h"),
+    )
+
+
+@_register(
+    "higher_order_array_census",
+    """
+    WITH a AS (
+      SELECT user_id, list_sort(list(value)) AS vals
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vals) AS INTEGER) AS n_events,
+           floor(list_sum(list_transform(vals, x -> x * 2)) * 10000 + 0.5)
+             / 10000.0 AS doubled_sum,
+           CAST(len(list_filter(vals, x -> x > 50.0)) AS INTEGER) AS n_above_50,
+           len(list_filter(vals, x -> x > 95.0)) > 0 AS has_above_95,
+           floor(list_sum(list_transform(range(1, len(vals) + 1),
+                          i -> vals[i] * vals[len(vals) + 1 - i]))
+                 * 10000 + 0.5) / 10000.0 AS dot_reversed
+    FROM a
+    """,
+    "Higher-order array function census: transform/filter/exists/"
+    "zip_with/aggregate over per-user sorted value arrays — lambdas "
+    "run inside codegen (no Python), summation order pinned by the "
+    "sort so double results are engine-stable",
+    ("functions", "arrays", "events"),
+)
+def higher_order_array_census(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    a = e.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("value")).alias("vals")
+    )
+    stable4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)
+    doubled = F.aggregate(
+        F.transform(F.col("vals"), lambda x: x * 2),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dot_rev = F.aggregate(
+        F.zip_with(F.col("vals"), F.reverse(F.col("vals")), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return a.select(
+        "user_id",
+        F.size("vals").alias("n_events"),
+        stable4(doubled).alias("doubled_sum"),
+        F.size(F.filter(F.col("vals"), lambda x: x > 50.0)).alias("n_above_50"),
+        F.exists(F.col("vals"), lambda x: x > 95.0).alias("has_above_95"),
+        stable4(dot_rev).alias("dot_reversed"),
+    )
+
+
+@_register(
+    "events_unpivot_metrics",
+    """
+    WITH agg AS (
+      SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS n_events,
+             round(sum(value), 4) AS total_value,
+             round(max(value), 4) AS max_value
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, 'n_events' AS metric, n_events AS metric_value FROM agg
+    UNION ALL
+    SELECT event_type, 'total_value', total_value FROM agg
+    UNION ALL
+    SELECT event_type, 'max_value', max_value FROM agg
+    """,
+    "Unpivot/melt (wide→long): per-type metric columns rotated into "
+    "(metric, value) rows — Spark `unpivot` vs a UNION ALL oracle; "
+    "the melt is a zero-shuffle per-row expansion after one agg",
+    ("setops", "reshape", "events"),
+)
+def events_unpivot_metrics(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+    return agg.unpivot(
+        ["event_type"],
+        ["n_events", "total_value", "max_value"],
+        "metric",
+        "metric_value",
+    )
+
+
+@_register(
+    "try_cast_census",
+    """
+    WITH s AS (
+      SELECT o_orderkey,
+             CAST(o_orderkey % 5 AS INTEGER) AS case_id,
+             CASE o_orderkey % 5
+               WHEN 0 THEN CAST(o_orderkey AS VARCHAR)
+               WHEN 1 THEN ' 42 '
+               WHEN 2 THEN '1e3'
+               WHEN 3 THEN 'n/a'
+               ELSE '' END AS raw,
+             CASE o_orderkey % 3
+               WHEN 0 THEN '2024-02-29'
+               WHEN 1 THEN '2024-02-30'
+               ELSE '2024-13-01' END AS raw_date
+      FROM orders
+    )
+    SELECT case_id,
+           count(*) AS n_rows,
+           count(TRY_CAST(raw AS BIGINT)) AS n_int_ok,
+           count(TRY_CAST(raw AS DOUBLE)) AS n_double_ok,
+           count(TRY_CAST(raw_date AS DATE)) AS n_date_ok
+    FROM s GROUP BY case_id
+    """,
+    "Safe-parsing census: try_cast of messy strings to BIGINT/DOUBLE/"
+    "DATE returns NULL instead of failing the job — the ingestion "
+    "posture for dirty 100 TB corpora (one bad cell must not kill a "
+    "stage). Inputs synthesized deterministically per key on both "
+    "engines; cases chosen where ANSI and DuckDB semantics agree",
+    ("functions", "ingestion", "quality"),
+)
+def try_cast_census(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    raw = (
+        F.when(key % 5 == 0, key.cast("string"))
+        .when(key % 5 == 1, F.lit(" 42 "))
+        .when(key % 5 == 2, F.lit("1e3"))
+        .when(key % 5 == 3, F.lit("n/a"))
+        .otherwise(F.lit(""))
+    )
+    raw_date = (
+        F.when(key % 3 == 0, F.lit("2024-02-29"))
+        .when(key % 3 == 1, F.lit("2024-02-30"))
+        .otherwise(F.lit("2024-13-01"))
+    )
+    s = o.select(
+        (key % 5).cast("int").alias("case_id"),
+        raw.alias("raw"),
+        raw_date.alias("raw_date"),
+    )
+    return s.groupBy("case_id").agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.col("raw").try_cast("bigint")).alias("n_int_ok"),
+        F.count(F.col("raw").try_cast("double")).alias("n_double_ok"),
+        F.count(F.col("raw_date").try_cast("date")).alias("n_date_ok"),
+    )
+
+
+@_register(
+    "map_functions_census",
+    """
+    WITH hc AS (
+      SELECT event_type, CAST(hour(ts) AS INTEGER) AS h, count(*) AS c
+      FROM events GROUP BY event_type, h
+    )
+    SELECT event_type,
+           CAST(count(*) AS INTEGER) AS n_hours,
+           CAST(max(CASE WHEN h = 12 THEN c END) AS BIGINT) AS midday_cnt,
+           list_sort(list(h)) AS hours,
+           CAST(sum(c) AS BIGINT) AS total_events
+    FROM hc GROUP BY event_type
+    """,
+    "MapType census: map_from_entries over sorted (hour,count) "
+    "entries, element_at lookup, map_keys, and a map_values fold — "
+    "the oracle computes the same facts relationally, proving the map "
+    "layer adds no semantic drift",
+    ("functions", "maps", "events"),
+)
+def map_functions_census(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    hc = (
+        e.groupBy("event_type", F.hour("ts").cast("int").alias("h"))
+        .agg(F.count("*").alias("c"))
+    )
+    m = hc.groupBy("event_type").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("h", "c")))
+        ).alias("m")
+    )
+    total = F.aggregate(
+        F.map_values(F.col("m")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return m.select(
+        "event_type",
+        F.size("m").alias("n_hours"),
+        F.element_at(F.col("m"), F.lit(12)).alias("midday_cnt"),
+        F.array_sort(F.map_keys("m")).alias("hours"),
+        total.alias("total_events"),
+    )
+
+
+@_register(
+    "url_parse_census",
+    """
+    WITH u AS (
+      SELECT doc_id, lang,
+             'https://' || source || '.example.com/docs/'
+             || CAST(doc_id AS VARCHAR) || '?lang=' || lang || '&v=2' AS url
+      FROM documents
+    )
+    SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+           count(*) AS n_docs,
+           count(CASE WHEN regexp_extract(url, 'lang=([a-z]+)', 1) = 'en'
+                      THEN 1 END) AS n_en,
+           min(regexp_extract(url, 'https://[^/]+(/[^?]*)', 1)) AS first_path
+    FROM u GROUP BY host
+    """,
+    "URL structure extraction: parse_url(HOST/PATH/QUERY:key) over "
+    "deterministically synthesized URLs vs a pure-regex oracle — the "
+    "web-corpus provenance op (domain grouping, query-param filters), "
+    "scan-local codegen",
+    ("functions", "text", "documents"),
+)
+def url_parse_census(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&v=2"),
+    )
+    u = d.select(url.alias("url"))
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    path = F.parse_url(F.col("url"), F.lit("PATH"))
+    q_lang = F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("lang"))
+    return u.groupBy(host.alias("host")).agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(q_lang == "en", F.lit(1))).alias("n_en"),
+        F.min(path).alias("first_path"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # public accessors (driver contract)
 # ---------------------------------------------------------------------------
 

@@ -472,3 +472,70 @@ def test_connected_components_star_matches_label_prop(spark):
     a = {r.node: r.comp for r in connected_components(df, max_iter=60).collect()}
     b = {r.node: r.comp for r in connected_components_star(df).collect()}
     assert a == b
+
+
+def test_mixture_reweight_uniform_hits_min_stratum(spark):
+    """Uniform target mixture downsamples every stratum toward the
+    smallest one: expected kept ≈ min_n per stratum, and membership is
+    deterministic (rerun-identical)."""
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.sampling import (
+        mixture_reweight,
+    )
+
+    rows = (
+        [(i, "big") for i in range(2000)]
+        + [(10_000 + i, "mid") for i in range(800)]
+        + [(20_000 + i, "small") for i in range(400)]
+    )
+    df = spark.createDataFrame(rows, ["k", "src"])
+    kept = mixture_reweight(df, "src", "k")
+    counts = {r["src"]: r["n"] for r in kept.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    # the binding stratum survives intact; others land near 400 (hash noise)
+    assert counts["small"] == 400
+    for s in ("big", "mid"):
+        assert abs(counts[s] - 400) < 80, counts
+    again = {r["src"]: r["n"] for r in mixture_reweight(df, "src", "k").groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert counts == again
+
+
+def test_mixture_reweight_explicit_weights(spark):
+    """Explicit 3:1 target: kept counts track the requested mixture and
+    strata with zero weight are dropped entirely."""
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.sampling import (
+        mixture_reweight,
+    )
+
+    rows = (
+        [(i, "a") for i in range(3000)]
+        + [(10_000 + i, "b") for i in range(3000)]
+        + [(20_000 + i, "junk") for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, ["k", "src"])
+    kept = mixture_reweight(df, "src", "k", target_weights={"a": 3.0, "b": 1.0})
+    counts = {r["src"]: r["n"] for r in kept.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert "junk" not in counts
+    # T = min(3000/0.75, 3000/0.25) = 4000 → kept a=3000, b≈1000
+    assert counts["a"] == 3000
+    assert abs(counts["b"] - 1000) < 120, counts
+
+
+def test_pii_scrub_patterns(spark):
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.functions.text import (
+        pii_scrub,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("mail jane.doe+x@corp.example.org now",),
+            ("call 415-555-123-4567 today",),
+            ("host 192.168.0.1 responded",),
+            ("version 1.2 costs 3.50 at row 12",),
+        ],
+        ["text"],
+    )
+    out = [r[0] for r in df.select(pii_scrub("text")).collect()]
+    assert out[0] == "mail <EMAIL> now"
+    assert out[1] == "call <PHONE> today"
+    assert out[2] == "host <IP> responded"
+    # conservative: bare decimals / small numbers untouched
+    assert out[3] == "version 1.2 costs 3.50 at row 12"
