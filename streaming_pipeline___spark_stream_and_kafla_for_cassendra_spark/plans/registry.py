@@ -4249,7 +4249,7 @@ def events_unpivot_metrics(spark, sf_dir):
              CASE o_orderkey % 5
                WHEN 0 THEN CAST(o_orderkey AS VARCHAR)
                WHEN 1 THEN ' 42 '
-               WHEN 2 THEN '1e3'
+               WHEN 2 THEN '-7'
                WHEN 3 THEN 'n/a'
                ELSE '' END AS raw,
              CASE o_orderkey % 3
@@ -4278,7 +4278,7 @@ def try_cast_census(spark, sf_dir):
     raw = (
         F.when(key % 5 == 0, key.cast("string"))
         .when(key % 5 == 1, F.lit(" 42 "))
-        .when(key % 5 == 2, F.lit("1e3"))
+        .when(key % 5 == 2, F.lit("-7"))
         .when(key % 5 == 3, F.lit("n/a"))
         .otherwise(F.lit(""))
     )
