@@ -1,11 +1,14 @@
 from .lake import LakeTable, write_stream_to_lake
-from .orchestrator import StreamOrchestrator
+from .orchestrator import MetricsListener, StreamOrchestrator, observe_counters
 from .sinks import write_console, write_kafka, write_memory
-from .stateful import sessionize, sessionize_batch_oracle
+from .stateful import debounce, sessionize, sessionize_batch_oracle
 
 __all__ = [
     "LakeTable",
+    "MetricsListener",
     "StreamOrchestrator",
+    "debounce",
+    "observe_counters",
     "sessionize",
     "sessionize_batch_oracle",
     "write_console",

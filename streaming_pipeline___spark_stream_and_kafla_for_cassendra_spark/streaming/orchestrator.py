@@ -101,6 +101,12 @@ class MetricsListener:
                 state_rows = sum(
                     s.numRowsTotal for s in (p.stateOperators or [])
                 )
+                observed = {}
+                try:
+                    for obs_name, row in (p.observedMetrics or {}).items():
+                        observed[obs_name] = row.asDict()
+                except Exception:  # defensive: shape varies across versions
+                    observed = {}
                 outer._progress[p.name or str(p.id)].append(
                     {
                         "batch_id": p.batchId,
@@ -108,6 +114,7 @@ class MetricsListener:
                         "input_rows_per_second": p.inputRowsPerSecond,
                         "batch_duration_ms": p.batchDuration,
                         "state_rows": state_rows,
+                        "observed": observed,
                     }
                 )
 
@@ -134,3 +141,26 @@ class MetricsListener:
             name: sum(p["num_input_rows"] for p in snaps)
             for name, snaps in self._progress.items()
         }
+
+
+def observe_counters(df, name: str, value_col: str | None = None):
+    """Attach in-plan observation metrics to a (streaming or batch)
+    DataFrame: row count, plus null count and sum when ``value_col``
+    is given.
+
+    ``df.observe`` piggybacks accumulator-style aggregates on the
+    batches the query already executes — data-quality counters with
+    ZERO extra scans or shuffles, at any scale. Per micro-batch
+    results surface through :class:`MetricsListener` progress entries
+    under ``observed[name]`` (batch queries: via the listener's batch
+    twin, ``DataFrame.observe`` docs).
+    """
+    from pyspark.sql import functions as F
+
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.col(value_col).isNull().cast("long")).alias("nulls")
+        )
+        aggs.append(F.sum(value_col).alias("value_sum"))
+    return df.observe(name, *aggs)

@@ -476,3 +476,55 @@ def test_checkpoint_resume_processes_only_new_data(spark, tmp_path):
 
     committed = sorted(_glob.glob(ckpt + "/*/commits/*"))
     assert len(committed) == 2  # one commit per run
+
+
+def test_observe_counters_surface_in_listener(spark, tmp_path):
+    """df.observe quality counters ride each micro-batch for free and
+    land in MetricsListener progress entries — no extra scan, no
+    second query."""
+    import json
+    import time as _time
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.streaming.orchestrator import (
+        MetricsListener,
+        observe_counters,
+    )
+
+    (tmp_path / "in").mkdir()
+    rows = [
+        {"id": i, "v": (None if i % 5 == 0 else float(i))} for i in range(20)
+    ]
+    (tmp_path / "in" / "a.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in rows)
+    )
+    metrics = MetricsListener().attach(spark)
+    try:
+        stream = spark.readStream.schema("id long, v double").json(
+            str(tmp_path / "in")
+        )
+        observed = observe_counters(stream, "quality", "v")
+        q = (
+            observed.writeStream.format("memory")
+            .queryName("obs_sink")
+            .option(
+                "checkpointLocation", str(tmp_path / "ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        # listener delivery is async; poll briefly
+        got = None
+        for _ in range(40):
+            for entry in metrics.progress("obs_sink"):
+                if entry["observed"].get("quality"):
+                    got = entry["observed"]["quality"]
+            if got:
+                break
+            _time.sleep(0.25)
+        assert got is not None, "observed metrics never surfaced"
+        assert got["rows"] == 20
+        assert got["nulls"] == 4
+        assert got["value_sum"] == sum(r["v"] for r in rows if r["v"] is not None)
+    finally:
+        metrics.detach(spark)
