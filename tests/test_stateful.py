@@ -224,3 +224,84 @@ def test_debounce_streaming_matches_batch_twin(spark, tmp_path):
         for r in debounce_batch(batch_df, cooldown="45 minutes").collect()
     }
     assert got_stream == got_batch and len(got_batch) > 10
+
+
+def test_running_totals_transform_with_state_across_restarts(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API): per-key
+    lifetime totals held in RocksDB ValueState accumulate across a
+    query restart on the same checkpoint."""
+    import json
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state protocol requires protobuf",
+    )
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.streaming.stateful import (
+        running_totals,
+    )
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        def run_once(sink_name):
+            stream = spark.readStream.schema("user_id long, value double").json(
+                str(indir)
+            )
+            q = (
+                running_totals(stream)
+                .writeStream.format("memory")
+                .queryName(sink_name)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return {
+                r["user_id"]: (r["n_events"], r["total_value"])
+                for r in spark.sql(f"SELECT * FROM {sink_name}").collect()
+            }
+
+        (indir / "a.jsonl").write_text(
+            "\n".join(
+                json.dumps(r)
+                for r in [
+                    {"user_id": 1, "value": 10.0},
+                    {"user_id": 1, "value": 5.0},
+                    {"user_id": 2, "value": 1.0},
+                ]
+            )
+        )
+        first = run_once("rt_sink1")
+        assert first[1] == (2, 15.0)
+        assert first[2] == (1, 1.0)
+
+        (indir / "b.jsonl").write_text(
+            "\n".join(
+                json.dumps(r)
+                for r in [
+                    {"user_id": 1, "value": 2.5},
+                    {"user_id": 3, "value": 7.0},
+                ]
+            )
+        )
+        second = run_once("rt_sink2")
+        # restarted query resumes RocksDB state: user 1 continues from 15
+        assert second[1] == (3, 17.5)
+        assert second[3] == (1, 7.0)
+        assert 2 not in second  # no new rows for user 2 → no update emitted
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
