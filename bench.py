@@ -55,6 +55,10 @@ HEADLINE = [
     "near_dup_clusters",
     "tfidf_top_terms",
     "range_join_incident_windows",
+    "repetition_quality_documents",
+    "sequence_pack_documents",
+    "domain_mix_reweight",
+    "pii_redaction_customers",
 ]
 
 

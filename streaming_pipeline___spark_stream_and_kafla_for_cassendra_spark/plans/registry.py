@@ -4389,6 +4389,220 @@ def url_parse_census(spark, sf_dir):
     )
 
 
+@_register(
+    "contamination_ngram_overlap",
+    """
+    WITH toks AS (SELECT doc_id, source,
+                         string_split(lower(text), ' ') AS w FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, source,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                  || ' ' || w[i+4] AS g
+      FROM (SELECT doc_id, source, w,
+                   unnest(generate_series(1, greatest(len(w) - 4, 0))) AS i
+            FROM toks)
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+    corp AS (SELECT doc_id, g FROM grams WHERE source <> 'src0'),
+    total AS (SELECT doc_id, count(*) AS n_grams FROM corp GROUP BY doc_id),
+    hit AS (
+      SELECT c.doc_id, count(*) AS n_overlap
+      FROM corp c JOIN bench b ON c.g = b.g
+      GROUP BY c.doc_id
+    )
+    SELECT t.doc_id, t.n_grams,
+           COALESCE(h.n_overlap, 0) AS n_overlap,
+           floor(COALESCE(h.n_overlap, 0) * 1.0 / t.n_grams * 1000000 + 0.5)
+             / 1000000.0 AS contam_frac
+    FROM total t LEFT JOIN hit h ON t.doc_id = h.doc_id
+    """,
+    "Train/test contamination check: fraction of each corpus doc's "
+    "distinct 5-gram shingles that appear anywhere in a benchmark set "
+    "(source='src0' stands in). Shape = distinct-shingle explode + "
+    "semi-join on the gram hash — the benchmark side is the small "
+    "relation, so at 100 TB it broadcasts (or bucket-joins) while the "
+    "corpus side streams through one shuffle-free scan per gram",
+    ("dedup", "contamination", "training", "documents"),
+)
+def contamination_ngram_overlap(spark, sf_dir):
+    from ..functions.text import word_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", "source", F.explode(word_ngrams(F.col("text"), 5)).alias("g")
+    )
+    bench = grams.filter(F.col("source") == "src0").select("g").distinct()
+    corp = grams.filter(F.col("source") != "src0").select("doc_id", "g")
+    total = corp.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hit = (
+        corp.join(bench, on="g", how="leftsemi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    out = total.join(hit, on="doc_id", how="left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+        _stable_ratio6(
+            F.coalesce(F.col("n_overlap"), F.lit(0)) * F.lit(1.0),
+            F.col("n_grams"),
+        ).alias("contam_frac"),
+    )
+    return out
+
+
+@_register(
+    "char_entropy_documents",
+    """
+    WITH chars AS (
+      SELECT doc_id, c, count(*) AS n
+      FROM (SELECT doc_id, unnest(string_split(lower(text), '')) AS c
+            FROM documents)
+      WHERE c <> ''
+      GROUP BY doc_id, c
+    ),
+    tot AS (SELECT doc_id, sum(n) AS total FROM chars GROUP BY doc_id)
+    SELECT c.doc_id,
+           CAST(t.total AS BIGINT) AS n_chars_counted,
+           floor(-sum((n * 1.0 / t.total) * log2(n * 1.0 / t.total))
+                 * 1000000 + 0.5) / 1000000.0 AS char_entropy
+    FROM chars c JOIN tot t USING (doc_id)
+    GROUP BY c.doc_id, t.total
+    """,
+    "Perplexity-proxy quality signal: per-document character unigram "
+    "entropy (low entropy = repetitive/degenerate text, a standard "
+    "pre-training filter). Explode-to-chars + two grouped aggs, keys "
+    "spread by doc_id so no skew; -Σ p·log2 p folded in one agg",
+    ("text", "quality", "training", "documents"),
+)
+def char_entropy_documents(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    chars = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), "")).alias("c"))
+        .filter(F.col("c") != "")
+        .groupBy("doc_id", "c")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = chars.groupBy("doc_id").agg(F.sum("n").alias("total"))
+    p = F.col("n") * F.lit(1.0) / F.col("total")
+    return (
+        chars.join(tot, on="doc_id")
+        .groupBy("doc_id", "total")
+        .agg(
+            _stable_ratio6(-F.sum(p * F.log2(p)), F.lit(1.0)).alias(
+                "char_entropy"
+            )
+        )
+        .select(
+            "doc_id",
+            F.col("total").cast("bigint").alias("n_chars_counted"),
+            "char_entropy",
+        )
+    )
+
+
+@_register(
+    "chunk_documents_sliding",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks) - 16, 1) + 1, 16)) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST((start - 1) / 16 AS INTEGER) AS chunk_idx,
+           CAST(len(list_slice(toks, start, start + 31)) AS INTEGER)
+             AS n_chunk_tokens,
+           md5(array_to_string(list_slice(toks, start, start + 31), ' '))
+             AS chunk_hash
+    FROM s
+    """,
+    "Sliding-window chunking for RAG/pretraining: 32-token windows "
+    "with stride 16 (50% overlap), chunk identity = md5 of the joined "
+    "window. Pure per-row array expansion — zero shuffle, "
+    "embarrassingly parallel at any corpus size",
+    ("text", "chunking", "training", "documents"),
+)
+def chunk_documents_sliding(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    t = d.select("doc_id", toks.alias("toks"))
+    n = F.size("toks")
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - 16, F.lit(1)), F.lit(16)
+    )
+    s = t.select("doc_id", "toks", F.explode(starts).alias("start"))
+    chunk = F.slice(F.col("toks"), F.col("start"), 32)
+    return s.select(
+        "doc_id",
+        ((F.col("start") - 1) / 16).cast("int").alias("chunk_idx"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ").cast("binary")).alias("chunk_hash"),
+    )
+
+
+@_register(
+    "nation_trade_triangles",
+    """
+    WITH trade AS (
+      SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS a,
+                      greatest(c.c_nationkey, s.s_nationkey) AS b
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+    )
+    SELECT count(*) AS n_triangles,
+           (SELECT count(*) FROM trade) AS n_edges
+    FROM trade e1
+    JOIN trade e2 ON e1.b = e2.a
+    JOIN trade e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+    "Triangle counting on the undirected nation trade graph "
+    "(canonical a<b<c edge-ordering join — each triangle counted "
+    "once). The standard distributed algorithm: orient edges by "
+    "degree/id so the 3-way self-join's intermediate is bounded; "
+    "completes the graph trio with pagerank and connected components",
+    ("graph", "join"),
+)
+def nation_trade_triangles(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    trade = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .filter(c["c_nationkey"] != s["s_nationkey"])
+        .select(
+            F.least(c["c_nationkey"], s["s_nationkey"]).alias("a"),
+            F.greatest(c["c_nationkey"], s["s_nationkey"]).alias("b"),
+        )
+        .distinct()
+    )
+    e1 = trade.alias("e1")
+    e2 = trade.alias("e2")
+    e3 = trade.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return tri.crossJoin(
+        trade.agg(F.count("*").alias("n_edges"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
 # ---------------------------------------------------------------------------
