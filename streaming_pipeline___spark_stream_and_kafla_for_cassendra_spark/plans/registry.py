@@ -4604,6 +4604,354 @@ def nation_trade_triangles(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Modern SQL surface census: VARIANT, XML, listagg, recursive CTE, pipe syntax
+# ---------------------------------------------------------------------------
+
+@_register(
+    "variant_json_census",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(sum(user_id) AS BIGINT) AS sum_u
+    FROM events
+    GROUP BY event_type
+    """,
+    "Semi-structured VARIANT ingestion (Spark 4): parse_json the "
+    "props payload into an open-schema VARIANT and variant_get typed "
+    "paths — schema-on-read without a fixed from_json StructType, the "
+    "posture for heterogeneous web-corpus metadata. Oracle is DuckDB "
+    "json_extract over the same strings",
+    ("sql-surface", "variant", "json", "events"),
+)
+def variant_json_census(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    # round-trip a second, synthesized JSON document through VARIANT so
+    # both a stored payload and a constructed one exercise the codec
+    synth = F.parse_json(
+        F.concat(
+            F.lit('{"u":'),
+            F.col("user_id").cast("string"),
+            F.lit(',"t":"'),
+            F.col("event_type"),
+            F.lit('"}'),
+        )
+    )
+    return (
+        e.select(
+            F.variant_get(synth, "$.t", "string").alias("event_type"),
+            F.variant_get(F.parse_json("props"), "$.k", "long").alias("k"),
+            F.variant_get(synth, "$.u", "long").alias("u"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.sum("u").alias("sum_u"),
+        )
+    )
+
+
+@_register(
+    "xml_events_census",
+    """
+    SELECT event_type, count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_u
+    FROM events
+    GROUP BY event_type
+    """,
+    "XML ingestion (Spark 4 from_xml): serialize each event to an XML "
+    "fragment, parse it back with a declared schema, and aggregate the "
+    "extracted fields — parity proven against the pre-serialization "
+    "columns via the relational oracle",
+    ("sql-surface", "xml", "events"),
+)
+def xml_events_census(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    xml = F.concat(
+        F.lit("<e><u>"),
+        F.col("user_id").cast("string"),
+        F.lit("</u><t>"),
+        F.col("event_type"),
+        F.lit("</t></e>"),
+    )
+    parsed = F.from_xml(xml, "u BIGINT, t STRING")
+    return (
+        e.select(parsed.alias("p"))
+        .select(F.col("p.t").alias("event_type"), F.col("p.u").alias("u"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("u").alias("sum_u"))
+    )
+
+
+@_register(
+    "listagg_region_nations",
+    """
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           count(*) AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    "Ordered string aggregation: ANSI listagg(...) WITHIN GROUP "
+    "(ORDER BY ...) (Spark 4) vs DuckDB ordered string_agg — "
+    "deterministic concatenation independent of shuffle arrival order",
+    ("sql-surface", "agg"),
+)
+def listagg_region_nations(spark, sf_dir):
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r.r_name,
+               listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name) AS nations,
+               count(*) AS n_nations
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """
+    )
+
+
+@_register(
+    "recursive_weekly_orders",
+    """
+    WITH RECURSIVE weeks(n) AS (
+      SELECT 0
+      UNION ALL
+      SELECT n + 1 FROM weeks WHERE n < 25
+    )
+    SELECT CAST(DATE '1995-01-01' + n * 7 AS DATE) AS week_start,
+           count(o.o_orderkey) AS n_orders
+    FROM weeks w
+    LEFT JOIN orders o
+      ON o.o_orderdate >= CAST(DATE '1995-01-01' + w.n * 7 AS TIMESTAMP)
+     AND o.o_orderdate <  CAST(DATE '1995-01-01' + (w.n + 1) * 7 AS TIMESTAMP)
+    GROUP BY 1
+    """,
+    "Recursive CTE (Spark 4 WITH RECURSIVE): generate a 26-week "
+    "calendar ladder by recursion and left-join order counts per week "
+    "— zero-order weeks preserved. The recursion runs in BOTH engines "
+    "(Spark executes its own recursive union; DuckDB runs the "
+    "equivalent fixpoint)",
+    ("sql-surface", "recursive-cte", "join"),
+)
+def recursive_weekly_orders(spark, sf_dir):
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE weeks(n) AS (
+          SELECT 0
+          UNION ALL
+          SELECT n + 1 FROM weeks WHERE n < 25
+        )
+        SELECT date_add(DATE '1995-01-01', n * 7) AS week_start,
+               count(o.o_orderkey) AS n_orders
+        FROM weeks w
+        LEFT JOIN orders o
+          ON o.o_orderdate >= CAST(date_add(DATE '1995-01-01', w.n * 7) AS TIMESTAMP)
+         AND o.o_orderdate <  CAST(date_add(DATE '1995-01-01', (w.n + 1) * 7) AS TIMESTAMP)
+        GROUP BY 1
+        """
+    )
+
+
+@_register(
+    "pipe_syntax_priority_stats",
+    """
+    SELECT o_orderpriority,
+           CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS size_bucket,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS total_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    GROUP BY 1, 2
+    """,
+    "SQL pipe syntax (Spark 4 |> operators): WHERE → EXTEND → "
+    "AGGREGATE GROUP BY expressed as a linear pipeline; compiles to "
+    "the identical Catalyst plan as the nested-SELECT oracle",
+    ("sql-surface", "pipe-syntax", "agg"),
+)
+def pipe_syntax_priority_stats(spark, sf_dir):
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |> EXTEND CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS size_bucket
+        |> AGGREGATE count(*) AS n_orders, round(sum(o_totalprice), 4) AS total_price
+           GROUP BY o_orderpriority, size_bucket
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup extensions: corpus-level duplication tagging + canonical selection
+# ---------------------------------------------------------------------------
+
+@_register(
+    "dup_ngram_fraction_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS g
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 4, 0))) AS i
+            FROM toks)
+    ),
+    gd AS (SELECT g, count(*) AS nd FROM grams GROUP BY 1)
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN gd.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
+           floor(sum(CASE WHEN gd.nd > 1 THEN 1 ELSE 0 END) * 1.0 / count(*) * 10000 + 0.5) / 10000.0 AS dup_frac
+    FROM grams g JOIN gd ON gd.g = g.g
+    GROUP BY g.doc_id
+    """,
+    "Corpus-duplication tagging (Dolma/Gopher-style): per-document "
+    "fraction of distinct 5-gram shingles that also occur in another "
+    "document. Shingles hash to 64-bit keys in one Arrow pass so the "
+    "gram shuffle carries (long,long) rows, never text; two bounded "
+    "shuffles (by gram, then by doc)",
+    ("dedup", "quality", "documents"),
+)
+def dup_ngram_fraction_documents(spark, sf_dir):
+    from ..functions.text import shingle_rows
+
+    d = _t(spark, sf_dir, "documents")
+    grams = shingle_rows(d, "doc_id", "text", 5)
+    gram_docs = grams.groupBy("gram").agg(F.count("*").alias("nd"))
+    joined = grams.join(gram_docs, "gram")
+    dup = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+    return (
+        joined.groupBy(F.col("_id").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_grams"),
+            dup.cast("bigint").alias("dup_grams"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.floor(F.col("dup_grams") * 1.0 / F.col("n_grams") * 10000 + F.lit(0.5))
+            / F.lit(10000.0),
+        )
+    )
+
+
+@_register(
+    "dedup_keep_best_documents",
+    """
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+            FROM toks)
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) inter
+      JOIN cnt ca ON ca.doc_id = id_a
+      JOIN cnt cb ON cb.doc_id = id_b
+      WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.2
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges) base
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+    ),
+    labels AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+    clustered AS (
+      SELECT d.doc_id, d.n_chars, coalesce(l.comp, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+    ),
+    ranked AS (
+      SELECT cluster_id, doc_id, n_chars,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM clustered
+    )
+    SELECT cluster_id, doc_id AS kept_doc_id,
+           CAST(n_chars AS BIGINT) AS kept_chars, cluster_size
+    FROM ranked WHERE rn = 1
+    """,
+    "Canonical-document selection: near-dup clusters (3-gram Jaccard "
+    ">= 0.2 -> connected components) keep ONE representative each — "
+    "the longest document, ties to the smallest doc_id (max_by over a "
+    "sort-key struct, single shuffle). Singleton docs form their own "
+    "cluster. This is the decision step a dedup pipeline runs after "
+    "clustering: which row survives",
+    ("dedup", "clustering", "documents"),
+)
+def dedup_keep_best_documents(spark, sf_dir):
+    from ..operators.dedup import connected_components, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.2)
+    labels = connected_components(pairs, "id_a", "id_b")
+    clustered = (
+        d.select("doc_id", "n_chars")
+        .join(labels, d["doc_id"] == labels["node"], "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce(F.col("comp"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    return clustered.groupBy("cluster_id").agg(
+        F.expr("max_by(doc_id, struct(n_chars, -doc_id))").alias("kept_doc_id"),
+        F.max("n_chars").cast("bigint").alias("kept_chars"),
+        F.count("*").alias("cluster_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DataSketches surface: mergeable approximate state for 1000-executor aggs
+# ---------------------------------------------------------------------------
+
+@_register(
+    "sketch_distinct_users_by_type",
+    None,  # Apache DataSketches HLL binary images are engine-specific;
+    # accuracy + lossless mergeability proven in tests/test_sketches.py
+    "Mergeable distinct-count sketches (Apache DataSketches HLL via "
+    "hll_sketch_agg/hll_sketch_estimate): per-event-type distinct "
+    "users plus a grand total from hll_union_agg over the per-type "
+    "partial sketches — the re-aggregatable rollup pattern that lets "
+    "1000 executors sketch locally and merge losslessly, impossible "
+    "with exact distinct counts",
+    ("sketch", "agg", "events"),
+)
+def sketch_distinct_users_by_type(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.count("*").alias("n_events"),
+    )
+    return per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sketch").alias("approx_users"),
+        "n_events",
+    ).unionByName(
+        per_type.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"),
+            F.sum("n_events").alias("n_events"),
+        ).select(F.lit("__total__").alias("event_type"), "approx_users", "n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
 # public accessors (driver contract)
 # ---------------------------------------------------------------------------
 

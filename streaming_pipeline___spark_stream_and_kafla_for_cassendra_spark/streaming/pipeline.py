@@ -20,6 +20,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.aggregates import (
     daily_activity_aggregation,
@@ -52,6 +53,41 @@ class CdcPipeline:
         """Kafka records → decoded + enriched activity rows
         (MSP:143-197 parity)."""
         return enrich_activities(decode_cdc(raw, ACTIVITY_SCHEMA))
+
+    def cassandra_activities(self, raw: DataFrame) -> DataFrame:
+        """Cassandra-topic records → enriched activity rows.
+
+        S4 contract (``cassandra-connector.json:4-16``): the DataStax
+        source connector emits schemaless plain-JSON row images with
+        no Debezium envelope, so decoding is a single ``from_json``
+        against the same ACTIVITY_SCHEMA. ``op`` is synthesized as
+        'c' (row images, not change deltas) and event time comes from
+        the row's own ``activity_timestamp``.
+        """
+        rows = raw.select(
+            F.from_json(F.col("value").cast("string"), ACTIVITY_SCHEMA).alias("row")
+        ).select(
+            "row.*",
+            F.lit("c").alias("op"),
+            F.to_timestamp(F.col("row.activity_timestamp")).alias("event_timestamp"),
+            F.current_timestamp().alias("processing_timestamp"),
+        )
+        return enrich_activities(rows, data_source="cassandra")
+
+    def canonical_activities(
+        self, cdc_raw: DataFrame, cassandra_raw: DataFrame
+    ) -> DataFrame:
+        """One canonical activity stream from both sources (SURVEY
+        §2.9 extension: the reference processes the Postgres-CDC and
+        Cassandra streams in parallel, MSP:313-321, and never unions
+        them). ``unionByName`` so decoder column order can't mis-bind;
+        ``data_source`` disambiguates lineage downstream. Everything
+        below the union (windowed aggs, sinks, lake) sees a single
+        stream — one state store, one set of sinks, half the queries.
+        """
+        return self.activities(cdc_raw).unionByName(
+            self.cassandra_activities(cassandra_raw)
+        )
 
     def hourly_aggregation(self, activities: DataFrame) -> DataFrame:
         return hourly_activity_aggregation(activities)

@@ -528,3 +528,55 @@ def test_observe_counters_surface_in_listener(spark, tmp_path):
         assert got["value_sum"] == sum(r["v"] for r in rows if r["v"] is not None)
     finally:
         metrics.detach(spark)
+
+
+def test_canonical_union_of_cdc_and_cassandra_streams(spark, tmp_path):
+    """SURVEY §2.9 extension: the Postgres-CDC and Cassandra activity
+    streams union into ONE canonical stream — a single windowed agg
+    sees events from both sources (the reference ran them as parallel
+    pipelines and never merged them)."""
+    import json
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.streaming.sinks import (
+        write_memory,
+    )
+
+    cdc_envs = [
+        make_envelope(activity_row(1, 1, "login", "2024-01-01 10:05:00", 20), "c", 1704100000000),
+        make_envelope(activity_row(2, 1, "login", "2024-01-01 10:25:00", 40), "u", 1704100001000),
+        make_envelope(None, "d", 1704100002000, before=activity_row(9)),
+    ]
+    # Cassandra connector contract: bare row-image JSON, no envelope
+    cass_rows = [
+        json.dumps(activity_row(101, 1, "login", "2024-01-01 10:45:00", 60)),
+        json.dumps(activity_row(102, 2, "click", "2024-01-01 10:50:00", 30, device="tablet")),
+    ]
+    _write_stream_files(tmp_path / "cdc", [cdc_envs])
+    _write_stream_files(tmp_path / "cass", [cass_rows])
+
+    pipe = CdcPipeline(spark, checkpoint_root=str(tmp_path / "ckpt"))
+    canonical = pipe.canonical_activities(
+        spark.readStream.text(str(tmp_path / "cdc")),
+        spark.readStream.text(str(tmp_path / "cass")),
+    )
+    assert canonical.isStreaming
+    q1 = write_memory(canonical, "canonical_acts")
+    q2 = write_memory(
+        pipe.hourly_aggregation(canonical), "canonical_hourly", output_mode="update"
+    )
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+
+    acts = {r.id: r for r in spark.table("canonical_acts").collect()}
+    assert set(acts) == {"1", "2", "101", "102"}  # delete dropped, both sources in
+    assert acts["1"].data_source == "postgres-cdc"
+    assert acts["101"].data_source == "cassandra"
+    assert acts["102"].device_category == "Tablet"
+
+    hourly = {
+        (r.employee_id, r.activity_type): r
+        for r in spark.table("canonical_hourly").collect()
+    }
+    merged = hourly[(1, "login")]
+    assert merged.activity_count == 3  # 2 CDC + 1 Cassandra in the same window
+    assert merged.total_duration == 120
