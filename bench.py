@@ -43,6 +43,7 @@ HEADLINE = [
     "ann_topk_bruteforce",
     "ann_topk_lsh",
     "ann_topk_ivf",
+    "ann_topk_quantized",
     "embedding_near_dup_pairs",
     "multimodal_image_features",
     "q07_volume_shipping",

@@ -99,6 +99,41 @@ def stratified_sample(
     return df.filter(_bucket_hex(F.col(key_col), salt) < thr)
 
 
+def reservoir_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key_col: str,
+    salt: str = "res-v1",
+) -> DataFrame:
+    """Deterministic k-row "reservoir" per group.
+
+    The classic reservoir-sampling use case (a bounded uniform sample
+    of every group, however skewed) without the classic algorithm's
+    sequential-state problem: ordering each group by the md5 draw and
+    keeping row_number ≤ k IS a uniform k-sample, is identical on
+    re-runs and across engines, and is one hash-partition exchange —
+    no driver state, no per-partition RNG seeds to coordinate. Ties
+    (duplicate keys) break on the key itself, keeping the output
+    fully deterministic.
+
+    At scale: groups far larger than k still shuffle all their rows
+    here; if k ≪ group size and groups are huge, pre-filter with
+    ``deterministic_sample`` at a safe over-sampling rate first so
+    the exchange carries ~k·log rows per group instead of all of
+    them.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        _bucket_hex(F.col(key_col), salt).asc(),
+        F.col(key_col).cast("string").asc(),
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def sample_threshold_sql(fraction: float, key_expr: str, salt: str = "v1") -> str:
     """The equivalent ANSI-SQL predicate (DuckDB-compatible) — used by
     the registry oracles so the gate proves cross-engine stability."""

@@ -517,6 +517,163 @@ def ivf_topk(
     )
 
 
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    qvec_col: str = "qvec",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of unit-normalized
+    embeddings — the memory/bandwidth scale path for vector search.
+
+    Each vector is L2-normalized, then mapped to ``round(x/scale)``
+    with ``scale = max|x|/127``: 1 byte per dimension instead of 4–8,
+    so a 100 TB float corpus shrinks ~4–8× before it ever shuffles or
+    broadcasts, and int8 GEMM scores it. Entirely JVM-side codegen
+    (array HOFs) — no Python in the quantization scan. Rounding is
+    ``floor(x/scale + 0.5)`` (half-up), which evaluates identically
+    on any IEEE engine, so the DuckDB oracle reproduces the codes
+    bit-for-bit.
+
+    Adds ``qvec_col`` (array<tinyint>) and ``scale_col`` (double);
+    dot(q_a, q_b) * scale_a * scale_b ≈ cosine(a, b) with error
+    bounded by the quantization step (≤ 1/254 per axis).
+    """
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col).cast("array<double>"),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    return (
+        df.withColumn("_nrm", F.greatest(nrm, F.lit(1e-300)))
+        .withColumn(
+            "_unit",
+            F.transform(
+                F.col(vec_col).cast("array<double>"),
+                lambda x: x / F.col("_nrm"),
+            ),
+        )
+        .withColumn(
+            scale_col,
+            F.greatest(
+                F.array_max(F.transform("_unit", lambda x: F.abs(x)))
+                / F.lit(127.0),
+                F.lit(1e-30),
+            ),
+        )
+        .withColumn(
+            qvec_col,
+            F.transform(
+                "_unit",
+                lambda x: F.floor(x / F.col(scale_col) + F.lit(0.5)).cast(
+                    "tinyint"
+                ),
+            ),
+        )
+        .drop("_nrm", "_unit")
+    )
+
+
+def quantized_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k over int8-quantized vectors.
+
+    Same shape as :func:`brute_force_topk` — queries broadcast,
+    candidates streamed through one matmul per Arrow batch — but both
+    sides carry 1-byte codes: the broadcast is 4–8× smaller (the
+    guard therefore admits 4–8× more queries) and the matmul runs on
+    int32 accumulators from int8 inputs, the kernel shape hardware
+    int8-GEMM accelerates. Scores are rescaled per-pair with the two
+    quantization scales; ranking error vs exact cosine is bounded by
+    the per-axis step and asserted (recall) in tests.
+    """
+    import numpy as np
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    q = quantize_int8(queries, vec_col=vec_col)
+    n = q.count()
+    if n > MAX_BROADCAST_VECTORS * 4:
+        raise ValueError(
+            f"{n} query vectors exceed the int8 broadcast guard; "
+            "block with lsh_topk/ivf_topk first"
+        )
+    rows = q.select(id_col, "qvec", "qscale").collect()
+    q_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in rows], dtype=np.int8)
+    q_scale = np.array([r[2] for r in rows], dtype=np.float64)
+    bvar = candidates.sparkSession.sparkContext.broadcast(
+        (q_ids, q_mat, q_scale)
+    )
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cosine_sim", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids_q, mat_q, sc_q = bvar.value  # (nq,), (nq, d) int8, (nq,)
+        mat_q32 = mat_q.astype(np.int32)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf["_id"].to_numpy(dtype=np.int64)
+            c_mat = np.stack(pdf["_q"].to_numpy()).astype(np.int32)
+            c_scale = pdf["_s"].to_numpy(dtype=np.float64)
+            dots = c_mat @ mat_q32.T  # int32 accumulate, (nc, nq)
+            sims = dots * (c_scale[:, None] * sc_q[None, :])
+            nc, nq = sims.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids_q[None, :], nc, 0).ravel(),
+                    "neighbor_id": np.repeat(c_ids[:, None], nq, 1).ravel(),
+                    "cosine_sim": sims.ravel(),
+                }
+            )
+
+    scored = (
+        quantize_int8(candidates, vec_col=vec_col)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col("qvec").alias("_q"),
+            F.col("qscale").alias("_s"),
+        )
+        .mapInPandas(score, out_schema)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine_sim", 4).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
 def label_centroids(
     df: DataFrame,
     label_col: str = "label",

@@ -4952,6 +4952,206 @@ def sketch_distinct_users_by_type(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Quantization, paragraph dedup, per-group reservoir sampling
+# ---------------------------------------------------------------------------
+
+@_register(
+    "embedding_quantize_error",
+    """
+    WITH u AS (
+      SELECT label,
+             list_transform(
+               embedding,
+               x -> CAST(x AS DOUBLE) /
+                    greatest(sqrt(list_sum(list_transform(
+                      embedding, y -> CAST(y AS DOUBLE) * y))), 1e-300)
+             ) AS unit
+      FROM embeddings
+    ),
+    q AS (
+      SELECT label, unit,
+             greatest(list_max(list_transform(unit, x -> abs(x))) / 127.0,
+                      1e-30) AS scale
+      FROM u
+    ),
+    e AS (
+      SELECT label, scale,
+             list_max(list_transform(
+               unit, x -> abs(x - floor(x / scale + 0.5) * scale))) AS err
+      FROM q
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           floor(max(err) * 1e6 + 0.5) / 1e6 AS max_abs_err,
+           floor(max(scale) * 1e6 + 0.5) / 1e6 AS max_scale
+    FROM e
+    GROUP BY label
+    """,
+    "Int8 scalar quantization audit: unit-normalize, quantize each "
+    "axis to round(x/scale) with scale=max|x|/127, and report the "
+    "per-label worst reconstruction error (bounded by scale/2) — the "
+    "4-8x memory/bandwidth scale path for vector search, computed "
+    "entirely JVM-side (array HOFs, zero Python). Oracle replays the "
+    "identical IEEE arithmetic via DuckDB list lambdas; half-up "
+    "floor-rounding keeps the codes bit-identical across engines. "
+    "Operator: operators/similarity.py::quantize_int8",
+    ("similarity", "quantization", "embeddings"),
+)
+def embedding_quantize_error(spark, sf_dir):
+    from ..operators.similarity import quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qd = quantize_int8(emb)
+    # reconstruct from the int8 codes and measure per-vector worst error
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col("embedding").cast("array<double>"),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    qd = qd.withColumn("_nrm", F.greatest(nrm, F.lit(1e-300))).withColumn(
+        "_err",
+        F.array_max(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                "qvec",
+                lambda x, c: F.abs(
+                    x / F.col("_nrm") - c.cast("double") * F.col("qscale")
+                ),
+            )
+        ),
+    )
+    return qd.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        (F.floor(F.max("_err") * 1e6 + F.lit(0.5)) / 1e6).alias("max_abs_err"),
+        (F.floor(F.max("qscale") * 1e6 + F.lit(0.5)) / 1e6).alias("max_scale"),
+    )
+
+
+@_register(
+    "ann_topk_quantized",
+    None,  # approximate scores; recall vs brute force asserted in tests
+    "Similarity search scale path #3: int8-quantized brute force — "
+    "1-byte codes shrink the broadcast and shuffle 4-8x and score "
+    "with int32-accumulated int8 GEMM; scores rescaled per-pair by "
+    "the two quantization scales. Recall vs exact cosine asserted in "
+    "tests/test_similarity_quantized.py",
+    ("similarity", "ann", "quantization", "embeddings"),
+)
+def ann_topk_quantized(spark, sf_dir):
+    from ..operators.similarity import quantized_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    return quantized_topk(emb, queries_df, k=5)
+
+
+_PARA_W = 10  # tokens per "paragraph" (synthetic docs have no newlines)
+
+
+@_register(
+    "dedup_paragraphs_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    e AS (
+      SELECT doc_id, ci,
+             array_to_string(
+               list_slice(w, ci * {_PARA_W} + 1, ci * {_PARA_W} + {_PARA_W}),
+               ' ') AS para
+      FROM t,
+           UNNEST(generate_series(
+             0, CAST(ceil(len(w) / {_PARA_W}.0) AS INT) - 1)) AS g(ci)
+    ),
+    own AS (SELECT para, min(doc_id) AS first_doc FROM e GROUP BY para)
+    SELECT e.doc_id,
+           CAST(count(*) AS INTEGER) AS n_paras,
+           CAST(count(*) FILTER (WHERE o.first_doc < e.doc_id) AS INTEGER)
+             AS n_dup_paras,
+           floor(count(*) FILTER (WHERE o.first_doc < e.doc_id) * 1.0
+                 / count(*) * 1e4 + 0.5) / 1e4 AS dup_frac
+    FROM e JOIN own o USING (para)
+    GROUP BY e.doc_id
+    """,
+    "Paragraph-level exact dedup (Dolma/CCNet granularity): chunk "
+    "each document into fixed 10-token paragraphs, attribute every "
+    "paragraph to its first-seen document (min doc_id over the "
+    "corpus), and tag each doc with its duplicated-paragraph count "
+    "and fraction — the remove-duplicated-paragraphs-not-whole-docs "
+    "policy. Shuffle key is the paragraph hash (uniform), never the "
+    "doc id; paragraphs are built scan-locally by array slicing "
+    "(zero Python)",
+    ("dedup", "paragraphs", "documents"),
+)
+def dedup_paragraphs_documents(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    toks = d.select(
+        "doc_id",
+        w.alias("w"),
+        F.ceil(F.size(w) / _PARA_W).cast("int").alias("n_chunks"),
+    )
+    paras = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_chunks") - 1)
+        ).alias("ci"),
+        "w",
+    ).select(
+        "doc_id",
+        F.array_join(
+            F.slice("w", F.col("ci") * _PARA_W + 1, _PARA_W), " "
+        ).alias("para"),
+    )
+    first_doc = F.min("doc_id").over(Window.partitionBy("para"))
+    tagged = paras.withColumn("_dup", (first_doc < F.col("doc_id")).cast("int"))
+    return tagged.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_paras"),
+        F.sum("_dup").cast("int").alias("n_dup_paras"),
+        (
+            F.floor(F.sum("_dup") / F.count("*") * 1e4 + F.lit(0.5)) / 1e4
+        ).alias("dup_frac"),
+    )
+
+
+_RES_SALT = "res-v1"
+
+
+@_register(
+    "reservoir_sample_suppliers",
+    f"""
+    SELECT s_nationkey, s_suppkey, s_name
+    FROM (
+      SELECT s_nationkey, s_suppkey, s_name,
+             row_number() OVER (
+               PARTITION BY s_nationkey
+               ORDER BY substr(md5('{_RES_SALT}' ||
+                               CAST(s_suppkey AS VARCHAR)), 1, 8),
+                        CAST(s_suppkey AS VARCHAR)
+             ) AS rn
+      FROM supplier
+    )
+    WHERE rn <= 3
+    """,
+    "Deterministic per-group reservoir: a uniform 3-supplier sample "
+    "of every nation chosen by md5 hash order — rerun-stable (no "
+    "rand() retry hazard), engine-portable (oracle reproduces the "
+    "exact membership), one exchange. Operator: "
+    "operators/sampling.py::reservoir_per_group",
+    ("sampling", "reservoir"),
+)
+def reservoir_sample_suppliers(spark, sf_dir):
+    from ..operators.sampling import reservoir_per_group
+
+    s = _t(spark, sf_dir, "supplier")
+    return reservoir_per_group(
+        s, "s_nationkey", 3, "s_suppkey", salt=_RES_SALT
+    ).select("s_nationkey", "s_suppkey", "s_name")
+
+
+# ---------------------------------------------------------------------------
 # public accessors (driver contract)
 # ---------------------------------------------------------------------------
 
