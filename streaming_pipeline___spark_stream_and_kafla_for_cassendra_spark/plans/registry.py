@@ -5152,6 +5152,237 @@ def reservoir_sample_suppliers(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Product analytics: ordered funnel + cohort retention
+# ---------------------------------------------------------------------------
+
+@_register(
+    "funnel_view_click_purchase",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) FILTER (WHERE event_type = 'view') AS t_view
+      FROM events GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, v.t_view,
+             min(e.ts) FILTER (
+               WHERE e.event_type = 'click' AND e.ts > v.t_view) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      GROUP BY e.user_id, v.t_view
+    ),
+    p AS (
+      SELECT e.user_id, c.t_view, c.t_click,
+             min(e.ts) FILTER (
+               WHERE e.event_type = 'purchase' AND e.ts > c.t_click)
+               AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      GROUP BY e.user_id, c.t_view, c.t_click
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(t_view) AS BIGINT) AS n_view,
+           CAST(count(t_click) AS BIGINT) AS n_click_after_view,
+           CAST(count(t_purchase) AS BIGINT) AS n_purchase_after_click
+    FROM p
+    """,
+    "Ordered conversion funnel (view → click → purchase, each stage "
+    "strictly after the previous user-level first occurrence): three "
+    "grouped conditional-min passes on the same user_id key — the "
+    "shuffles co-partition, and each stage carries one timestamp per "
+    "user, not the event log. The standard product-analytics "
+    "sequential funnel the reference's activity pipeline feeds",
+    ("analytics", "funnel", "events"),
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    v = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        )
+    )
+    c = (
+        e.join(v, "user_id")
+        .groupBy("user_id", "t_view")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).alias("t_click")
+        )
+    )
+    p = (
+        e.join(c, "user_id")
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase")
+        )
+    )
+    return p.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click_after_view"),
+        F.count("t_purchase").alias("n_purchase_after_click"),
+    )
+
+
+@_register(
+    "cohort_retention_events",
+    """
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events
+    )
+    SELECT f.cohort_day,
+           CAST(datediff('day', f.cohort_day, a.active_day) AS INTEGER)
+             AS day_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    WHERE datediff('day', f.cohort_day, a.active_day) IN (0, 1, 3, 7)
+    GROUP BY 1, 2
+    """,
+    "Cohort retention: users cohorted by first-seen day, activity "
+    "re-joined to count distinct active users at day offsets "
+    "0/1/3/7 — the standard growth-analytics matrix. Both the cohort "
+    "table and the distinct (user, day) activity table are one "
+    "aggregate each over the same user_id shuffle key; the join "
+    "output is bounded by users × offsets, never events²",
+    ("analytics", "retention", "events"),
+)
+def cohort_retention_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    activity = e.select(
+        "user_id", F.to_date("ts").alias("active_day")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .withColumn(
+            "day_offset",
+            F.datediff(F.col("active_day"), F.col("cohort_day")).cast("int"),
+        )
+        .filter(F.col("day_offset").isin(0, 1, 3, 7))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics: winsorization bounds + fixed-bin histogram
+# ---------------------------------------------------------------------------
+
+@_register(
+    "winsorize_bounds_lineitem",
+    """
+    WITH b AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS p05,
+             quantile_cont(l_extendedprice, 0.95) AS p95
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(b.p05 * 1e4 + 0.5) / 1e4 AS p05,
+           floor(b.p95 * 1e4 + 0.5) / 1e4 AS p95,
+           CAST(count(*) FILTER (WHERE l.l_extendedprice < b.p05) AS BIGINT)
+             AS n_below,
+           CAST(count(*) FILTER (WHERE l.l_extendedprice > b.p95) AS BIGINT)
+             AS n_above
+    FROM lineitem l JOIN b USING (l_returnflag)
+    GROUP BY l.l_returnflag, b.p05, b.p95
+    """,
+    "Winsorization audit: exact interpolated p05/p95 per return flag "
+    "(Spark percentile ≡ DuckDB quantile_cont) re-joined as broadcast "
+    "clamp bounds, counting the rows each tail would clip — the "
+    "outlier-robust preprocessing step for value-weighted training "
+    "signals. The bounds table is k rows (broadcast); the clamp pass "
+    "is scan-local",
+    ("statistics", "winsorize", "lineitem"),
+)
+def winsorize_bounds_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("p05"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+    )
+    return (
+        li.join(F.broadcast(b), "l_returnflag")
+        .groupBy("l_returnflag", "p05", "p95")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(
+                F.when(F.col("l_extendedprice") < F.col("p05"), 1)
+            ).alias("n_below"),
+            F.count(
+                F.when(F.col("l_extendedprice") > F.col("p95"), 1)
+            ).alias("n_above"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            (F.floor(F.col("p05") * 1e4 + F.lit(0.5)) / 1e4).alias("p05"),
+            (F.floor(F.col("p95") * 1e4 + F.lit(0.5)) / 1e4).alias("p95"),
+            "n_below",
+            "n_above",
+        )
+    )
+
+
+@_register(
+    "events_value_histogram",
+    """
+    WITH s AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+    SELECT CAST(least(floor((e.value - s.lo) / ((s.hi - s.lo) / 20)), 19)
+                AS INTEGER) AS bin,
+           floor((s.lo + least(floor((e.value - s.lo) / ((s.hi - s.lo) / 20)),
+                               19) * ((s.hi - s.lo) / 20)) * 1e4 + 0.5) / 1e4
+             AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events e CROSS JOIN s
+    GROUP BY 1, 2
+    """,
+    "Fixed-width 20-bin histogram with data-derived range: one tiny "
+    "min/max aggregate broadcast back onto the scan, then scan-local "
+    "binning (identical IEEE arithmetic on both engines makes bin "
+    "assignment bit-deterministic) — the sketch for distribution "
+    "drift monitoring over training-data batches",
+    ("statistics", "histogram", "events"),
+)
+def events_value_histogram(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    s = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / 20
+    bin_col = F.least(
+        F.floor((F.col("value") - F.col("lo")) / width), F.lit(19)
+    )
+    return (
+        e.crossJoin(F.broadcast(s))
+        .select(
+            bin_col.cast("int").alias("bin"),
+            (
+                F.floor(
+                    (F.col("lo") + bin_col * width) * 1e4 + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("bin_lo"),
+        )
+        .groupBy("bin", "bin_lo")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # public accessors (driver contract)
 # ---------------------------------------------------------------------------
 
