@@ -5382,6 +5382,96 @@ def events_value_histogram(spark, sf_dir):
     )
 
 
+@_register(
+    "heavy_hitters_tokens_sketch",
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                x -> x <> '')) AS token
+      FROM documents
+    )
+    SELECT token, CAST(count(*) AS BIGINT) AS n,
+           CAST(row_number() OVER (ORDER BY count(*) DESC, token) AS INTEGER)
+             AS rank
+    FROM toks GROUP BY token
+    ORDER BY n DESC, token LIMIT 5
+    """,
+    "Mergeable heavy hitters: per-source approx_top_k_accumulate "
+    "sketches combined with approx_top_k_combine, then estimated — "
+    "the two-level (partial → merge) shape that turns a 100 TB "
+    "top-k into one tiny sketch per partition group instead of a "
+    "full token shuffle. Capacity exceeds the vocabulary, so the "
+    "sketch is provably exact here and the DuckDB oracle checks it "
+    "value-for-value",
+    ("sketch", "heavy-hitters", "documents"),
+)
+def heavy_hitters_tokens_sketch(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.lower("text"), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    parts = toks.groupBy("source").agg(
+        F.expr("approx_top_k_accumulate(token, 8192)").alias("st")
+    )
+    est = parts.agg(
+        F.expr(
+            "approx_top_k_estimate(approx_top_k_combine(st, 8192), 5)"
+        ).alias("t")
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        est.select(F.explode("t").alias("e"))
+        .select(
+            F.col("e.item").alias("token"),
+            F.col("e.count").cast("bigint").alias("n"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )
+
+
+@_register(
+    "udtf_trigram_documents",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id, CAST(g.ci AS INTEGER) AS pos,
+           array_to_string(list_slice(w, g.ci + 1, g.ci + 3), ' ') AS ngram
+    FROM t, UNNEST(generate_series(0, len(w) - 3)) AS g(ci)
+    """,
+    "Python UDTF surface (Spark 4): a table function expanding each "
+    "document into positioned trigrams, LATERAL-joined per row — the "
+    "one-row-to-many-rows shape (§2.11) that scalar/agg UDFs can't "
+    "express. The class is defined inside the builder so cloudpickle "
+    "ships it by value to workers. Oracle replays the expansion with "
+    "DuckDB lateral UNNEST + list_slice",
+    ("udf", "udtf", "documents"),
+)
+def udtf_trigram_documents(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    from ..sources.tables import register_views
+
+    @udtf(returnType="pos int, ngram string")
+    class Trigrams:
+        def eval(self, text: str):
+            toks = [t for t in (text or "").split(" ") if t]
+            for i in range(len(toks) - 2):
+                yield i, " ".join(toks[i : i + 3])
+
+    register_views(spark, sf_dir)
+    spark.udtf.register("trigrams_udtf", Trigrams)
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.ngram
+        FROM documents d, LATERAL trigrams_udtf(d.text) t
+        WHERE d.doc_id < 50
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
 # ---------------------------------------------------------------------------

@@ -149,3 +149,53 @@ class CdcPipeline:
                 ),
             )
         return self.orchestrator
+
+    def start_single_scan_fanout(
+        self,
+        activity_raw: DataFrame,
+        batch_sinks: list,
+        available_now: bool = True,
+        name: str = "shared_fanout",
+    ):
+        """ONE StreamingQuery, N sinks, one source scan per trigger.
+
+        The reference starts 9 independent queries from 2 sources
+        (MSP:324-366); every ``start()`` re-reads its Kafka topic and
+        re-runs the two-stage JSON parse per trigger — the source is
+        fetched and decoded up to 4× per micro-batch interval. Here
+        the decoded/enriched micro-batch is persisted once inside
+        ``foreachBatch`` and every sink writes from the cache: source
+        I/O and parse CPU are paid once regardless of sink count, and
+        all sinks observe the *same* batch (no cross-sink offset
+        skew). At 100 TB/day of CDC traffic this is the difference
+        between 1× and sink-count× broker egress.
+
+        ``batch_sinks``: callables ``(batch_df, batch_id) -> None``
+        executed sequentially per micro-batch (exactly-once per sink
+        is the sink's job — e.g. ``LakeTable.upsert_batch`` is
+        idempotent on replay). Stateful windowed aggregations keep
+        their own queries: their state lives in the streaming engine,
+        which ``foreachBatch`` bodies cannot host.
+        """
+        act = self.activities(activity_raw)
+
+        def fan_out(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.persist()
+            try:
+                for sink in batch_sinks:
+                    sink(batch_df, batch_id)
+            finally:
+                batch_df.unpersist()
+
+        writer = (
+            act.writeStream.queryName(name)
+            .foreachBatch(fan_out)
+            .option(
+                "checkpointLocation", f"{self.checkpoint_root}/{name}"
+            )
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        query = writer.start()
+        self.orchestrator.register(name, query)
+        return query

@@ -580,3 +580,34 @@ def test_canonical_union_of_cdc_and_cassandra_streams(spark, tmp_path):
     merged = hourly[(1, "login")]
     assert merged.activity_count == 3  # 2 CDC + 1 Cassandra in the same window
     assert merged.total_duration == 120
+
+
+def test_single_scan_fanout_one_query_many_sinks(spark, cdc_dirs, tmp_path):
+    """One StreamingQuery drives N sinks from one persisted batch:
+    all sinks see identical rows, and only one query runs."""
+    act_raw = spark.readStream.text(str(cdc_dirs / "act"))
+    pipe = CdcPipeline(spark, checkpoint_root=str(tmp_path / "ckpt"))
+
+    sink_a = tmp_path / "sink_a"
+    sink_b = tmp_path / "sink_b"
+    seen_batches: list[int] = []
+
+    def to_parquet(path):
+        def write(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(str(path))
+        return write
+
+    def record_batch(batch_df, batch_id):
+        seen_batches.append((batch_id, batch_df.count()))
+
+    before = len(spark.streams.active)
+    q = pipe.start_single_scan_fanout(
+        act_raw, [to_parquet(sink_a), to_parquet(sink_b), record_batch]
+    )
+    assert len(spark.streams.active) == before + 1  # ONE query, not 3
+    q.awaitTermination(120)
+
+    a = {r.id for r in spark.read.parquet(str(sink_a)).collect()}
+    b = {r.id for r in spark.read.parquet(str(sink_b)).collect()}
+    assert a == b == {"1", "2", "3", "4"}  # delete dropped, sinks agree
+    assert sum(n for _, n in seen_batches) == 4

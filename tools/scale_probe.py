@@ -125,6 +125,53 @@ def main() -> None:
         time.perf_counter() - t0, 2
     )
 
+    # 7. vector scoring tiers at 1M candidates: float64 BLAS brute
+    # force from float parquet vs int8 GEMM from STORED codes — the
+    # deployment shape (quantize once at ingest, score many times).
+    # Also records the on-disk footprint of each representation.
+    import shutil
+    import subprocess
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.similarity import (
+        brute_force_topk,
+        quantize_int8,
+        quantized_topk,
+    )
+
+    n_vec = min(n // 50, 1_000_000)
+    dim = 64
+    fdir = "/tmp/scale_probe_vec_float"
+    qdir = "/tmp/scale_probe_vec_int8"
+    vecs = spark.range(n_vec).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.sin(F.col("id") * 0.7 + i * 1.3),
+        ).cast("array<float>").alias("embedding"),
+    )
+    vecs.write.mode("overwrite").parquet(fdir)
+    t0 = time.perf_counter()
+    quantize_int8(vecs).select("vec_id", "qvec", "qscale").write.mode(
+        "overwrite"
+    ).parquet(qdir)
+    timings["ann_quantize_ingest_once"] = round(time.perf_counter() - t0, 2)
+
+    def du_mb(path):
+        out = subprocess.run(
+            ["du", "-sm", path], capture_output=True, text=True
+        ).stdout
+        return int(out.split()[0])
+
+    cand_f = spark.read.parquet(fdir)
+    cand_q = spark.read.parquet(qdir)
+    qset = cand_f.filter(F.col("vec_id") % 10_000 == 0)
+    run("ann_score_float64_stored", brute_force_topk(cand_f, qset, k=5))
+    run("ann_score_int8_stored", quantized_topk(cand_q, qset, k=5))
+    timings["ann_float_parquet_mb"] = du_mb(fdir)
+    timings["ann_int8_parquet_mb"] = du_mb(qdir)
+    shutil.rmtree(fdir, ignore_errors=True)
+    shutil.rmtree(qdir, ignore_errors=True)
+
     print(
         json.dumps(
             {
