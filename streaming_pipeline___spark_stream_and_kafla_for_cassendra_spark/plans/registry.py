@@ -5473,6 +5473,154 @@ def udtf_trigram_documents(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Retrieval: BM25 ranking + inverted index
+# ---------------------------------------------------------------------------
+
+_BM25_QUERY = ("join", "hash", "scan")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@_register(
+    "bm25_search_documents",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dlen FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT avg(dlen) AS avgdl, count(*) AS n_docs FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM toks
+      WHERE w IN {_BM25_QUERY!r}
+      GROUP BY doc_id, w
+    ),
+    df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(
+               ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.tf * ({_BM25_K1} + 1.0)
+               / (tf.tf + {_BM25_K1}
+                  * (1.0 - {_BM25_B} + {_BM25_B} * dl.dlen / s.avgdl))
+             ) AS score,
+             CAST(count(*) AS INTEGER) AS n_terms
+      FROM tf
+      JOIN df USING (w)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, floor(score * 1e4 + 0.5) / 1e4 AS score, n_terms
+    FROM scored
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+    "BM25 full-text ranking (Lucene idf variant, k1=1.2 b=0.75) for "
+    "a fixed query against the whole corpus: tf/df/doc-length built "
+    "as three aggregates over one tokenized scan, the tiny df and "
+    "avgdl tables broadcast back, top-20 by score. The retrieval "
+    "primitive for training-data curation (query-relevant corpus "
+    "slices); arithmetic evaluated in the same IEEE order on both "
+    "engines",
+    ("retrieval", "bm25", "documents"),
+)
+def bm25_search_documents(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dlen"))
+    stats = dl.agg(
+        F.avg("dlen").alias("avgdl"), F.count("*").alias("n_docs")
+    )
+    tf = (
+        toks.filter(F.col("w").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("w").agg(F.count("*").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_c",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            )
+            * F.col("tf")
+            * (_BM25_K1 + 1.0)
+            / (
+                F.col("tf")
+                + _BM25_K1
+                * (
+                    1.0
+                    - _BM25_B
+                    + _BM25_B * F.col("dlen") / F.col("avgdl")
+                )
+            ),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            (F.floor(F.sum("_c") * 1e4 + F.lit(0.5)) / 1e4).alias("score"),
+            F.count("*").cast("int").alias("n_terms"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+@_register(
+    "inverted_index_tokens",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                x -> x <> '')) AS token
+      FROM documents
+    )
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS doc_freq,
+           list_sort(list(doc_id))[1:10] AS postings_head
+    FROM toks GROUP BY token
+    HAVING count(*) >= 200
+    """,
+    "Inverted-index build: token → sorted posting list (head) + "
+    "document frequency, distinct-per-doc then one groupBy on the "
+    "token — the index layout retrieval and contamination checks "
+    "join against. Posting lists stay distributed (arrays per "
+    "token row), never driver-side",
+    ("retrieval", "index", "documents"),
+)
+def inverted_index_tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("doc_freq"),
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, 10).alias(
+                "postings_head"
+            ),
+        )
+        .filter(F.col("doc_freq") >= 200)
+    )
+
+
+# ---------------------------------------------------------------------------
 # public accessors (driver contract)
 # ---------------------------------------------------------------------------
 
