@@ -3974,33 +3974,48 @@ def pii_redaction_customers(spark, sf_dir):
     ("text", "quality", "training", "documents"),
 )
 def repetition_quality_documents(spark, sf_dir):
+    # Per-doc stats (total, distinct, max-multiplicity) are computed
+    # entirely inside the row with higher-order functions over the sorted
+    # token array — zero (doc_id, token) shuffles. The old shape exploded
+    # every token twice and shuffled them through two hash aggregations;
+    # at 100 TB that shuffle is #tokens-sized. This shape's only exchange
+    # is the final tiny groupBy(lang).
     d = _t(spark, sf_dir, "documents")
-    base = d.select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
-    uni = (
-        base.select("doc_id", "lang", F.explode("toks").alias("tok"))
-        .groupBy("doc_id", "lang", "tok")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.sum("c").alias("total"),
-            F.count("*").alias("dist"),
-            F.max("c").alias("mx"),
+
+    def max_multiplicity(arr):
+        srt = F.array_sort(arr)
+        zero = F.lit(0).cast("long")
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            zero.alias("run"),
+            zero.alias("best"),
         )
-    )
+
+        def step(acc, x):
+            run = F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("long"))
+            return F.struct(
+                x.alias("prev"), run.alias("run"), F.greatest(acc.best, run).alias("best")
+            )
+
+        return F.aggregate(srt, init, step, lambda acc: acc.best)
+
+    base = d.select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
     n = F.size(F.col("toks"))
     bigrams = F.zip_with(
         F.slice(F.col("toks"), 1, F.greatest(n - 1, F.lit(0))),
         F.slice(F.col("toks"), 2, F.greatest(n - 1, F.lit(0))),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    bi = (
-        base.select("doc_id", F.explode(bigrams).alias("bg"))
-        .groupBy("doc_id", "bg")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(F.sum("c").alias("total_bi"), F.max("c").alias("mx_bi"))
+    # Docs with zero tokens contribute no rows (parity with the oracle's
+    # unnest, which emits nothing for an empty list).
+    per_doc = base.filter(n > 0).select(
+        "lang",
+        n.cast("long").alias("total"),
+        F.size(F.array_distinct(F.col("toks"))).cast("long").alias("dist"),
+        max_multiplicity(F.col("toks")).alias("mx"),
+        F.greatest(n - 1, F.lit(0)).cast("long").alias("total_bi"),
+        max_multiplicity(bigrams).alias("mx_bi"),
     )
-    per_doc = uni.join(bi, on="doc_id", how="left")
     return per_doc.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("total").alias("total_tokens"),
