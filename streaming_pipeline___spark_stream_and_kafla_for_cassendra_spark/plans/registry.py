@@ -5635,6 +5635,112 @@ def inverted_index_tokens(spark, sf_dir):
     )
 
 
+_BOILER_W = 3  # tokens per "line" (synthetic docs have no newlines)
+
+
+@_register(
+    "boilerplate_lines_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    e AS (
+      SELECT doc_id, source,
+             list_slice(w, ci * {_BOILER_W} + 1,
+                        ci * {_BOILER_W} + {_BOILER_W}) AS chunk
+      FROM t,
+           UNNEST(generate_series(
+             0, CAST(ceil(len(w) / {_BOILER_W}.0) AS INT) - 1)) AS g(ci)
+    ),
+    lines AS (
+      SELECT doc_id, source, array_to_string(chunk, ' ') AS line,
+             len(chunk) AS ntok
+      FROM e
+    ),
+    df AS (
+      SELECT source, line, count(DISTINCT doc_id) AS df,
+             count(*) AS occ, sum(ntok) AS toks
+      FROM lines GROUP BY source, line
+    ),
+    sd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    agg AS (
+      SELECT source,
+             CAST(count(*) FILTER (WHERE df >= 2) AS BIGINT) AS boiler_lines,
+             CAST(coalesce(sum(occ) FILTER (WHERE df >= 2), 0) AS BIGINT)
+               AS boiler_occurrences,
+             CAST(coalesce(sum(toks) FILTER (WHERE df >= 2), 0) AS BIGINT)
+               AS boiler_tokens,
+             sum(toks) AS total_tokens
+      FROM df GROUP BY source
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs, boiler_lines,
+           boiler_occurrences, boiler_tokens,
+           floor(boiler_tokens * 1.0 / total_tokens * 1000000 + 0.5)
+             / 1000000.0 AS removed_frac
+    FROM agg JOIN sd USING (source)
+    """,
+    "CCNet/Dolma-style boilerplate detection: chunk each document "
+    "into fixed 3-token lines, flag lines that recur in >=2 distinct "
+    "documents of the SAME source (headers/footers/nav repeated "
+    "across a domain), and report per-source removal impact. Lines "
+    "are built scan-locally by array slicing (zero Python); the only "
+    "data-sized shuffle is keyed by (source, line) — uniform hash, no "
+    "skew; per-source doc counts are a tiny broadcast side",
+    ("text", "quality", "boilerplate", "documents"),
+)
+def boilerplate_lines_documents(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    chunks = d.select(
+        "doc_id",
+        "source",
+        w.alias("w"),
+        F.ceil(F.size(w) / _BOILER_W).cast("int").alias("n_chunks"),
+    ).select(
+        "doc_id",
+        "source",
+        "w",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("ci"),
+    ).select(
+        "doc_id",
+        "source",
+        F.slice("w", F.col("ci") * _BOILER_W + 1, _BOILER_W).alias("chunk"),
+    )
+    lines = chunks.select(
+        "doc_id",
+        "source",
+        F.array_join("chunk", " ").alias("line"),
+        F.size("chunk").cast("long").alias("ntok"),
+    )
+    df_stats = lines.groupBy("source", "line").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count("*").alias("occ"),
+        F.sum("ntok").alias("toks"),
+    )
+    boiler = F.col("df") >= 2
+    per_source = df_stats.groupBy("source").agg(
+        F.count(F.when(boiler, 1)).alias("boiler_lines"),
+        F.coalesce(F.sum(F.when(boiler, F.col("occ"))), F.lit(0)).alias(
+            "boiler_occurrences"
+        ),
+        F.coalesce(F.sum(F.when(boiler, F.col("toks"))), F.lit(0)).alias(
+            "boiler_tokens"
+        ),
+        F.sum("toks").alias("total_tokens"),
+    )
+    n_docs = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return per_source.join(F.broadcast(n_docs), on="source").select(
+        "source",
+        "n_docs",
+        "boiler_lines",
+        "boiler_occurrences",
+        "boiler_tokens",
+        _stable_ratio6(
+            F.col("boiler_tokens") * F.lit(1.0), F.col("total_tokens")
+        ).alias("removed_frac"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
 # ---------------------------------------------------------------------------

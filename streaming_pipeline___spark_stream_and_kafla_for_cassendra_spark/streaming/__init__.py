@@ -1,11 +1,13 @@
 from .lake import LakeTable, write_stream_to_lake
 from .orchestrator import MetricsListener, StreamOrchestrator, observe_counters
+from .rollup import RollupTable, write_stream_to_rollup
 from .sinks import write_console, write_kafka, write_memory
 from .stateful import debounce, sessionize, sessionize_batch_oracle
 
 __all__ = [
     "LakeTable",
     "MetricsListener",
+    "RollupTable",
     "StreamOrchestrator",
     "debounce",
     "observe_counters",
@@ -15,4 +17,5 @@ __all__ = [
     "write_kafka",
     "write_memory",
     "write_stream_to_lake",
+    "write_stream_to_rollup",
 ]

@@ -1,0 +1,211 @@
+"""Incrementally-maintained streaming rollup table (continuous aggregate).
+
+The reference recomputes its windowed aggregations inside Spark's
+streaming state and emits update-mode rows to Kafka
+(``multi_source_streaming_processor.py:205-238, 337-344``) — the
+aggregate exists only as in-flight state plus a topic of deltas; an
+analyst cannot SQL-query "hourly totals so far" from the lake. This
+module adds the missing piece: a **materialized rollup** in the style
+of TimescaleDB continuous aggregates / Druid rollup, maintained
+incrementally from micro-batches via mergeable partial-aggregate
+state.
+
+Scale design (what survives 100 TB / 1000 executors):
+
+* Each micro-batch is first reduced to per-(window, key) **partials**
+  (count / sum / min / max) — a map-side-combinable hash aggregation,
+  so the merge shuffle is #groups-sized, never #rows-sized.
+* The merge touches ONLY the lake partitions (days) the batch's
+  windows land in — late data rewrites one old day, not the table.
+* All stored measures are **mergeable**: count and sum add, min/max
+  fold, avg is derived at read time (sum/count). A rollup row never
+  needs its source rows again — the Druid/Timescale invariant.
+* foreachBatch is at-least-once; replayed micro-batches would
+  double-add sums. A per-batch **commit marker** under
+  ``<path>/_rollup_commits`` makes the merge idempotent
+  (effectively-once), the same ledger discipline Delta/Hudi use for
+  their commit log.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from .lake import _partition_overwrite_dynamic
+
+
+@dataclass
+class RollupTable:
+    """A date-partitioned, incrementally-merged windowed aggregate."""
+
+    path: str
+    window_duration: str = "1 hour"
+    time_col: str = "ts"
+    keys: tuple[str, ...] = ("event_type",)
+    value_col: str = "value"
+    partition_field: str = "rollup_date"
+    _group_cols: tuple[str, ...] = field(init=False)
+
+    def __post_init__(self) -> None:
+        self._group_cols = ("window_start", "window_end", *self.keys)
+
+    # -- partial aggregation -------------------------------------------
+
+    def partials(self, batch: DataFrame) -> DataFrame:
+        """Reduce raw rows to mergeable per-(window, key) partials."""
+        v = F.col(self.value_col)
+        return (
+            batch.groupBy(
+                F.window(self.time_col, self.window_duration).alias("_w"),
+                *self.keys,
+            )
+            .agg(
+                F.count("*").alias("cnt"),
+                F.sum(v).alias("sum_value"),
+                F.min(v).alias("min_value"),
+                F.max(v).alias("max_value"),
+            )
+            .select(
+                F.col("_w.start").alias("window_start"),
+                F.col("_w.end").alias("window_end"),
+                *self.keys,
+                "cnt",
+                "sum_value",
+                "min_value",
+                "max_value",
+            )
+            .withColumn(
+                self.partition_field, F.to_date(F.col("window_start"))
+            )
+        )
+
+    @staticmethod
+    def _merge(parts: DataFrame, group_cols: tuple[str, ...]) -> DataFrame:
+        return parts.groupBy(*group_cols).agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+
+    # -- incremental merge ---------------------------------------------
+
+    def exists(self, spark: SparkSession) -> bool:
+        try:
+            spark.read.parquet(self.path).limit(1).collect()
+            return True
+        except Exception:  # noqa: BLE001 — missing path
+            return False
+
+    def merge_batch(
+        self,
+        batch: DataFrame,
+        spark: SparkSession,
+        batch_id: int | None = None,
+    ) -> None:
+        """Fold one micro-batch into the stored rollup.
+
+        With ``batch_id`` set, a commit marker makes replays no-ops —
+        a retried foreachBatch cannot double-count.
+        """
+        if batch_id is not None and self._committed(batch_id):
+            return
+        if len(batch.take(1)) == 0:
+            self._commit(batch_id)
+            return
+
+        incoming = self.partials(batch)
+        part_cols = (*self._group_cols, self.partition_field)
+
+        if not self.exists(spark):
+            merged = self._merge(incoming, part_cols)
+        else:
+            touched = [
+                r[0]
+                for r in incoming.select(self.partition_field)
+                .distinct()
+                .collect()
+            ]
+            existing = spark.read.parquet(self.path).filter(
+                F.col(self.partition_field).isin(touched)
+            )
+            merged = self._merge(
+                existing.unionByName(incoming), part_cols
+            )
+        with _partition_overwrite_dynamic(spark):
+            (
+                merged.write.partitionBy(self.partition_field)
+                .mode("overwrite")
+                .parquet(self.path)
+            )
+        self._commit(batch_id)
+
+    # -- read side ------------------------------------------------------
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Finalized aggregate: derived measures computed from the
+        mergeable state at read time."""
+        return spark.read.parquet(self.path).select(
+            *self._group_cols,
+            "cnt",
+            "sum_value",
+            "min_value",
+            "max_value",
+            (F.col("sum_value") / F.col("cnt")).alias("avg_value"),
+        )
+
+    # -- commit ledger --------------------------------------------------
+
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self.path, "_rollup_commits", str(batch_id))
+
+    def _committed(self, batch_id: int) -> bool:
+        return os.path.exists(self._marker(batch_id))
+
+    def _commit(self, batch_id: int | None) -> None:
+        if batch_id is None:
+            return
+        os.makedirs(os.path.dirname(self._marker(batch_id)), exist_ok=True)
+        with open(self._marker(batch_id), "w", encoding="utf-8"):
+            pass
+
+
+def write_stream_to_rollup(
+    df: DataFrame,
+    table: RollupTable,
+    checkpoint_root: str,
+    processing_time: str | None = "30 seconds",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Stream → incrementally-merged rollup via foreachBatch.
+
+    The input stream needs no watermark: state lives in the table, not
+    in Spark's streaming state store, and arbitrarily-late rows simply
+    merge into their (old) window's partition.
+    """
+    spark = df.sparkSession
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        table.merge_batch(batch, spark, batch_id=batch_id)
+
+    writer = (
+        df.writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation",
+            os.path.join(
+                checkpoint_root, f"rollup-{os.path.basename(table.path)}"
+            ),
+        )
+        .outputMode("update")
+        .queryName(f"rollup-{os.path.basename(table.path)}")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
