@@ -20,6 +20,7 @@ Type-parity notes (Spark ↔ DuckDB):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -5738,6 +5739,86 @@ def boilerplate_lines_documents(spark, sf_dir):
         _stable_ratio6(
             F.col("boiler_tokens") * F.lit(1.0), F.col("total_tokens")
         ).alias("removed_frac"),
+    )
+
+
+@_register(
+    "streaming_rollup_events",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR
+             AS window_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS event_count,
+           round(sum(value), 4) AS total_value,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           floor(round(sum(value), 2) / count(*) * 10000 + 0.5) / 10000.0
+             AS avg_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    "End-to-end continuous-aggregate run, oracle-checked: a REAL "
+    "Structured Streaming query (parquet file stream, availableNow) "
+    "folds mergeable per-window partials into a date-partitioned "
+    "rollup lake table via foreachBatch (pkg/streaming/rollup.py), "
+    "then the MATERIALIZED table is read back and must equal DuckDB's "
+    "one-shot batch aggregate over the same input — proving the "
+    "incremental-merge path (partials, partition-scoped rewrites, "
+    "commit ledger) computes exactly the batch answer. Derived "
+    "avg is computed at read time from the stored mergeable state",
+    ("streaming", "rollup", "lake", "events"),
+)
+def streaming_rollup_events(spark, sf_dir):
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..streaming.rollup import RollupTable, write_stream_to_rollup
+
+    # the parquet stores ts as TIMESTAMP(NANOS): stream it as long and
+    # floor to a microsecond timestamp, same as the batch loader
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    base = tempfile.mkdtemp(prefix="rollup_events_")
+    table = RollupTable(path=os.path.join(base, "t"), keys=("event_type",))
+    q = write_stream_to_rollup(
+        stream,
+        table,
+        checkpoint_root=os.path.join(base, "ck"),
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    return table.read(spark).select(
+        "window_start",
+        "window_end",
+        "event_type",
+        F.col("cnt").alias("event_count"),
+        F.round("sum_value", 4).alias("total_value"),
+        "min_value",
+        "max_value",
+        _stable_avg4(F.col("sum_value"), F.col("cnt")).alias("avg_value"),
     )
 
 
