@@ -60,6 +60,8 @@ HEADLINE = [
     "sequence_pack_documents",
     "domain_mix_reweight",
     "pii_redaction_customers",
+    "boilerplate_lines_documents",
+    "streaming_rollup_events",
 ]
 
 
