@@ -30,6 +30,33 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
+def path_has_data(spark: SparkSession, path: str) -> bool:
+    """True if ``path`` holds at least one visible (non-``_``/``.``)
+    entry on its filesystem.
+
+    Probing a missing table with ``spark.read.parquet`` makes Spark's
+    streaming-sink metadata check log a full FileNotFoundException
+    stack before the reader raises, and the probe costs a collect job
+    per call. The Hadoop FS check is silent and job-free, and treats a
+    directory holding only commit markers (``_rollup_commits`` etc.)
+    as empty — parquet readers ignore hidden entries the same way.
+    """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return False
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        # same visibility rule as Spark's file index: _/. prefixes are
+        # hidden EXCEPT partition directories like ``_bucket=3``
+        if "=" in name or not (
+            name.startswith("_") or name.startswith(".")
+        ):
+            return True
+    return False
+
+
 @dataclass
 class LakeTable:
     """A partitioned upsert table (Hudi-COW-shaped, MSP:263-281)."""
@@ -44,11 +71,7 @@ class LakeTable:
     cluster_key: str | None = None
 
     def exists(self, spark: SparkSession) -> bool:
-        try:
-            spark.read.parquet(self.path).limit(1).collect()
-            return True
-        except Exception:  # noqa: BLE001 — missing path
-            return False
+        return path_has_data(spark, self.path)
 
     def read(self, spark: SparkSession) -> DataFrame:
         """Live rows only — tombstones filtered out."""

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from .lake import _partition_overwrite_dynamic
+from .lake import _partition_overwrite_dynamic, path_has_data
 
 
 @dataclass
@@ -96,11 +96,7 @@ class RollupTable:
     # -- incremental merge ---------------------------------------------
 
     def exists(self, spark: SparkSession) -> bool:
-        try:
-            spark.read.parquet(self.path).limit(1).collect()
-            return True
-        except Exception:  # noqa: BLE001 — missing path
-            return False
+        return path_has_data(spark, self.path)
 
     def merge_batch(
         self,

@@ -32,6 +32,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .lake import path_has_data
+
 VALID_FROM = "_valid_from"
 VALID_TO = "_valid_to"
 BUCKET = "_bucket"
@@ -55,11 +57,7 @@ class Scd2Table:
         return os.path.join(self.path, "history")
 
     def _exists(self, spark: SparkSession, path: str) -> bool:
-        try:
-            spark.read.parquet(path).limit(1).collect()
-            return True
-        except Exception:  # noqa: BLE001 — missing path
-            return False
+        return path_has_data(spark, path)
 
     def _bucketed(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
