@@ -1444,26 +1444,9 @@ def streaming_hourly_events(spark, sf_dir):
         StructType,
     )
 
-    # the parquet stores ts as TIMESTAMP(NANOS): stream it as long and
-    # floor to a microsecond timestamp, same as the batch loader
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = StructType(
-        [
-            StructField("event_id", LongType()),
-            StructField("ts", LongType()),
-            StructField("user_id", LongType()),
-            StructField("event_type", StringType()),
-            StructField("value", DoubleType()),
-            StructField("props", StringType()),
-        ]
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        # watermarks need TIMESTAMP (not NTZ); session tz is pinned UTC
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    from ..sources.tables import load_events_stream
+
+    stream = load_events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour"), "event_type")
@@ -1502,31 +1485,9 @@ def streaming_hourly_events(spark, sf_dir):
 def streaming_dedup_events(spark, sf_dir):
     import uuid
 
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
+    from ..sources.tables import load_events_stream
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = StructType(
-        [
-            StructField("event_id", LongType()),
-            StructField("ts", LongType()),
-            StructField("user_id", LongType()),
-            StructField("event_type", StringType()),
-            StructField("value", DoubleType()),
-            StructField("props", StringType()),
-        ]
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = load_events_stream(spark, sf_dir)
     deduped = (
         stream.withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["user_id"])
@@ -1557,33 +1518,11 @@ def streaming_dedup_events(spark, sf_dir):
 def streaming_debounce_events(spark, sf_dir):
     import uuid
 
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
     from ..streaming.stateful import debounce
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = StructType(
-        [
-            StructField("event_id", LongType()),
-            StructField("ts", LongType()),
-            StructField("user_id", LongType()),
-            StructField("event_type", StringType()),
-            StructField("value", DoubleType()),
-            StructField("props", StringType()),
-        ]
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    from ..sources.tables import load_events_stream
+
+    stream = load_events_stream(spark, sf_dir)
     out = debounce(
         stream,
         key_col="user_id",
@@ -2669,33 +2608,11 @@ def sessionize_events_batch(spark, sf_dir):
 def streaming_sessionize_events(spark, sf_dir):
     import uuid
 
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
     from ..streaming.stateful import sessionize
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = StructType(
-        [
-            StructField("event_id", LongType()),
-            StructField("ts", LongType()),
-            StructField("user_id", LongType()),
-            StructField("event_type", StringType()),
-            StructField("value", DoubleType()),
-            StructField("props", StringType()),
-        ]
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    from ..sources.tables import load_events_stream
+
+    stream = load_events_stream(spark, sf_dir)
     sessions = sessionize(stream, gap="4 hours", watermark="1 hour")
     sink = f"stream_sessions_{uuid.uuid4().hex[:8]}"
     q = (
@@ -5772,35 +5689,11 @@ def boilerplate_lines_documents(spark, sf_dir):
 def streaming_rollup_events(spark, sf_dir):
     import tempfile
 
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
     from ..streaming.rollup import RollupTable, write_stream_to_rollup
 
-    # the parquet stores ts as TIMESTAMP(NANOS): stream it as long and
-    # floor to a microsecond timestamp, same as the batch loader
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = StructType(
-        [
-            StructField("event_id", LongType()),
-            StructField("ts", LongType()),
-            StructField("user_id", LongType()),
-            StructField("event_type", StringType()),
-            StructField("value", DoubleType()),
-            StructField("props", StringType()),
-        ]
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    from ..sources.tables import load_events_stream
+
+    stream = load_events_stream(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="rollup_events_")
     table = RollupTable(path=os.path.join(base, "t"), keys=("event_type",))
     q = write_stream_to_rollup(

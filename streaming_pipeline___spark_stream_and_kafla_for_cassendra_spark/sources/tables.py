@@ -44,17 +44,46 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
-    """The events table stores ``ts`` as parquet TIMESTAMP(NANOS),
-    which Spark 4 rejects outright. Read nanos as long
-    (``legacy.parquet.nanosAsLong``) and floor-truncate to a
-    microsecond ``timestamp_ntz`` — the same truncation DuckDB applies,
-    so oracle comparisons see identical wall-clock values."""
+    """The events table's ``ts`` column has shipped in two physical
+    encodings across fixture generations: parquet TIMESTAMP(NANOS)
+    (which Spark 4 can only read as a raw long via
+    ``legacy.parquet.nanosAsLong``) and plain TIMESTAMP(MICROS).
+    Adapt to whichever the footer declares and normalize to a
+    microsecond ``timestamp_ntz`` — the identical wall-clock value
+    DuckDB sees, so oracle comparisons match exactly."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(path)
-    return raw.withColumn(
-        "ts",
-        F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+    from pyspark.sql.types import LongType
+
+    if isinstance(raw.schema["ts"].dataType, LongType):
+        # nanos-as-long generation: floor-truncate nanos → micros
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        ts = F.col("ts")
+    return raw.withColumn("ts", ts.cast("timestamp_ntz"))
+
+
+def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream twin of ``_load_events``: the same footer-adaptive
+    ``ts`` normalization, but over ``readStream`` (which requires the
+    schema declared up front, so probe the footer with a batch read
+    first). Returns ``ts`` as TIMESTAMP (LTZ; session tz pinned UTC)
+    because watermarks and time windows require it."""
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
     )
+    from pyspark.sql.types import LongType
+
+    if isinstance(schema["ts"].dataType, LongType):
+        return stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def load_tables(
