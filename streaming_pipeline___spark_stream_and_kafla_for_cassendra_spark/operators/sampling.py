@@ -172,9 +172,22 @@ def mixture_reweight(
     """
     counts = df.groupBy(strata_col).agg(F.count("*").alias("_n"))
     if target_weights is None:
-        w_all = Window.partitionBy(F.lit(1))
-        counts = counts.withColumn(
-            "_w", F.lit(1.0) / F.count("*").over(w_all)
+        # Uniform mixture: T = min_s(n_s / (1/k)) = k * min(n_s), so
+        # rate_s = T*(1/k)/n_s = min(n_s)/n_s. One global agg packs the
+        # k strata into a single row (k is small by construction — it's
+        # the number of domains), avoiding a global WindowExec.
+        packed = counts.agg(
+            F.collect_list(
+                F.struct(F.col(strata_col).alias("_s"), F.col("_n"))
+            ).alias("_rows"),
+            F.min("_n").alias("_minn"),
+        )
+        rates = (
+            packed.select(F.explode("_rows").alias("_r"), "_minn")
+            .select(
+                F.col("_r._s").alias(strata_col),
+                (F.col("_minn") / F.col("_r._n")).alias("_rate"),
+            )
         )
     else:
         total_w = sum(target_weights.values())
@@ -184,13 +197,22 @@ def mixture_reweight(
             cond = F.col(strata_col) == value
             expr = F.when(cond, lit) if expr is None else expr.when(cond, lit)
         counts = counts.withColumn("_w", expr.otherwise(F.lit(0.0)))
-    counts = counts.filter(F.col("_w") > 0)
-    w_all = Window.partitionBy(F.lit(1))
-    rates = counts.withColumn(
-        "_t", F.min(F.col("_n") / F.col("_w")).over(w_all)
-    ).withColumn(
-        "_rate", F.col("_t") * F.col("_w") / F.col("_n")
-    ).select(strata_col, "_rate")
+        counts = counts.filter(F.col("_w") > 0)
+        packed = counts.agg(
+            F.collect_list(
+                F.struct(
+                    F.col(strata_col).alias("_s"), F.col("_n"), F.col("_w")
+                )
+            ).alias("_rows"),
+            F.min(F.col("_n") / F.col("_w")).alias("_t"),
+        )
+        rates = (
+            packed.select(F.explode("_rows").alias("_r"), "_t")
+            .select(
+                F.col("_r._s").alias(strata_col),
+                (F.col("_t") * F.col("_r._w") / F.col("_r._n")).alias("_rate"),
+            )
+        )
     thr = F.format_string(
         "%08x", F.floor(F.col("_rate") * F.lit(float(_SPACE))).cast("bigint")
     )
