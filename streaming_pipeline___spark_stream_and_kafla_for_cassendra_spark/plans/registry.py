@@ -5715,6 +5715,133 @@ def streaming_rollup_events(spark, sf_dir):
     )
 
 
+@_register(
+    "streaming_interval_join_events",
+    """
+    SELECT v.user_id AS user_id, v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           round(p.value, 4) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = v.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+    "Stream-stream interval join (SURVEY T9 — absent from the "
+    "reference): two watermarked file streams of the same events "
+    "source, views inner-joined to same-user purchases landing within "
+    "[view_ts, view_ts + 30 min], run to completion via availableNow "
+    "and append memory sink; the watermark + range condition bound "
+    "join state on both sides, and the single-batch run must equal "
+    "DuckDB's batch interval join exactly",
+    ("streaming", "join", "interval", "events"),
+)
+def streaming_interval_join_events(spark, sf_dir):
+    import uuid
+
+    from ..sources.tables import load_events_stream
+    from ..streaming.joins import stream_stream_interval_join
+
+    views = (
+        load_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    purchases = (
+        load_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+    )
+    joined = stream_stream_interval_join(
+        views,
+        purchases,
+        left_key="v_user",
+        right_key="p_user",
+        left_ts="view_ts",
+        right_ts="purchase_ts",
+        upper="30 minutes",
+        left_watermark="1 hour",
+        right_watermark="1 hour",
+    )
+    out = joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        F.round("value", 4).alias("purchase_value"),
+    )
+    sink = f"stream_ivjoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)
+
+
+@_register(
+    "streaming_enrich_user_segment",
+    """
+    SELECT coalesce(c.c_mktsegment, 'UNMATCHED') AS segment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 4) AS total_value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+    "Stream-static broadcast enrichment (SURVEY J1 — the employees↔"
+    "activities FK shape the reference never implements): the events "
+    "file stream left-joins the static customer dimension via "
+    "broadcast (stateless per micro-batch, stream rows never "
+    "shuffle), then a grouped aggregate over the enriched stream "
+    "runs in complete mode to a memory sink; equals the batch "
+    "left-join aggregate",
+    ("streaming", "join", "broadcast", "events"),
+)
+def streaming_enrich_user_segment(spark, sf_dir):
+    import uuid
+
+    from ..sources.tables import load_events_stream, load_table
+    from ..streaming.joins import stream_static_enrich
+
+    stream = load_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_key"), "c_mktsegment"
+    )
+    enriched = stream_static_enrich(
+        stream, dim, on=F.col("user_id") == F.col("user_key"), how="left"
+    )
+    agg = (
+        enriched.groupBy(
+            F.coalesce("c_mktsegment", F.lit("UNMATCHED")).alias("segment")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    sink = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)
+
+
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
 # ---------------------------------------------------------------------------

@@ -1,3 +1,4 @@
+from .joins import stream_static_enrich, stream_stream_interval_join
 from .lake import LakeTable, write_stream_to_lake
 from .orchestrator import MetricsListener, StreamOrchestrator, observe_counters
 from .rollup import RollupTable, write_stream_to_rollup
@@ -13,6 +14,8 @@ __all__ = [
     "observe_counters",
     "sessionize",
     "sessionize_batch_oracle",
+    "stream_static_enrich",
+    "stream_stream_interval_join",
     "write_console",
     "write_kafka",
     "write_memory",
