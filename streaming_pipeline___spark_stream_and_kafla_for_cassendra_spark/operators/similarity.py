@@ -83,10 +83,15 @@ def brute_force_topk(
     """Exact cosine top-k for each query vector.
 
     Queries are broadcast; candidates are scored batch-at-a-time with
-    one matmul per Arrow batch, emitting per-batch (query, candidate,
-    sim) rows; a final window takes the global top-k. Returns
-    (query_id, neighbor_id, cosine_sim, rank); self-matches excluded;
-    ties broken by neighbor id.
+    one matmul per Arrow batch, and each batch emits only its LOCAL
+    top-(k+1) per query (exact, ties broken by neighbor id — the +1
+    survives self-match removal); the final window reduces the
+    per-batch winners to the global top-k. The shuffle therefore
+    carries #batches × #queries × (k+1) rows, never #candidates ×
+    #queries — the map-side-combine shape that keeps a 100 TB corpus
+    scan's shuffle k-sized. Returns (query_id, neighbor_id,
+    cosine_sim, rank); self-matches excluded; ties broken by
+    neighbor id.
     """
     from pyspark.sql.types import (
         DoubleType,
@@ -110,6 +115,7 @@ def brute_force_topk(
         import pandas as pd
 
         q_ids, q_mat = bvar.value  # (nq,), (nq, d) unit rows
+        keep = k + 1  # +1 absorbs the later self-match removal
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -120,11 +126,23 @@ def brute_force_topk(
             )
             sims = c_mat @ q_mat.T  # (nc, nq)
             nc, nq = sims.shape
+            take = min(keep, nc)
+            qcol, ncol, scol = [], [], []
+            for j in range(nq):
+                s = sims[:, j]
+                # exact local top-`take` under the GLOBAL order
+                # (sim desc, id asc): lexsort's last key is primary,
+                # so tied sims keep the lowest ids — identical-vector
+                # duplicates cannot shuffle the boundary.
+                idx = np.lexsort((c_ids, -s))[:take]
+                qcol.append(np.full(take, q_ids[j], dtype=np.int64))
+                ncol.append(c_ids[idx])
+                scol.append(s[idx])
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(q_ids[None, :], nc, 0).ravel(),
-                    "neighbor_id": np.repeat(c_ids[:, None], nq, 1).ravel(),
-                    "cosine_sim": sims.ravel(),
+                    "query_id": np.concatenate(qcol),
+                    "neighbor_id": np.concatenate(ncol),
+                    "cosine_sim": np.concatenate(scol),
                 }
             )
 
@@ -649,11 +667,22 @@ def quantized_topk(
             dots = (c_mat @ mat_qf.T).astype(np.float64)  # exact ints
             sims = dots * (c_scale[:, None] * sc_q[None, :])
             nc, nq = sims.shape
+            # local exact top-(k+1) per query under the global order
+            # (sim desc, id asc) — the shuffle carries #batches × nq ×
+            # (k+1) rows, not nc × nq (see brute_force_topk)
+            take = min(k + 1, nc)
+            qcol, ncol, scol = [], [], []
+            for j in range(nq):
+                s = sims[:, j]
+                idx = np.lexsort((c_ids, -s))[:take]
+                qcol.append(np.full(take, ids_q[j], dtype=np.int64))
+                ncol.append(c_ids[idx])
+                scol.append(s[idx])
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(ids_q[None, :], nc, 0).ravel(),
-                    "neighbor_id": np.repeat(c_ids[:, None], nq, 1).ravel(),
-                    "cosine_sim": sims.ravel(),
+                    "query_id": np.concatenate(qcol),
+                    "neighbor_id": np.concatenate(ncol),
+                    "cosine_sim": np.concatenate(scol),
                 }
             )
 
