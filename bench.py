@@ -83,31 +83,40 @@ def main() -> None:
     # a shared host see multi-x transient steal; min-of-2 reports the
     # machine's actual capability rather than co-tenant noise.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         qd = by_name[name]
         best = float("inf")
         for _ in range(2):
-            t0 = time.perf_counter()
-            df = qd.builder(spark, SF_DIR)
-            materialize(df)
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            try:
+                t0 = time.perf_counter()
+                df = qd.builder(spark, SF_DIR)
+                materialize(df)
+                best = min(best, time.perf_counter() - t0)
+            except Exception as exc:  # noqa: BLE001 - one bad run must not kill the bench
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+        if best < float("inf"):
+            timings[name] = round(best, 3)
+            errors.pop(name, None)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "runs_per_query": 2,
-                "aggregation": "min",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "runs_per_query": 2,
+        "aggregation": "min",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    # stop any stream a failed builder left behind BEFORE spark.stop()
+    # kills it mid-batch (that race prints a JVM interrupt stack trace)
+    for s in spark.streams.active:
+        s.stop()
+    print(json.dumps(payload))
     spark.stop()
 
 

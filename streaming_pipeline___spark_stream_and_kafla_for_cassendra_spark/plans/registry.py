@@ -79,6 +79,22 @@ def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
 
 
+def _await_stream(q, timeout):
+    """Await an availableNow query; fail loudly instead of silently.
+
+    ``awaitTermination(timeout)`` returns False on timeout and leaves
+    the query RUNNING — a later ``spark.stop()`` then kills it mid
+    micro-batch and the JVM prints a scary (but harmless) interrupt
+    stack trace, while the caller reads a PARTIAL sink table. Raising
+    here turns that silent wrong-answer mode into a visible failure,
+    and stopping the query first keeps shutdown clean."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise RuntimeError(
+            f"streaming query {q.name or q.id} did not finish within {timeout}s"
+        )
+
+
 def _stable_avg4(sum_col, cnt_col):
     """Engine-stable 4-decimal average of a 2-decimal-valued sum.
 
@@ -1468,7 +1484,7 @@ def streaming_hourly_events(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_stream(q, 120)
     return spark.table(sink)
 
 
@@ -1501,7 +1517,7 @@ def streaming_dedup_events(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_stream(q, 120)
     return spark.table(sink)
 
 
@@ -1539,7 +1555,7 @@ def streaming_debounce_events(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_stream(q, 120)
     return spark.table(sink)
 
 
@@ -2622,7 +2638,7 @@ def streaming_sessionize_events(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    _await_stream(q, 180)
     return spark.table(sink)
 
 
@@ -5702,7 +5718,7 @@ def streaming_rollup_events(spark, sf_dir):
         checkpoint_root=os.path.join(base, "ck"),
         available_now=True,
     )
-    q.awaitTermination(300)
+    _await_stream(q, 300)
     return table.read(spark).select(
         "window_start",
         "window_end",
@@ -5786,7 +5802,7 @@ def streaming_interval_join_events(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q, 300)
     return spark.table(sink)
 
 
@@ -5838,8 +5854,425 @@ def streaming_enrich_user_segment(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q, 300)
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: market-basket lift, Markov transitions, robust
+# outlier detection, ER blocking, purchase-interval stats, column
+# profiling, skyline. All DuckDB-oracle-checked.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "market_basket_pairs",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS pair_cnt
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    pc AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS ocnt
+           FROM items GROUP BY 1),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM lineitem)
+    SELECT p.part_a, p.part_b, CAST(p.pair_cnt AS BIGINT) AS pair_cnt,
+           floor((CAST(p.pair_cnt AS BIGINT) * n.n_orders)
+                 / (ca.ocnt * cb.ocnt) * 1000000 + 0.5) / 1000000.0 AS lift
+    FROM pairs p
+    JOIN pc ca ON ca.l_partkey = p.part_a
+    JOIN pc cb ON cb.l_partkey = p.part_b
+    CROSS JOIN n
+    """,
+    "Market-basket co-purchase mining: distinct parts per order, "
+    "within-order pair generation via self-equi-join on the order key "
+    "(shuffle bounded by basket-size² per order, never a global cross "
+    "join), support filter, and lift = P(a,b)/(P(a)·P(b)) from "
+    "broadcast per-part order counts + a broadcast scalar order "
+    "count. The association-rules primitive the reference's "
+    "user-order statistics gesture at",
+    ("join", "agg", "basket"),
+)
+def market_basket_pairs(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").dropDuplicates()
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= 2)
+    )
+    part_counts = items.groupBy("l_partkey").agg(F.count("*").alias("ocnt"))
+    n_orders = li.select(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    lift_num = F.col("pair_cnt") * F.col("n_orders")
+    lift_den = F.col("ocnt_a") * F.col("ocnt_b")
+    q = lift_num / lift_den
+    return (
+        pairs.join(
+            F.broadcast(
+                part_counts.select(
+                    F.col("l_partkey").alias("part_a"),
+                    F.col("ocnt").alias("ocnt_a"),
+                )
+            ),
+            "part_a",
+        )
+        .join(
+            F.broadcast(
+                part_counts.select(
+                    F.col("l_partkey").alias("part_b"),
+                    F.col("ocnt").alias("ocnt_b"),
+                )
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_cnt",
+            (F.floor(q * 1000000 + F.lit(0.5)) / F.lit(1000000.0)).alias("lift"),
+        )
+    )
+
+
+@_register(
+    "event_type_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    t AS (
+      SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS transition_cnt
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT event_type, next_type, transition_cnt,
+           floor(transition_cnt
+                 / CAST(sum(transition_cnt) OVER (PARTITION BY event_type)
+                        AS BIGINT) * 1000000 + 0.5) / 1000000.0 AS prob
+    FROM t
+    """,
+    "First-order Markov transition matrix over per-user event "
+    "sequences: lead() within (user, event-time) order — one shuffle "
+    "keyed on user_id — then a grouped count and a per-source-state "
+    "probability normalization over the tiny #types² matrix. The "
+    "sequence-mining primitive for behavioral modeling",
+    ("window", "agg", "events", "sequence"),
+)
+def event_type_transitions(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    t = seq.groupBy("event_type", "next_type").agg(
+        F.count("*").alias("transition_cnt")
+    )
+    tot = F.sum("transition_cnt").over(Window.partitionBy("event_type"))
+    q = F.col("transition_cnt") / tot
+    return t.select(
+        "event_type",
+        "next_type",
+        "transition_cnt",
+        (F.floor(q * 1000000 + F.lit(0.5)) / F.lit(1000000.0)).alias("prob"),
+    )
+
+
+@_register(
+    "mad_outlier_events",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1
+    ),
+    dev AS (
+      SELECT e.event_type, abs(e.value - m.med) AS ad, m.med
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           floor(min(d.med) * 10000 + 0.5) / 10000.0 AS med_value,
+           floor(min(m.mad) * 10000 + 0.5) / 10000.0 AS mad_value,
+           CAST(count_if(d.ad > m.mad * 4.4478) AS BIGINT) AS n_outliers,
+           floor(count_if(d.ad > m.mad * 4.4478) * 1.0 / count(*)
+                 * 1000000 + 0.5) / 1000000.0 AS outlier_frac
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+    "Robust outlier detection per group: median + MAD (median "
+    "absolute deviation), flagging values beyond 3σ-equivalent "
+    "(3·1.4826·MAD) — immune to the outliers themselves, unlike "
+    "mean/stddev fences. Two exact-percentile passes (Spark "
+    "percentile() ≡ DuckDB quantile_cont()), medians broadcast back "
+    "to the scan; the data-cleaning gate for value columns",
+    ("agg", "percentile", "quality", "events"),
+)
+def mad_outlier_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("ad"), "med"
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    is_out = F.col("ad") > F.col("mad") * F.lit(4.4478)
+    frac = F.sum(is_out.cast("long")) * F.lit(1.0) / F.count("*")
+    return flagged.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        (F.floor(F.min("med") * 10000 + F.lit(0.5)) / F.lit(10000.0)).alias(
+            "med_value"
+        ),
+        (F.floor(F.min("mad") * 10000 + F.lit(0.5)) / F.lit(10000.0)).alias(
+            "mad_value"
+        ),
+        F.sum(is_out.cast("long")).alias("n_outliers"),
+        (F.floor(frac * 1000000 + F.lit(0.5)) / F.lit(1000000.0)).alias(
+            "outlier_frac"
+        ),
+    )
+
+
+@_register(
+    "blocking_candidate_pairs",
+    """
+    WITH b AS (
+      SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS tok, p_brand
+      FROM part
+    )
+    SELECT a.p_partkey AS key_a, c.p_partkey AS key_b,
+           CAST(levenshtein(a.p_name, c.p_name) AS INTEGER) AS edit_dist
+    FROM b a JOIN b c
+      ON a.tok = c.tok AND a.p_brand = c.p_brand
+     AND a.p_partkey < c.p_partkey
+    WHERE levenshtein(a.p_name, c.p_name) <= 2
+    """,
+    "Entity-resolution blocking: candidate pairs come from an "
+    "equi-join on a cheap blocking key (first name token × brand) — "
+    "a hash-partitioned shuffle with per-block quadratic cost bounded "
+    "by block size — then the expensive edit-distance verifier runs "
+    "on candidates only. The scale-correct tier that "
+    "part_name_edit_distance_pairs' bounded cross join stands in "
+    "for; at 100 TB the block key is the difference between O(n²) "
+    "and O(Σ blk²)",
+    ("join", "text", "similarity", "dedup"),
+)
+def blocking_candidate_pairs(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("tok"),
+        "p_brand",
+    )
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        "tok",
+        "p_brand",
+    )
+    c = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        "tok",
+        "p_brand",
+    )
+    return (
+        a.join(c, ["tok", "p_brand"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("int"))
+        .filter(F.col("edit_dist") <= 2)
+        .select("key_a", "key_b", "edit_dist")
+    )
+
+
+@_register(
+    "customer_order_intervals",
+    """
+    WITH seq AS (
+      SELECT o_custkey,
+             CAST(date_diff('day',
+               lag(o_orderdate) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS INTEGER) AS gap_days
+      FROM orders
+    )
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           floor(CAST(sum(gap_days) AS BIGINT) * 1.0 / count(*)
+                 * 1000000 + 0.5) / 1000000.0 AS avg_gap_days,
+           max(gap_days) AS max_gap_days
+    FROM seq WHERE gap_days IS NOT NULL
+    GROUP BY o_custkey
+    """,
+    "Inter-purchase interval statistics: per-customer event-time "
+    "lag() (one shuffle on the customer key), day gaps between "
+    "consecutive orders, then per-customer count/avg/max. The "
+    "recency-cadence feature underlying churn/LTV models; the window "
+    "partitioning reuses the same exchange for the follow-up groupBy",
+    ("window", "agg", "orders"),
+)
+def customer_order_intervals(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    avg_q = F.sum("gap_days") * F.lit(1.0) / F.count("*")
+    return seq.groupBy("o_custkey").agg(
+        F.count("*").alias("n_gaps"),
+        (F.floor(avg_q * 1000000 + F.lit(0.5)) / F.lit(1000000.0)).alias(
+            "avg_gap_days"
+        ),
+        F.max("gap_days").alias("max_gap_days"),
+    )
+
+
+@_register(
+    "profile_numeric_lineitem",
+    """
+    WITH agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) - count(l_quantity) AS BIGINT)      AS qty_nulls,
+             CAST(count(DISTINCT l_quantity) AS BIGINT)        AS qty_dist,
+             min(l_quantity) AS qty_min,  max(l_quantity) AS qty_max,
+             CAST(count(*) - count(l_extendedprice) AS BIGINT) AS price_nulls,
+             CAST(count(DISTINCT l_extendedprice) AS BIGINT)   AS price_dist,
+             min(l_extendedprice) AS price_min, max(l_extendedprice) AS price_max,
+             CAST(count(*) - count(l_discount) AS BIGINT)      AS disc_nulls,
+             CAST(count(DISTINCT l_discount) AS BIGINT)        AS disc_dist,
+             min(l_discount) AS disc_min, max(l_discount) AS disc_max,
+             CAST(count(*) - count(l_tax) AS BIGINT)           AS tax_nulls,
+             CAST(count(DISTINCT l_tax) AS BIGINT)             AS tax_dist,
+             min(l_tax) AS tax_min, max(l_tax) AS tax_max
+      FROM lineitem
+    )
+    SELECT 'l_quantity' AS column_name, n_rows, qty_nulls AS n_nulls,
+           qty_dist AS n_distinct, qty_min AS min_value, qty_max AS max_value
+    FROM agg
+    UNION ALL
+    SELECT 'l_extendedprice', n_rows, price_nulls, price_dist,
+           price_min, price_max FROM agg
+    UNION ALL
+    SELECT 'l_discount', n_rows, disc_nulls, disc_dist,
+           disc_min, disc_max FROM agg
+    UNION ALL
+    SELECT 'l_tax', n_rows, tax_nulls, tax_dist, tax_min, tax_max FROM agg
+    """,
+    "Single-scan column profiling (the data-catalog primitive): "
+    "row count, null count, exact distinct count, min/max for every "
+    "numeric lineitem column in ONE aggregate (Catalyst Expand "
+    "handles the multi-distinct), unpivoted to one row per column "
+    "via stack(). At 100 TB swap the exact distincts for "
+    "approx_count_distinct — same plan minus the Expand multiplier",
+    ("agg", "profile", "quality"),
+)
+def profile_numeric_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    cols = {
+        "l_quantity": "qty",
+        "l_extendedprice": "price",
+        "l_discount": "disc",
+        "l_tax": "tax",
+    }
+    aggs = [F.count("*").alias("n_rows")]
+    for col, p in cols.items():
+        aggs += [
+            (F.count("*") - F.count(col)).alias(f"{p}_nulls"),
+            F.countDistinct(col).alias(f"{p}_dist"),
+            F.min(col).alias(f"{p}_min"),
+            F.max(col).alias(f"{p}_max"),
+        ]
+    agg = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{col}', {p}_nulls, {p}_dist, {p}_min, {p}_max"
+        for col, p in cols.items()
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct, min_value, max_value)"
+        ),
+        "n_rows",
+    ).select(
+        "column_name", "n_rows", "n_nulls", "n_distinct",
+        "min_value", "max_value",
+    )
+
+
+@_register(
+    "skyline_parts_price_size",
+    """
+    WITH d AS (
+      SELECT p_retailprice AS price, p_size AS size,
+             CAST(count(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY 1, 2
+    )
+    SELECT price, size, n_parts
+    FROM d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM d d2
+      WHERE d2.price <= d.price AND d2.size >= d.size
+        AND (d2.price < d.price OR d2.size > d.size)
+    )
+    """,
+    "Skyline (Pareto frontier) query — minimize price, maximize "
+    "size — rewritten from the O(n²) NOT-EXISTS dominance test into "
+    "a sort + running-max scan: after deduping to distinct "
+    "(price,size) points, sort by (price asc, size desc); a point is "
+    "dominated iff a strictly-preceding point has size ≥ its own. "
+    "Runs as two phases — per-partition local skyline (dominance is "
+    "distributive: local losers can never be global winners), then "
+    "the tiny survivor set through one global window — so no single "
+    "node ever sorts the full input",
+    ("window", "skyline", "sort"),
+)
+def skyline_parts_price_size(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    d = p.groupBy(
+        F.col("p_retailprice").alias("price"), F.col("p_size").alias("size")
+    ).agg(F.count("*").alias("n_parts"))
+
+    def prune(df, *partition_cols):
+        w = (
+            Window.partitionBy(*partition_cols)
+            .orderBy(F.col("price").asc(), F.col("size").desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+            if partition_cols
+            else Window.orderBy(F.col("price").asc(), F.col("size").desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        m = F.max("size").over(w)
+        return df.withColumn("_m", m).filter(
+            F.col("_m").isNull() | (F.col("_m") < F.col("size"))
+        ).drop("_m")
+
+    local = prune(d.withColumn("_pid", F.spark_partition_id()), "_pid").drop(
+        "_pid"
+    )
+    return prune(local).select("price", "size", "n_parts")
 
 
 # ---------------------------------------------------------------------------
