@@ -111,3 +111,74 @@ def zorder_value(a: Column, b: Column, bits: int = 16) -> Column:
             F.shiftleft(bbit, 2 * i + 1)
         )
     return z
+
+
+def dense_ids(
+    df: DataFrame,
+    *order_cols: str,
+    num_partitions: int | None = None,
+    id_col: str = "row_id",
+) -> DataFrame:
+    """Assign global, dense, 0-based row ids in ``order_cols`` order
+    WITHOUT a global single-partition sort.
+
+    ``row_number() OVER (ORDER BY ...)`` funnels every row through ONE
+    task — the classic driver-shaped bottleneck that dies at 100 TB.
+    This is the distributed equivalent:
+
+    1. ``repartitionByRange`` + ``sortWithinPartitions`` — the global
+       order exists ACROSS partitions (partition i's rows all precede
+       partition i+1's), each partition sorted locally in parallel.
+    2. One cheap counting pass: per-partition row counts (a
+       #partitions-row aggregate) → exclusive prefix sums on the
+       driver (bounded by the partition count, never by data).
+    3. An Arrow-batched ``mapInPandas`` adds ``offset[pid] +
+       position-within-partition`` — zero additional shuffle of the
+       data; all other columns pass through untouched.
+
+    ``order_cols`` must be a unique key: range partitioning may split
+    ties across partition boundaries, making tie order (and therefore
+    ids among tied rows) partition-dependent otherwise.
+
+    The id layer for training-data sharding: stable example ids,
+    shard = row_id % n_shards.
+    """
+    if not order_cols:
+        raise ValueError("dense_ids requires at least one order column")
+    rp = df.repartitionByRange(
+        *([num_partitions] if num_partitions else []), *order_cols
+    ).sortWithinPartitions(*order_cols)
+    # Range bounds come from SAMPLING, and this frame is evaluated
+    # twice (counting pass + id pass) — without pinning the layout the
+    # two passes can see DIFFERENT partition boundaries and the ids
+    # go non-dense. localCheckpoint materializes the partitioning
+    # once; on a production cluster swap for checkpoint() on reliable
+    # storage (same one-line swap as the iterative operators).
+    rp = rp.localCheckpoint(eager=False)
+    with_pid = rp.withColumn("_pid", F.spark_partition_id())
+    sizes = {
+        r["_pid"]: r["cnt"]
+        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    bc = df.sparkSession.sparkContext.broadcast(offsets)
+
+    out_schema = with_pid.drop("_pid").schema.add(id_col, "long", False)
+
+    def assign(batches):
+        # defined inside so it pickles by value (worker cwd-safe)
+        seen_by_pid: dict[int, int] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            base = bc.value[pid] + seen_by_pid.get(pid, 0)
+            seen_by_pid[pid] = seen_by_pid.get(pid, 0) + len(pdf)
+            out = pdf.drop(columns=["_pid"])
+            out[id_col] = range(base, base + len(pdf))
+            yield out
+
+    return with_pid.mapInPandas(assign, schema=out_schema)

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import (
     DEFAULT_STOPWORDS,
+    LANG_STOPWORDS,
     content_fingerprint,
     lang_id_heuristic,
     punct_ratio,
@@ -37,6 +38,43 @@ from ..functions.text import (
     token_count,
     tokens,
 )
+
+
+def _langid_oracle() -> str:
+    """DuckDB twin of ``lang_id_heuristic``, generated from the SAME
+    ``LANG_STOPWORDS`` tables so the two engines cannot drift. Spark's
+    ``array_max`` over (score, lang) structs is lexicographic — max
+    score, ties broken by the GREATEST lang string — reproduced here
+    as a descending-lang CASE chain over exact score equality (both
+    engines compute score as the identical int/int IEEE divide)."""
+    scores = ", ".join(
+        "len(list_filter(toks, x -> x IN ({0}))) / greatest(len(toks), 1)"
+        " AS s_{1}".format(", ".join(f"'{w}'" for w in sw), lang)
+        for lang, sw in LANG_STOPWORDS.items()
+    )
+    case = "\n           ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'"
+        for lang in sorted(LANG_STOPWORDS, reverse=True)
+    )
+    best = ", ".join(f"s_{lang}" for lang in LANG_STOPWORDS)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang AS labeled_lang,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, labeled_lang, {scores}
+      FROM t
+    ), b AS (
+      SELECT *, greatest({best}) AS best FROM s
+    )
+    SELECT doc_id, labeled_lang,
+           CASE WHEN best <= 0 THEN 'und'
+           {case}
+           END AS guessed_lang
+    FROM b
+    """
 from ..operators.dedup import (
     connected_components,
     dedup_exact,
@@ -1212,10 +1250,14 @@ def lang_source_distribution(spark, sf_dir):
 
 @_register(
     "langid_heuristic",
-    None,  # heuristic voting over Spark struct arrays; plumbing checked rows-only
+    _langid_oracle(),
     "Language-ID heuristic: stopword-set voting per language (text "
     "analysis op; the synthetic corpus shares one vocabulary, so this "
-    "checks plumbing + determinism, not accuracy)",
+    "checks plumbing + determinism, not accuracy). The DuckDB oracle "
+    "re-derives the vote (per-language stopword-hit fraction, argmax "
+    "with Spark array_max's lexicographic tie-break = greatest lang "
+    "string) from the same stopword tables, so the two engines must "
+    "agree doc-by-doc",
     ("text", "langid", "documents"),
 )
 def langid_heuristic_q(spark, sf_dir):
@@ -6273,6 +6315,101 @@ def skyline_parts_price_size(spark, sf_dir):
         "_pid"
     )
     return prune(local).select("price", "size", "n_parts")
+
+
+@_register(
+    "dense_ids_documents",
+    """
+    SELECT doc_id, lang,
+           CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_id
+    FROM documents
+    """,
+    "Global dense 0-based row ids in doc_id order WITHOUT a global "
+    "single-partition sort (operators/scale.py::dense_ids): "
+    "repartitionByRange gives cross-partition order, a #partitions-"
+    "sized counting pass yields exclusive prefix offsets, and an "
+    "Arrow mapInPandas adds offset + local position — no row ever "
+    "funnels through one task, unlike the oracle's row_number(). "
+    "The id layer for training-data sharding (shard = row_id % n)",
+    ("scale", "ids", "documents"),
+)
+def dense_ids_documents(spark, sf_dir):
+    from ..operators.scale import dense_ids
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return dense_ids(d, "doc_id")
+
+
+@_register(
+    "top_p_tokens_per_source",
+    """
+    WITH cnt AS (
+      SELECT source, unnest(list_filter(
+               string_split_regex(lower(text), '\\s+'), x -> x <> ''))
+               AS token
+      FROM documents
+    ),
+    freq AS (
+      SELECT source, token, CAST(count(*) AS BIGINT) AS token_cnt
+      FROM cnt GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT source, token, token_cnt,
+             CAST(sum(token_cnt) OVER (
+               PARTITION BY source ORDER BY token_cnt DESC, token
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum,
+             CAST(sum(token_cnt) OVER (PARTITION BY source)
+               AS BIGINT) AS tot
+      FROM freq
+    )
+    SELECT source, token, token_cnt,
+           floor(cum / tot * 1000000 + 0.5) / 1000000.0 AS cum_share
+    FROM ranked
+    WHERE (cum - token_cnt) * 10 < tot * 8
+    """,
+    "Nucleus (top-p, p=0.8) vocabulary truncation per source: token "
+    "frequencies, deterministic (freq desc, token asc) ranking, keep "
+    "the smallest prefix covering 80% of token mass. The keep "
+    "predicate is pure INTEGER arithmetic ((cum-cnt)·10 < tot·8) so "
+    "the cut is bit-exact on any engine; one shuffle for the "
+    "frequency agg, one for the per-source window — vocabulary-"
+    "sized, not corpus-sized, after the first agg",
+    ("text", "window", "documents", "topk"),
+)
+def top_p_tokens_per_source(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    freq = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("token_cnt"))
+    )
+    w_order = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("token_cnt"), F.asc("token"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("token_cnt").over(w_order)
+    tot = F.sum("token_cnt").over(Window.partitionBy("source"))
+    share = F.col("cum") / F.col("tot")
+    return (
+        freq.select(
+            "source",
+            "token",
+            "token_cnt",
+            cum.alias("cum"),
+            tot.alias("tot"),
+        )
+        .filter((F.col("cum") - F.col("token_cnt")) * 10 < F.col("tot") * 8)
+        .select(
+            "source",
+            "token",
+            "token_cnt",
+            (F.floor(share * 1000000 + F.lit(0.5)) / F.lit(1000000.0)).alias(
+                "cum_share"
+            ),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
