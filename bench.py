@@ -62,6 +62,10 @@ HEADLINE = [
     "pii_redaction_customers",
     "boilerplate_lines_documents",
     "streaming_rollup_events",
+    "market_basket_pairs",
+    "dense_ids_documents",
+    "top_p_tokens_per_source",
+    "daily_new_vs_returning_users",
 ]
 
 

@@ -5929,32 +5929,44 @@ def streaming_enrich_user_segment(spark, sf_dir):
     JOIN pc cb ON cb.l_partkey = p.part_b
     CROSS JOIN n
     """,
-    "Market-basket co-purchase mining: distinct parts per order, "
-    "within-order pair generation via self-equi-join on the order key "
-    "(shuffle bounded by basket-size² per order, never a global cross "
-    "join), support filter, and lift = P(a,b)/(P(a)·P(b)) from "
+    "Market-basket co-purchase mining, basket-style: ONE shuffle of "
+    "the fact table (groupBy order → sorted distinct part array), "
+    "then pair generation happens IN-ROW via higher-order functions "
+    "(transform×slice over the basket array — basket-size² work with "
+    "zero extra shuffle, never a fact-table self-join), a pair-sized "
+    "groupBy for support, and lift = P(a,b)/(P(a)·P(b)) from "
     "broadcast per-part order counts + a broadcast scalar order "
     "count. The association-rules primitive the reference's "
     "user-order statistics gesture at",
-    ("join", "agg", "basket"),
+    ("join", "agg", "basket", "hof"),
 )
 def market_basket_pairs(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").dropDuplicates()
-    a = items.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
     )
-    b = items.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    arr = F.col("parts")
+    pair_structs = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + F.lit(2), F.size(arr)),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
     )
     pairs = (
-        a.join(b, "ok")
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("pair_cnt"))
         .filter(F.col("pair_cnt") >= 2)
     )
-    part_counts = items.groupBy("l_partkey").agg(F.count("*").alias("ocnt"))
+    part_counts = (
+        li.groupBy("l_partkey")
+        .agg(F.countDistinct("l_orderkey").alias("ocnt"))
+    )
     n_orders = li.select(
         F.countDistinct("l_orderkey").alias("n_orders")
     )
@@ -6409,6 +6421,111 @@ def top_p_tokens_per_source(spark, sf_dir):
                 "cum_share"
             ),
         )
+    )
+
+
+@_register(
+    "daily_new_vs_returning_users",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    first_seen AS (
+      SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1
+    ),
+    active AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS active_users FROM ud GROUP BY 1
+    ),
+    news AS (
+      SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_users
+      FROM first_seen GROUP BY 1
+    )
+    SELECT a.day, a.active_users,
+           coalesce(n.new_users, 0) AS new_users,
+           a.active_users - coalesce(n.new_users, 0) AS returning_users,
+           CAST(sum(coalesce(n.new_users, 0)) OVER (
+             ORDER BY a.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_users
+    FROM active a LEFT JOIN news n ON n.day = a.day
+    """,
+    "Growth accounting: per-day active/new/returning user counts plus "
+    "cumulative distinct-users-to-date — the cumulative distinct is "
+    "computed as a running sum of first-seen counts (pure integers, "
+    "bit-exact) instead of a per-day COUNT(DISTINCT) over growing "
+    "windows, turning an O(days × users) rescan into two user-keyed "
+    "aggregates; the final window runs over #days rows, not data",
+    ("window", "agg", "events", "timeseries"),
+)
+def daily_new_vs_returning_users(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    ud = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    first_seen = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    active = ud.groupBy("day").agg(F.count("*").alias("active_users"))
+    news = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    joined = active.join(news, "day", "left").select(
+        "day",
+        "active_users",
+        F.coalesce("new_users", F.lit(0)).alias("new_users"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return joined.select(
+        "day",
+        "active_users",
+        "new_users",
+        (F.col("active_users") - F.col("new_users")).alias("returning_users"),
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
+@_register(
+    "weekly_revenue_wow",
+    """
+    WITH wk AS (
+      SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+             round(sum(o_totalprice), 4) AS revenue,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT week, revenue, n_orders,
+           lag(revenue) OVER (ORDER BY week) AS prev_revenue,
+           CASE WHEN lag(revenue) OVER (ORDER BY week) IS NULL THEN NULL
+                ELSE floor((revenue / lag(revenue) OVER (ORDER BY week) - 1)
+                           * 1000000 + 0.5) / 1000000.0
+           END AS wow_change
+    FROM wk
+    """,
+    "Week-over-week revenue trend: weekly rollup (one fact-keyed "
+    "aggregate) then lag() + percent change over the #weeks-sized "
+    "series — the windowed part never touches fact rows. The change "
+    "ratio divides the already-rounded weekly values so both engines "
+    "divide identical doubles",
+    ("window", "agg", "orders", "timeseries"),
+)
+def weekly_revenue_wow(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    wk = o.groupBy(
+        F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("week")
+    ).agg(
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    w = Window.orderBy("week")
+    prev = F.lag("revenue").over(w)
+    change = F.floor(
+        (F.col("revenue") / prev - 1) * 1000000 + F.lit(0.5)
+    ) / F.lit(1000000.0)
+    return wk.select(
+        "week",
+        "revenue",
+        "n_orders",
+        prev.alias("prev_revenue"),
+        F.when(prev.isNull(), F.lit(None).cast("double"))
+        .otherwise(change)
+        .alias("wow_change"),
     )
 
 

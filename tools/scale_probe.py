@@ -172,6 +172,27 @@ def main() -> None:
     shutil.rmtree(fdir, ignore_errors=True)
     shutil.rmtree(qdir, ignore_errors=True)
 
+    # 8. dense global id assignment over every fact row — the
+    # anti-pattern it replaces (row_number over a global ORDER BY)
+    # funnels all rows through one task; this must stay parallel.
+    # Sanity: ids are dense 0..n-1 (checked via sum identity).
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.scale import (
+        dense_ids,
+    )
+
+    n_ids = min(n, 20_000_000)
+    id_src = spark.range(n_ids).select(
+        ((F.col("id") * 2654435761) % 4_000_000_000).alias("key"),
+        F.col("id").alias("payload"),
+    ).where(F.lit(True))
+    t0 = time.perf_counter()
+    ids = dense_ids(id_src, "key", "payload", id_col="row_id")
+    got = ids.agg(
+        F.sum("row_id").alias("s"), F.count("*").alias("c")
+    ).collect()[0]
+    timings["dense_ids_20m"] = round(time.perf_counter() - t0, 2)
+    assert got["c"] == n_ids and got["s"] == n_ids * (n_ids - 1) // 2, got
+
     print(
         json.dumps(
             {
