@@ -44,6 +44,7 @@ HEADLINE = [
     "ann_topk_lsh",
     "ann_topk_ivf",
     "ann_topk_quantized",
+    "ann_topk_pq",
     "embedding_near_dup_pairs",
     "multimodal_image_features",
     "q07_volume_shipping",

@@ -1327,6 +1327,25 @@ def ann_topk_ivf(spark, sf_dir):
 
 
 @_register(
+    "ann_topk_pq",
+    None,  # approximate; recall vs brute force asserted in tests
+    "Similarity search scale path #4: product quantization (FAISS-"
+    "style ADC) — m sub-space codebooks trained on a bounded sample, "
+    "candidates compress to m uint8 codes (64× smaller than float64 "
+    "at dim=64/m=8), queries stay exact and score via per-batch "
+    "lookup tables: m table adds per candidate, no decompression, "
+    "no corpus matmul; per-batch winners keep the shuffle k-sized",
+    ("similarity", "ann", "pq", "embeddings"),
+)
+def ann_topk_pq(spark, sf_dir):
+    from ..operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    return pq_topk(emb, queries_df, k=5, m=8, n_codes=32)
+
+
+@_register(
     "embedding_near_dup_pairs",
     """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,

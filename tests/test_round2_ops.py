@@ -199,3 +199,57 @@ def test_blocking_pairs_equal_within_block_bruteforce(spark):
                 if prev[-1] <= 2:
                     want.add((a["p_partkey"], b["p_partkey"]))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# PQ ANN: planted-cluster recall vs exact brute force
+# ---------------------------------------------------------------------------
+
+def test_pq_topk_recall_on_clustered_vectors(spark):
+    """Product quantization with m=8 sub-spaces / 32 codes: same
+    planted-cluster fixture as the LSH/IVF tests; ADC scoring must
+    recover >=80% of top-1 neighbors."""
+    import numpy as np
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((20, 64))
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(10):
+            v = c + 0.05 * rng.standard_normal(64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = pq_topk(emb, queries, k=5, m=8, n_codes=32).collect()
+    exact_at1 = {r.query_id: r.neighbor_id for r in exact if r.rank == 1}
+    approx_sets: dict[int, set[int]] = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(
+        1 for q, nn in exact_at1.items() if nn in approx_sets.get(q, set())
+    )
+    assert hits >= int(0.8 * len(exact_at1))
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    import pytest as _pytest
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.similarity import (
+        pq_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [0.1] * 10), (1, [0.2] * 10)],
+        "vec_id bigint, embedding array<float>",
+    )
+    with _pytest.raises(ValueError):
+        pq_topk(emb, emb, m=3)
