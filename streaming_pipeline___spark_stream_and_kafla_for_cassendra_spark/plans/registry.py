@@ -6548,6 +6548,130 @@ def weekly_revenue_wow(spark, sf_dir):
     )
 
 
+@_register(
+    "psi_price_drift_bins",
+    """
+    WITH binned AS (
+      SELECT least(greatest(CAST(floor((l_extendedprice - 900.0) / 10410.0)
+                                 AS INTEGER), 0), 9) AS bin,
+             CASE WHEN l_shipdate < TIMESTAMP '1998-01-01'
+                  THEN 'ref' ELSE 'cur' END AS cohort
+      FROM lineitem
+    ),
+    cnt AS (
+      SELECT bin,
+             CAST(count_if(cohort = 'ref') AS BIGINT) AS ref_cnt,
+             CAST(count_if(cohort = 'cur') AS BIGINT) AS cur_cnt
+      FROM binned GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(ref_cnt) AS BIGINT) AS ref_tot,
+             CAST(sum(cur_cnt) AS BIGINT) AS cur_tot FROM cnt
+    )
+    SELECT bin, ref_cnt, cur_cnt,
+           floor((ref_cnt + 1) / (ref_tot + 10) * 1000000 + 0.5)
+             / 1000000.0 AS ref_frac,
+           floor((cur_cnt + 1) / (cur_tot + 10) * 1000000 + 0.5)
+             / 1000000.0 AS cur_frac,
+           floor(((ref_cnt + 1) / (ref_tot + 10)
+                  - (cur_cnt + 1) / (cur_tot + 10))
+                 * ln(((ref_cnt + 1) / (ref_tot + 10))
+                      / ((cur_cnt + 1) / (cur_tot + 10)))
+                 * 1000000 + 0.5) / 1000000.0 AS psi_contrib
+    FROM cnt CROSS JOIN tot
+    """,
+    "Population-stability-index drift report between a reference "
+    "cohort (shipped pre-1998) and the current cohort over 10 fixed "
+    "price bins, Laplace-smoothed — the distribution-drift monitor "
+    "for feature pipelines. Emits PER-BIN contributions (sum them "
+    "for the scalar PSI) so every value derives from integer counts "
+    "through one deterministic float expression; one scan, one "
+    "10-group aggregate, a broadcast scalar total",
+    ("agg", "quality", "drift", "lineitem"),
+)
+def psi_price_drift_bins(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    bin_col = F.least(
+        F.greatest(
+            F.floor((F.col("l_extendedprice") - 900.0) / 10410.0).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(9),
+    )
+    is_ref = F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")
+    cnt = (
+        li.select(bin_col.alias("bin"), is_ref.alias("is_ref"))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.col("is_ref").cast("long")).alias("ref_cnt"),
+            F.sum((~F.col("is_ref")).cast("long")).alias("cur_cnt"),
+        )
+    )
+    tot = cnt.agg(
+        F.sum("ref_cnt").alias("ref_tot"), F.sum("cur_cnt").alias("cur_tot")
+    )
+    p = (F.col("ref_cnt") + 1) / (F.col("ref_tot") + 10)
+    q = (F.col("cur_cnt") + 1) / (F.col("cur_tot") + 10)
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / F.lit(1000000.0)  # noqa: E731
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "ref_cnt",
+        "cur_cnt",
+        r6(p).alias("ref_frac"),
+        r6(q).alias("cur_frac"),
+        r6((p - q) * F.log(p / q)).alias("psi_contrib"),
+    )
+
+
+@_register(
+    "benford_first_digit_orders",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS digit
+      FROM orders
+    ),
+    cnt AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM cnt)
+    SELECT digit, n,
+           floor(n / t * 1000000 + 0.5) / 1000000.0 AS observed_frac,
+           floor(log10(1 + 1.0 / digit) * 1000000 + 0.5) / 1000000.0
+             AS benford_frac,
+           floor((n / t - log10(1 + 1.0 / digit)) * 1000000 + 0.5)
+             / 1000000.0 AS deviation
+    FROM cnt CROSS JOIN tot
+    """,
+    "Benford's-law first-digit screening on order totals — the "
+    "classic anomaly/fraud smell test for monetary columns: observed "
+    "first-significant-digit distribution vs log10(1+1/d), per-digit "
+    "deviations (the synthetic generator's uniform pricing shows up "
+    "immediately as a 1-4 digit surplus). One scan, 9-group agg, "
+    "broadcast scalar total",
+    ("agg", "quality", "orders"),
+)
+def benford_first_digit_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    cnt = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n")
+    )
+    tot = cnt.agg(F.sum("n").alias("t"))
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / F.lit(1000000.0)  # noqa: E731
+    obs = F.col("n") / F.col("t")
+    ben = F.log10(1 + 1.0 / F.col("digit"))
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        r6(obs).alias("observed_frac"),
+        r6(ben).alias("benford_frac"),
+        r6(obs - ben).alias("deviation"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
 # ---------------------------------------------------------------------------
