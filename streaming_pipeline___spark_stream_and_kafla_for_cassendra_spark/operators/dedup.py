@@ -134,6 +134,43 @@ def minhash_signatures(
     )
 
 
+def banded_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, minhash, band, bucket) — the LSH banding layer.
+
+    Each signature explodes into ``bands`` (band, bucket) rows where
+    bucket = hash of that band's signature slice; two documents
+    collide in a band iff their slices agree exactly. Shared by the
+    batch pair-miner (:func:`minhash_lsh_pairs`) and the streaming
+    dedup index (``streaming/dedup.py``), so both tiers bucket
+    IDENTICALLY and an index built by one is probe-able by the other.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    return sig.select(
+        F.col(id_col),
+        F.col("minhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(*[F.col("minhash")[b * rows + r] for r in range(rows)])
+                        .alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "minhash", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -150,25 +187,9 @@ def minhash_lsh_pairs(
     signature-agreement estimate and filtered at ``threshold``.
     Returns (id_a, id_b, est_jaccard) with id_a < id_b.
     """
-    rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-
-    banded = sig.select(
-        F.col(id_col),
-        F.col("minhash"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.hash(*[F.col("minhash")[b * rows + r] for r in range(rows)])
-                        .alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "minhash", "bb.band", "bb.bucket")
+    banded = banded_signatures(
+        df, text_col, id_col, num_hashes, bands, shingle_n
+    )
 
     a = banded.alias("a")
     b = banded.alias("b")

@@ -6476,22 +6476,25 @@ def top_p_tokens_per_source(spark, sf_dir):
     ("window", "agg", "events", "timeseries"),
 )
 def daily_new_vs_returning_users(spark, sf_dir):
+    # single spine: distinct (user, day) → per-user first-day flag via
+    # one window → one per-day aggregate. The branchy formulation
+    # (separate first_seen/active/news frames) re-scans and re-shuffles
+    # the distinct frame three times; this shuffles it twice total
+    # (dedup key, then user key) and the day-level window costs nothing.
     e = _t(spark, sf_dir, "events")
     ud = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
-    first_seen = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
-    active = ud.groupBy("day").agg(F.count("*").alias("active_users"))
-    news = first_seen.groupBy(F.col("first_day").alias("day")).agg(
-        F.count("*").alias("new_users")
+    wu = Window.partitionBy("user_id").orderBy("day")
+    flagged = ud.withColumn(
+        "is_new", (F.row_number().over(wu) == 1).cast("long")
     )
-    joined = active.join(news, "day", "left").select(
-        "day",
-        "active_users",
-        F.coalesce("new_users", F.lit(0)).alias("new_users"),
+    daily = flagged.groupBy("day").agg(
+        F.count("*").alias("active_users"),
+        F.sum("is_new").alias("new_users"),
     )
     w = Window.orderBy("day").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    return joined.select(
+    return daily.select(
         "day",
         "active_users",
         "new_users",
@@ -6670,6 +6673,50 @@ def benford_first_digit_orders(spark, sf_dir):
         r6(ben).alias("benford_frac"),
         r6(obs - ben).alias("deviation"),
     )
+
+
+@_register(
+    "streaming_dedup_lsh_documents",
+    None,  # md5-derived minhash banding is not SQL-expressible; the
+    # accept/drop semantics are property-tested in
+    # tests/test_streaming_dedup.py (cross-batch suppression, replay
+    # idempotency, batch/stream index interop)
+    "Streaming near-dup dedup against a PERSISTENT MinHash-LSH band "
+    "index (streaming/dedup.py): the documents file stream runs "
+    "through a foreachBatch sink that drops arrivals colliding with "
+    "any previously-accepted document (band equi-join on the parquet "
+    "index, never a cross join), dedups within the batch by lowest "
+    "id per bucket, appends survivors + their band rows, and commits "
+    "a per-batch ledger marker so at-least-once replays are no-ops — "
+    "the ingest-side tier of corpus dedup that the batch pair-miners "
+    "cannot provide",
+    ("streaming", "dedup", "lsh", "documents"),
+)
+def streaming_dedup_lsh_documents(spark, sf_dir):
+    import tempfile
+
+    from ..streaming.dedup import LshDedupSink, write_stream_dedup_lsh
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    base = tempfile.mkdtemp(prefix="stream_dedup_lsh_")
+    sink = LshDedupSink(
+        out_path=os.path.join(base, "out"),
+        index_path=os.path.join(base, "idx"),
+    )
+    q = write_stream_dedup_lsh(
+        stream,
+        sink,
+        checkpoint_root=os.path.join(base, "ck"),
+        available_now=True,
+    )
+    _await_stream(q, 300)
+    return sink.read_survivors(spark).select("doc_id", "lang", "source")
 
 
 # ---------------------------------------------------------------------------
