@@ -1151,9 +1151,42 @@ def minhash_lsh_pairs_q(spark, sf_dir):
 
 @_register(
     "simhash_fingerprints",
-    None,  # 64-bit xxhash64 bit votes are Spark-specific
-    "64-bit SimHash fingerprint per document (bit-vote aggregation, "
-    "map-side combined)",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT) AS h
+      FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hashed, (SELECT unnest(generate_series(0, 63)) AS b)
+      GROUP BY 1, 2
+    ),
+    packed AS (
+      SELECT doc_id,
+             sum(CASE WHEN v > 0
+                      THEN CAST(1 AS HUGEINT) << b ELSE 0 END) AS uval
+      FROM votes GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(uval - CASE WHEN uval >= CAST(1 AS HUGEINT) << 63
+                            THEN CAST(1 AS HUGEINT) << 64 ELSE 0 END
+                AS BIGINT) AS simhash
+    FROM packed
+    """,
+    "64-bit SimHash fingerprint per document (tf-weighted ±1 bit "
+    "votes on md5-top-8-byte token hashes, packed sign vector). The "
+    "DuckDB oracle re-derives the EXACT fingerprint relationally — "
+    "unnest tokens × 64 bit positions, vote sums, HUGEINT repack — "
+    "proving the vectorized Arrow pass computes the same bits the "
+    "declarative definition does, to the last bit",
     ("dedup", "simhash", "documents"),
 )
 def simhash_fingerprints_q(spark, sf_dir):
