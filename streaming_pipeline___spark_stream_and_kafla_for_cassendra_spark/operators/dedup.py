@@ -47,6 +47,22 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def minhash_constants(num_hashes: int = 64) -> tuple[list[int], list[int]]:
+    """The (a, b) universal-hash constants as plain ints — the single
+    source shared by :func:`minhash_signatures` and the DuckDB oracle
+    generator in plans/registry.py, so both derive identical hashes."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    a = (
+        rng.integers(1, 2**63 - 1, size=num_hashes, dtype=np.uint64)
+        * np.uint64(2)
+        + np.uint64(1)
+    )
+    b = rng.integers(0, 2**63 - 1, size=num_hashes, dtype=np.uint64)
+    return [int(x) for x in a], [int(x) for x in b]
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -73,15 +89,18 @@ def minhash_signatures(
         ]
     )
 
+    # plain-int constants captured by value so the closure stays
+    # self-contained AND the DuckDB oracle can embed the same numbers
+    A_ints, B_ints = minhash_constants(k)
+
     def sigs(batches):
         import hashlib
 
         import numpy as np
         import pandas as pd
 
-        rng = np.random.default_rng(42)
-        A = rng.integers(1, 2**63 - 1, size=k, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
-        B = rng.integers(0, 2**63 - 1, size=k, dtype=np.uint64)
+        A = np.array(A_ints, dtype=np.uint64)
+        B = np.array(B_ints, dtype=np.uint64)
         GB = np.uint64(0x9E3779B97F4A7C15)  # gram-combination base
 
         for pdf in batches:

@@ -1137,11 +1137,101 @@ def near_dup_clusters_q(spark, sf_dir):
     )
 
 
+def _minhash_lsh_oracle(threshold: float = 0.35) -> str:
+    """DuckDB twin of ``minhash_lsh_pairs``, generated from the SAME
+    hash constants (``operators/dedup.py::minhash_constants``) so the
+    signatures are bit-identical. uint64 wraparound multiplication —
+    which DuckDB's checked integer arithmetic refuses — is emulated as
+    a 32-bit split multiply in HUGEINT (a·b mod 2⁶⁴ = (a_lo·b +
+    ((a_hi·b) mod 2³²)·2³²) mod 2⁶⁴; every term < 2⁹⁷ fits HUGEINT).
+    Candidates are pairs agreeing on ≥1 full band SLICE (list-equality
+    join — semantically what Spark's bucket-hash equi-join computes),
+    verified at the same signature-agreement threshold."""
+    from ..operators.dedup import minhash_constants
+
+    a_ints, b_ints = minhash_constants(64)
+    consts = ", ".join(
+        f"({i}, {a}::HUGEINT, {b}::HUGEINT)"
+        for i, (a, b) in enumerate(zip(a_ints, b_ints))
+    )
+    mod = "18446744073709551616"
+    gb = str(0x9E3779B97F4A7C15)
+
+    def modmul(a: str, b: str) -> str:
+        return (
+            f"((({a}) % 4294967296) * ({b}) + "
+            f"((({a}) // 4294967296) * ({b}) % 4294967296) * 4294967296) "
+            f"% {mod}"
+        )
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(l) AS tok,
+             unnest(generate_series(1, len(l))) AS ord
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS l
+        FROM documents
+      )
+      WHERE len(l) >= 3
+    ),
+    hashed AS (
+      SELECT doc_id, ord,
+             CAST(CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT)
+                  AS HUGEINT) AS h
+      FROM toks
+    ),
+    grams AS (
+      SELECT h1.doc_id,
+             {modmul(modmul("h1.h", gb) + " + h2.h", gb)} + h3.h AS raw
+      FROM hashed h1
+      JOIN hashed h2 ON h2.doc_id = h1.doc_id AND h2.ord = h1.ord + 1
+      JOIN hashed h3 ON h3.doc_id = h1.doc_id AND h3.ord = h1.ord + 2
+    ),
+    shingles AS (SELECT DISTINCT doc_id, raw % {mod} AS key FROM grams),
+    consts(i, a, b) AS (VALUES {consts}),
+    mins AS (
+      SELECT s.doc_id, c.i,
+             min(({modmul("s.key", "c.a")} + c.b) % {mod}) AS mh
+      FROM shingles s CROSS JOIN consts c
+      GROUP BY 1, 2
+    ),
+    sigs AS (
+      SELECT doc_id, list(mh ORDER BY i) AS mh FROM mins GROUP BY 1
+    ),
+    banded AS (
+      SELECT doc_id, j, mh[1 + 4*j : 4 + 4*j] AS slc
+      FROM sigs, (SELECT unnest(generate_series(0, 15)) AS j)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM banded x JOIN banded y
+        ON x.j = y.j AND x.slc = y.slc AND x.doc_id < y.doc_id
+    ),
+    est AS (
+      SELECT id_a, id_b,
+             len(list_filter(generate_series(1, 64),
+                             i -> sa.mh[i] = sb.mh[i])) / 64.0 AS e
+      FROM cand
+      JOIN sigs sa ON sa.doc_id = id_a
+      JOIN sigs sb ON sb.doc_id = id_b
+    )
+    SELECT id_a, id_b, round(e, 4) AS est_jaccard
+    FROM est WHERE e >= {threshold}
+    """
+
+
 @_register(
     "minhash_lsh_pairs",
-    None,  # xxhash64 seeds are Spark-specific; verified in tests against exact jaccard
+    _minhash_lsh_oracle(threshold=0.35),
     "MinHash(64) + LSH(16 bands) near-dup candidates with signature-"
-    "agreement verification — the sub-quadratic scale path for dedup",
+    "agreement verification — the sub-quadratic scale path for dedup. "
+    "The DuckDB oracle re-derives the EXACT pipeline (md5 token "
+    "hashes, Horner shingle keys and universal-hash minima under "
+    "emulated uint64 wraparound, band-slice-equality candidates, the "
+    "same 0.35 verify threshold) from the same constants — every "
+    "surviving pair and its estimate must match to the bit",
     ("dedup", "minhash", "lsh", "documents"),
 )
 def minhash_lsh_pairs_q(spark, sf_dir):
