@@ -6842,6 +6842,50 @@ def streaming_dedup_lsh_documents(spark, sf_dir):
     return sink.read_survivors(spark).select("doc_id", "lang", "source")
 
 
+@_register(
+    "streaming_dedup_vectors_embeddings",
+    None,  # hyperplane sign banding is not SQL-expressible; accept/
+    # drop semantics property-tested in tests/test_streaming_dedup.py
+    "Embedding-space streaming dedup (streaming/dedup.py::"
+    "VectorDedupSink): the embeddings file stream runs through a "
+    "foreachBatch sink that drops arriving vectors whose cosine to "
+    "any previously-accepted vector reaches 0.9 — sign-band "
+    "collisions (the same hyperplane banding as lsh_topk) generate "
+    "candidates via an equi-join on the persistent parquet band "
+    "index, and every candidate is verified with an exact cosine "
+    "before dropping (candidates-sized work); survivors and their "
+    "bands append, commit ledger makes replays no-ops. The vector "
+    "twin of the text ingest-dedup tier",
+    ("streaming", "dedup", "similarity", "embeddings"),
+)
+def streaming_dedup_vectors_embeddings(spark, sf_dir):
+    import tempfile
+
+    from ..streaming.dedup import VectorDedupSink, write_stream_dedup_vectors
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    base = tempfile.mkdtemp(prefix="stream_dedup_vec_")
+    sink = VectorDedupSink(
+        out_path=os.path.join(base, "out"),
+        index_path=os.path.join(base, "idx"),
+        threshold=0.9,
+    )
+    q = write_stream_dedup_vectors(
+        stream,
+        sink,
+        checkpoint_root=os.path.join(base, "ck"),
+        available_now=True,
+    )
+    _await_stream(q, 300)
+    return sink.read_survivors(spark).select("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
 # ---------------------------------------------------------------------------

@@ -145,3 +145,152 @@ def write_stream_dedup_lsh(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+@dataclass
+class VectorDedupSink:
+    """Embedding-space streaming dedup: drop arriving vectors whose
+    cosine similarity to any ACCEPTED vector reaches ``threshold``.
+
+    Same architecture as :class:`LshDedupSink` with one difference
+    dictated by the geometry: sign-band collisions are only a
+    CANDIDATE signal (moderately-similar vectors share bands often),
+    so every collision is verified with an exact cosine against the
+    accepted vector before it drops anything — candidates-sized work,
+    never corpus-sized. The band index stores (band, bucket, id) longs;
+    the survivor table keeps the vectors themselves (they are needed
+    as the verify side and they ARE the output).
+
+    Bands/bits/seed must match between runs — they are part of the
+    index format, recorded once at first commit.
+    """
+
+    out_path: str
+    index_path: str
+    id_col: str = "vec_id"
+    vec_col: str = "embedding"
+    dim: int = 64
+    n_bands: int = 8
+    band_bits: int = 8
+    seed: int = 42
+    threshold: float = 0.9
+
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self.index_path, "_dedup_commits", str(batch_id))
+
+    def _committed(self, batch_id: int) -> bool:
+        return os.path.exists(self._marker(batch_id))
+
+    def _commit(self, batch_id: int | None) -> None:
+        if batch_id is None:
+            return
+        os.makedirs(os.path.dirname(self._marker(batch_id)), exist_ok=True)
+        open(self._marker(batch_id), "w").close()
+
+    def process_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        from ..operators.similarity import _band_signatures, cosine_pairs_pandas
+
+        if batch_id is not None and self._committed(batch_id):
+            return
+        spark = batch.sparkSession
+        if batch.isEmpty():
+            self._commit(batch_id)
+            return
+
+        bands_df = _band_signatures(
+            batch,
+            self.id_col,
+            self.vec_col,
+            self.dim,
+            self.n_bands,
+            self.band_bits,
+            self.seed,
+        ).withColumnRenamed("_sid", self.id_col)
+        bands_df = bands_df.localCheckpoint(eager=False)
+        vecs = batch.select(
+            F.col(self.id_col).alias("_bid"),
+            F.col(self.vec_col).cast("array<double>").alias("_bvec"),
+        )
+
+        drops = []
+        if path_has_data(spark, self.index_path):
+            idx = spark.read.parquet(self.index_path)
+            accepted = spark.read.parquet(self.out_path).select(
+                F.col(self.id_col).alias("_aid"),
+                F.col(self.vec_col).cast("array<double>").alias("_avec"),
+            )
+            cand = (
+                bands_df.join(
+                    idx.withColumnRenamed(self.id_col, "_aid"),
+                    ["band", "bucket"],
+                )
+                .select(F.col(self.id_col).alias("_bid"), "_aid")
+                .dropDuplicates(["_bid", "_aid"])
+            )
+            verified = (
+                cand.join(vecs, "_bid")
+                .join(accepted, "_aid")
+                .withColumn("_cos", cosine_pairs_pandas("_bvec", "_avec"))
+                .filter(F.col("_cos") >= self.threshold)
+                .select(F.col("_bid").alias(self.id_col))
+                .distinct()
+            )
+            drops.append(verified)
+
+        # within-batch: verified near-dup with a SMALLER id drops the row
+        a = bands_df.select(
+            F.col(self.id_col).alias("_ida"), "band", "bucket"
+        )
+        b = bands_df.select(
+            F.col(self.id_col).alias("_idb"), "band", "bucket"
+        )
+        in_batch = (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("_ida") < F.col("_idb"))
+            .select("_ida", "_idb")
+            .dropDuplicates(["_ida", "_idb"])
+            .join(vecs.withColumnRenamed("_bid", "_ida").withColumnRenamed("_bvec", "_va"), "_ida")
+            .join(vecs.withColumnRenamed("_bid", "_idb").withColumnRenamed("_bvec", "_vb"), "_idb")
+            .withColumn("_cos", cosine_pairs_pandas("_va", "_vb"))
+            .filter(F.col("_cos") >= self.threshold)
+            .select(F.col("_idb").alias(self.id_col))
+            .distinct()
+        )
+        drops.append(in_batch)
+
+        drop = drops[0]
+        for d in drops[1:]:
+            drop = drop.unionByName(d)
+        drop = drop.distinct()
+
+        survivors = batch.join(drop, self.id_col, "left_anti")
+        survivors.write.mode("append").parquet(self.out_path)
+        bands_df.join(drop, self.id_col, "left_anti").select(
+            self.id_col, "band", "bucket"
+        ).write.mode("append").parquet(self.index_path)
+        self._commit(batch_id)
+
+    def read_survivors(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.out_path)
+
+
+def write_stream_dedup_vectors(
+    stream: DataFrame,
+    sink: VectorDedupSink,
+    checkpoint_root: str,
+    available_now: bool = False,
+    trigger_seconds: int = 30,
+) -> StreamingQuery:
+    """Attach the vector dedup sink to a streaming DataFrame."""
+    writer = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: sink.process_batch(df, bid)
+        )
+        .option("checkpointLocation", checkpoint_root)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

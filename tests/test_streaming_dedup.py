@@ -131,3 +131,66 @@ def test_streaming_index_interoperates_with_batch_banding(spark, paths):
         .collect()
     }
     assert collided == {100}
+
+
+# ---------------------------------------------------------------------------
+# vector dedup sink: cosine-verified drops, fresh vectors survive
+# ---------------------------------------------------------------------------
+
+def _write_vecs(spark, path, rows):
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_streaming_vector_dedup(spark, paths):
+    import numpy as np
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.streaming.dedup import (
+        VectorDedupSink,
+        write_stream_dedup_vectors,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(64)
+    near = base + 0.01 * rng.standard_normal(64)      # cos ≈ 0.9999
+    fresh = rng.standard_normal(64)                    # cos ≈ 0 to base
+
+    def row(vid, v):
+        return (vid, [float(x) for x in v])
+
+    # batch 1: base + an in-batch near-copy
+    _write_vecs(spark, paths["src"], [row(1, base), row(2, near)])
+    sink = VectorDedupSink(
+        out_path=paths["out"], index_path=paths["idx"], threshold=0.95
+    )
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(paths["src"])
+    )
+    q = write_stream_dedup_vectors(stream, sink, paths["ck"], available_now=True)
+    assert q.awaitTermination(120)
+    ids = {r["vec_id"] for r in sink.read_survivors(spark).collect()}
+    assert ids == {1}
+
+    # batch 2: near-copy of ACCEPTED base drops; fresh vector survives
+    _write_vecs(
+        spark,
+        paths["src"],
+        [row(3, base + 0.02 * rng.standard_normal(64)), row(4, fresh)],
+    )
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(paths["src"])
+    )
+    q = write_stream_dedup_vectors(stream, sink, paths["ck"], available_now=True)
+    assert q.awaitTermination(120)
+    ids = {r["vec_id"] for r in sink.read_survivors(spark).collect()}
+    assert ids == {1, 4}
+
+    # replayed batch is a no-op
+    n1 = sink.read_survivors(spark).count()
+    sink.process_batch(spark.read.parquet(paths["src"]), batch_id=0)
+    assert sink.read_survivors(spark).count() == n1
