@@ -6886,6 +6886,61 @@ def streaming_dedup_vectors_embeddings(spark, sf_dir):
     return sink.read_survivors(spark).select("vec_id")
 
 
+@_register(
+    "session_path_mining",
+    """
+    WITH ranked AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id, day,
+             string_agg(event_type, '->' ORDER BY ts, event_id) AS path
+      FROM ranked WHERE rn <= 5 GROUP BY 1, 2
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY 1 HAVING count(*) >= 5
+    """,
+    "Clickstream path mining: each (user, day) session's first five "
+    "events become an ordered path string (deterministic array_sort "
+    "over (ts, id, type) structs — no cross-partition ordering "
+    "assumptions), then frequent paths (support ≥5) surface. One "
+    "shuffle keyed on (user, day), then a path-cardinality-sized "
+    "aggregate; the funnel-free way to discover what sequences users "
+    "actually follow",
+    ("window", "agg", "events", "sequence"),
+)
+def session_path_mining(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.col("ts").cast("date")).orderBy(
+        "ts", "event_id"
+    )
+    ranked = e.select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+        "ts",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= 5)
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ),
+        lambda s: s["event_type"],
+    )
+    paths = ranked.groupBy("user_id", "day").agg(
+        F.concat_ws("->", ordered).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .filter(F.col("n_sessions") >= 5)
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
 # ---------------------------------------------------------------------------

@@ -85,6 +85,56 @@ def main() -> None:
             }
         )
     )
+    # --- LSH dedup-sink throughput: docs/sec through the full
+    # signature → index-probe → verify → append path (the ingest-dedup
+    # tier), measured as multi-batch micro-batches over generated docs
+    import shutil
+    import tempfile
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.streaming.dedup import (
+        LshDedupSink,
+        write_stream_dedup_lsh,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_probe_dedup_")
+    src = f"{base}/src"
+    n_docs, n_batches = 20_000, 4
+    words = F.array(*[F.concat(F.lit(f"w{w}"), (F.col("id") * (w + 7)) % 9973) for w in range(30)])
+    for b in range(n_batches):
+        (
+            spark.range(b * n_docs, (b + 1) * n_docs)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.concat_ws(" ", words).alias("text"),
+            )
+            .coalesce(2)
+            .write.mode("append")
+            .parquet(src)
+        )
+    sink = LshDedupSink(out_path=f"{base}/out", index_path=f"{base}/idx")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    t0 = time.perf_counter()
+    dq = write_stream_dedup_lsh(
+        stream, sink, checkpoint_root=f"{base}/ck", available_now=True
+    )
+    dq.awaitTermination(600)
+    dedup_wall = time.perf_counter() - t0
+    survivors = sink.read_survivors(spark).count()
+    dedup_stats = {
+        "metric": "stream_dedup_probe",
+        "docs": n_docs * n_batches,
+        "batches": n_batches,
+        "survivors": survivors,
+        "wall_sec": round(dedup_wall, 2),
+        "docs_per_sec": round(n_docs * n_batches / dedup_wall, 1),
+    }
+    shutil.rmtree(base, ignore_errors=True)
+    print(json.dumps(dedup_stats))
+
     metrics.detach(spark)
     spark.stop()
 
