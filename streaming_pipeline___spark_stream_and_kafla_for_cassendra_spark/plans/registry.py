@@ -6941,6 +6941,172 @@ def session_path_mining(spark, sf_dir):
     )
 
 
+@_register(
+    "rfm_segmentation_customers",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             CAST(count(*) AS BIGINT) AS frequency,
+             round(sum(o_totalprice), 4) AS monetary
+      FROM orders GROUP BY 1
+    )
+    SELECT o_custkey, frequency, monetary,
+           CAST(ntile(4) OVER (ORDER BY last_order, o_custkey) AS INTEGER)
+             AS r_score,
+           CAST(ntile(4) OVER (ORDER BY frequency, o_custkey) AS INTEGER)
+             AS f_score,
+           CAST(ntile(4) OVER (ORDER BY monetary, o_custkey) AS INTEGER)
+             AS m_score
+    FROM cust
+    """,
+    "RFM customer segmentation: per-customer recency/frequency/"
+    "monetary rollup (one fact-keyed aggregate), then quartile scores "
+    "via ntile with a deterministic (metric, key) tie order. The "
+    "three global ntiles run over #customers rows, not orders; at "
+    "larger scale swap exact ntile for percentile-threshold buckets "
+    "(winsorize_bounds_lineitem shows the broadcast-clamp shape)",
+    ("window", "agg", "orders", "segmentation"),
+)
+def rfm_segmentation_customers(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 4).alias("monetary"),
+    )
+    def score(col):
+        return F.ntile(4).over(
+            Window.orderBy(F.col(col), F.col("o_custkey"))
+        ).cast("int")
+    return cust.select(
+        "o_custkey",
+        "frequency",
+        "monetary",
+        score("last_order").alias("r_score"),
+        score("frequency").alias("f_score"),
+        score("monetary").alias("m_score"),
+    )
+
+
+@_register(
+    "revenue_gini_by_segment",
+    """
+    WITH cust AS (
+      SELECT c.c_mktsegment AS segment, o.o_custkey,
+             round(sum(o.o_totalprice), 4) AS rev
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT segment, rev,
+             CAST(row_number() OVER (PARTITION BY segment
+                                     ORDER BY rev, o_custkey) AS BIGINT) AS i,
+             CAST(count(*) OVER (PARTITION BY segment) AS BIGINT) AS n
+      FROM cust
+    )
+    SELECT segment, CAST(min(n) AS BIGINT) AS n_customers,
+           round(sum((2 * i - n - 1) * rev), 4) AS gini_num,
+           round(min(n) * sum(rev), 4) AS gini_den
+    FROM ranked GROUP BY segment
+    """,
+    "Revenue-concentration (Gini) report per market segment: "
+    "customer revenue ranked within segment (deterministic (rev, "
+    "key) order), Gini numerator Σ(2i−n−1)·rev and denominator "
+    "n·Σrev emitted separately so both engines round the same "
+    "2-decimal-money sums rather than a division of two "
+    "accumulations; gini = num/den at read time. One fact aggregate, "
+    "one #customers-sized window",
+    ("window", "agg", "orders", "inequality"),
+)
+def revenue_gini_by_segment(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cust = (
+        o.join(
+            F.broadcast(
+                c.select(
+                    F.col("c_custkey").alias("o_custkey"),
+                    F.col("c_mktsegment").alias("segment"),
+                )
+            ),
+            "o_custkey",
+        )
+        .groupBy("segment", "o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("rev"))
+    )
+    w = Window.partitionBy("segment").orderBy("rev", "o_custkey")
+    ranked = cust.select(
+        "segment",
+        "rev",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.count("*").over(Window.partitionBy("segment")).alias("n"),
+    )
+    return ranked.groupBy("segment").agg(
+        F.min("n").alias("n_customers"),
+        F.round(F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("rev")), 4).alias(
+            "gini_num"
+        ),
+        F.round(F.min("n") * F.sum("rev"), 4).alias("gini_den"),
+    )
+
+
+@_register(
+    "token_zipf_slope_by_source",
+    """
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ),
+    freq AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS f
+      FROM toks GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT source, f,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY f DESC, tok) AS BIGINT) AS r
+      FROM freq
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS vocab,
+           round(regr_slope(ln(f), ln(r)), 4) + 0.0 AS zipf_slope,
+           round(regr_r2(ln(f), ln(r)), 4) + 0.0 AS zipf_r2
+    FROM ranked GROUP BY source
+    """,
+    "Zipf's-law fit per source: token frequencies ranked "
+    "deterministically, then the log-log regression slope and R² "
+    "(Spark regr_slope/regr_r2 ≡ DuckDB) — natural corpora sit near "
+    "slope −1, so a source whose slope collapses toward 0 is "
+    "template/boilerplate-heavy and one that steepens is "
+    "degenerate-repetitive; a corpus-health screen that costs one "
+    "vocabulary-sized window after the frequency aggregate",
+    ("text", "agg", "documents", "quality"),
+)
+def token_zipf_slope_by_source(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    freq = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("f"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("f"), F.asc("tok"))
+    ranked = freq.select(
+        "source", "f", F.row_number().over(w).cast("long").alias("r")
+    )
+    return ranked.groupBy("source").agg(
+        F.count("*").alias("vocab"),
+        (F.round(F.expr("regr_slope(ln(f), ln(r))"), 4) + F.lit(0.0)).alias(
+            "zipf_slope"
+        ),
+        (F.round(F.expr("regr_r2(ln(f), ln(r))"), 4) + F.lit(0.0)).alias(
+            "zipf_r2"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
 # ---------------------------------------------------------------------------
