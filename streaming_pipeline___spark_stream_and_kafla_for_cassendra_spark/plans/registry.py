@@ -7107,6 +7107,45 @@ def token_zipf_slope_by_source(spark, sf_dir):
     )
 
 
+@_register(
+    "ann_topk_ivf_indexed",
+    None,  # approximate ANN over a materialized index; recall +
+    # partition pruning asserted in tests/test_ann_index.py
+    "Similarity search scale path #5: a PERSISTENT IVF index — the "
+    "embeddings stream ingests via foreachBatch into parquet "
+    "partitioned by coarse-quantizer list (quantizer trained once on "
+    "the first batch, then frozen as part of the layout), and the "
+    "search reads ONLY the probed list partitions (partition pruning "
+    "does candidate selection before any vector bytes are scanned) "
+    "then re-ranks exactly. ivf_topk rebuilds its lists per run; "
+    "this is the index-at-rest deployment a 100 TB corpus needs",
+    ("streaming", "similarity", "ann", "ivf", "embeddings"),
+)
+def ann_topk_ivf_indexed(spark, sf_dir):
+    import tempfile
+
+    from ..streaming.ann_index import IvfVectorIndex, write_stream_to_ivf_index
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    base = tempfile.mkdtemp(prefix="ivf_index_")
+    index = IvfVectorIndex(path=os.path.join(base, "idx"), n_lists=16)
+    q = write_stream_to_ivf_index(
+        stream,
+        index,
+        checkpoint_root=os.path.join(base, "ck"),
+        available_now=True,
+    )
+    _await_stream(q, 300)
+    queries_df = spark.read.parquet(path).filter(F.col("vec_id") % 100 == 0)
+    return index.search(spark, queries_df, k=5, n_probe=4)
+
+
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
 # ---------------------------------------------------------------------------
