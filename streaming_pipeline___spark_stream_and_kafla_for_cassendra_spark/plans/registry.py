@@ -7146,6 +7146,116 @@ def ann_topk_ivf_indexed(spark, sf_dir):
     return index.search(spark, queries_df, k=5, n_probe=4)
 
 
+@_register(
+    "unigram_surprisal_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ),
+    vocab AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(f) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS v FROM vocab
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             -log2((vb.f + 1.0) / (tot.n + tot.v)) AS surprisal
+      FROM toks t JOIN vocab vb ON vb.tok = t.tok CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(surprisal), 4) + 0.0 AS avg_surprisal_bits,
+           round(max(surprisal), 4) + 0.0 AS max_surprisal_bits
+    FROM scored GROUP BY doc_id
+    """,
+    "Unigram-LM surprisal per document — the simplest instance of "
+    "LM-based quality filtering (CCNet-style): corpus-wide "
+    "Laplace-smoothed token probabilities (a vocabulary-sized "
+    "aggregate, broadcast back), per-token −log₂p, per-doc mean/max. "
+    "Documents whose average surprisal collapses are "
+    "boilerplate/repetitive; spikes flag gibberish. Two scans of the "
+    "token stream, vocabulary joins broadcast, never a corpus "
+    "self-join",
+    ("text", "agg", "documents", "quality"),
+)
+def unigram_surprisal_documents(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("f"))
+    tot = vocab.agg(
+        F.sum("f").alias("n"), F.count("*").alias("v")
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            (-F.log2((F.col("f") + 1.0) / (F.col("n") + F.col("v")))).alias(
+                "surprisal"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        (F.round(F.avg("surprisal"), 4) + F.lit(0.0)).alias(
+            "avg_surprisal_bits"
+        ),
+        (F.round(F.max("surprisal"), 4) + F.lit(0.0)).alias(
+            "max_surprisal_bits"
+        ),
+    )
+
+
+@_register(
+    "streaming_topk_users",
+    """
+    SELECT user_id, round(sum(value), 4) AS total_value,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY total_value DESC, user_id
+    LIMIT 20
+    """,
+    "Streaming top-k leaderboard (complete mode): the events file "
+    "stream feeds a running per-user value total; every trigger the "
+    "COMPLETE result re-ranks and emits the top 20 spenders to the "
+    "memory sink — the live-leaderboard pattern (sort+limit is legal "
+    "on a complete-mode aggregate, unlike append streams). State is "
+    "one row per user; the sort runs over #users, not events",
+    ("streaming", "agg", "topk", "events"),
+)
+def streaming_topk_users(spark, sf_dir):
+    import uuid
+
+    from ..sources.tables import load_events_stream
+
+    stream = load_events_stream(spark, sf_dir)
+    totals = (
+        stream.groupBy("user_id")
+        .agg(
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy(F.desc("total_value"), F.asc("user_id"))
+        .limit(20)
+    )
+    sink = f"stream_topk_{uuid.uuid4().hex[:8]}"
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q, 120)
+    return spark.table(sink)
+
+
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
 # ---------------------------------------------------------------------------
