@@ -2646,13 +2646,99 @@ def lineitem_stats_by_flag(spark, sf_dir):
     )
 
 
+def _winnow_oracle() -> str:
+    """DuckDB twin of ``winnow_fingerprints`` (k=5, window=4) + the
+    overlap-pair join. The uint64 polynomial hash uses the same
+    32-bit-split modular multiply as the minhash oracle; the
+    "rightmost minimum of each 4-window" selection is expressed with
+    explicit lag/lead neighbor runs: position i is selected iff some
+    full window covering i has ≥a sufficient left-run of h≥h_i and
+    right-run of h>h_i (L+R window-fit inequality below). Docs with
+    fewer than 4 k-grams use the LEFTMOST global minimum, matching
+    numpy argmin."""
+    mod = "18446744073709551616"
+
+    def modmul(a: str, b: str) -> str:
+        return (
+            f"((({a}) % 4294967296) * ({b}) + "
+            f"((({a}) // 4294967296) * ({b}) % 4294967296) * 4294967296) "
+            f"% {mod}"
+        )
+
+    h = "cs[i]::HUGEINT"
+    for j in range(1, 5):
+        h = f"({modmul(h, '1000003')} + cs[i+{j}])"
+    return f"""
+    WITH docs2 AS (
+      SELECT doc_id,
+             [unicode(x) FOR x IN string_split(lower(text), '')] AS cs
+      FROM documents WHERE len(lower(text)) >= 5
+    ),
+    pos AS (
+      SELECT doc_id, cs, unnest(generate_series(1, len(cs) - 4)) AS i,
+             len(cs) - 4 AS n
+      FROM docs2
+    ),
+    hashed AS (
+      SELECT doc_id, i, n, {h} % {mod} AS hv FROM pos
+    ),
+    neigh AS (
+      SELECT doc_id, i, n, hv,
+             lag(hv, 1) OVER w AS l1, lag(hv, 2) OVER w AS l2,
+             lag(hv, 3) OVER w AS l3,
+             lead(hv, 1) OVER w AS r1, lead(hv, 2) OVER w AS r2,
+             lead(hv, 3) OVER w AS r3,
+             row_number() OVER (PARTITION BY doc_id ORDER BY hv, i) AS rmin
+      FROM hashed
+      WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    sel AS (
+      SELECT doc_id, hv FROM (
+        SELECT *,
+          CASE WHEN l1 >= hv THEN
+            CASE WHEN l2 >= hv THEN
+              CASE WHEN l3 >= hv THEN 3 ELSE 2 END ELSE 1 END
+          ELSE 0 END AS lrun,
+          CASE WHEN r1 > hv THEN
+            CASE WHEN r2 > hv THEN
+              CASE WHEN r3 > hv THEN 3 ELSE 2 END ELSE 1 END
+          ELSE 0 END AS rrun
+        FROM neigh
+      )
+      WHERE (n >= 4
+             AND greatest(0, 3 - rrun, i - n + 3) <= least(3, lrun, i - 1))
+         OR (n < 4 AND rmin = 1)
+    ),
+    fps AS (SELECT DISTINCT doc_id, hv FROM sel),
+    cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM fps GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS shared_fingerprints
+      FROM fps a JOIN fps b
+        ON a.hv = b.hv AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, shared_fingerprints,
+           floor(shared_fingerprints / least(ca.n, cb.n) * 10000 + 0.5)
+             / 10000.0 AS overlap_ratio
+    FROM shared
+    JOIN cnt ca ON ca.doc_id = id_a
+    JOIN cnt cb ON cb.doc_id = id_b
+    WHERE floor(shared_fingerprints / least(ca.n, cb.n) * 10000 + 0.5)
+            / 10000.0 >= 0.8
+    """
+
+
 @_register(
     "winnow_overlap_pairs",
-    None,  # hash-based fingerprints; guarantee property asserted in tests
+    _winnow_oracle(),
     "Rolling-hash winnowing fingerprints (MOSS): char-5-gram "
     "polynomial hashes, per-window rightmost minima, fingerprint-"
     "index self-join, containment ratio shared/min(|A|,|B|) ≥ 0.8 — "
-    "substring-overlap pairs at ~2/(w+1) fingerprint storage",
+    "substring-overlap pairs at ~2/(w+1) fingerprint storage. The "
+    "DuckDB oracle re-derives the fingerprints bit-for-bit (emulated "
+    "uint64 Horner hash, lag/lead rightmost-window-minimum "
+    "selection) and must produce the same pairs and ratios",
     ("dedup", "fingerprint", "documents"),
 )
 def winnow_overlap_pairs(spark, sf_dir):
@@ -2692,9 +2778,13 @@ def winnow_overlap_pairs(spark, sf_dir):
         )
         .withColumn(
             "overlap_ratio",
-            F.round(
-                F.col("shared_fingerprints") / F.least("n_a", "n_b"), 4
-            ),
+            F.floor(
+                F.col("shared_fingerprints")
+                / F.least("n_a", "n_b")
+                * 10000
+                + F.lit(0.5)
+            )
+            / F.lit(10000.0),
         )
         .filter(F.col("overlap_ratio") >= 0.8)
         .select("id_a", "id_b", "shared_fingerprints", "overlap_ratio")
