@@ -280,3 +280,53 @@ def write_stream_to_ivf_index(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    partition_col: str | None = None,
+    files_per_partition: int = 1,
+) -> int:
+    """Rewrite an append-fragmented parquet directory into
+    ``files_per_partition`` files (per partition when partitioned) —
+    the same small-files discipline the reference configures Hudi's
+    inline compaction for (``MSP:279-280``). Streaming sinks append
+    one file set per micro-batch; after N batches a probe reads N
+    fragments per partition. Returns the file count after the
+    rewrite.
+
+    Local-FS staging swap (write tmp → replace); on object storage
+    swap the rename for the store's atomic-commit primitive.
+    """
+    import shutil
+
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + "._compacting"
+    if partition_col:
+        (
+            df.repartition(files_per_partition, F.col(partition_col))
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(staging)
+        )
+    else:
+        df.coalesce(files_per_partition).write.mode("overwrite").parquet(
+            staging
+        )
+    # keep ledger/marker dirs (underscore-prefixed) across the swap
+    keep = [
+        n
+        for n in os.listdir(path)
+        if n.startswith("_") and os.path.isdir(os.path.join(path, n))
+    ]
+    for n in keep:
+        shutil.move(os.path.join(path, n), os.path.join(staging, n))
+    shutil.rmtree(path)
+    shutil.move(staging, path)
+    return (
+        spark.read.parquet(path)
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )

@@ -105,3 +105,40 @@ def test_ivf_index_replay_is_noop(spark, paths):
 
     index.append_batch(spark.read.parquet(paths["src"]), batch_id=0)
     assert spark.read.parquet(f"{paths['idx']}/vecs").count() == n1
+
+
+def test_compaction_shrinks_files_preserves_results(spark, paths):
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.streaming.ann_index import (
+        compact_parquet_dir,
+    )
+
+    rows = _clustered()
+    # 4 files -> 4 micro-batches of appends (fragmented index)
+    quarter = len(rows) // 4
+    for i in range(4):
+        spark.createDataFrame(
+            rows[i * quarter : (i + 1) * quarter],
+            "vec_id bigint, embedding array<float>",
+        ).coalesce(1).write.mode("append").parquet(paths["src"])
+    index = IvfVectorIndex(path=paths["idx"], n_lists=8)
+    _stream_build(spark, paths["src"], index, paths["ck"])
+
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+    before_files = index.total_files(spark)
+    before = sorted(
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in index.search(spark, queries, k=5, n_probe=4).collect()
+    )
+
+    after_files = compact_parquet_dir(
+        spark, f"{paths['idx']}/vecs", partition_col="list_id"
+    )
+    assert after_files < before_files
+    # ledger markers survive the rewrite (they live under the index root,
+    # not vecs/, but assert the dir still reads cleanly and results match)
+    after = sorted(
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in index.search(spark, queries, k=5, n_probe=4).collect()
+    )
+    assert after == before
