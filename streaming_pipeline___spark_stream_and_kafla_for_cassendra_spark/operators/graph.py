@@ -73,3 +73,54 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def kcore(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 3,
+    rounds: int = 8,
+) -> DataFrame:
+    """k-core subgraph via fixed-round iterative peeling.
+
+    Each round removes nodes of degree < ``k`` and restricts the edge
+    set to surviving endpoints; the surviving subgraph after
+    convergence is the k-core (maximal subgraph with min degree ≥ k).
+    Returns (node, core_degree) for surviving nodes.
+
+    Runs AT MOST ``rounds`` rounds with an early stop when the node
+    set stabilizes — a fixed-round cap makes the result reproducible
+    as an unrolled SQL CTE chain (the oracle pattern shared with
+    :func:`pagerank`); stopping early is safe because further rounds
+    of a stable set are no-ops. Per round: one degree aggregation and
+    one semi-join per side, state is (src, dst) pairs only, lineage
+    truncated per round. At 100 TB the degree agg map-side combines
+    to #nodes rows and peeling converges in O(max coreness) rounds.
+    """
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    ).dropDuplicates()
+    # undirected: count each edge from both endpoints
+    cur = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).dropDuplicates().localCheckpoint(eager=False)
+    prev_n = -1
+    for _ in range(rounds):
+        deg = cur.groupBy("a").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("a")
+        n_keep = keep.count()
+        if n_keep == prev_n:
+            break
+        prev_n = n_keep
+        cur = (
+            cur.join(keep, "a", "left_semi")
+            .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        cur.groupBy("a")
+        .agg(F.count("*").alias("core_degree"))
+        .filter(F.col("core_degree") >= k)
+        .select(F.col("a").alias("node"), "core_degree")
+    )

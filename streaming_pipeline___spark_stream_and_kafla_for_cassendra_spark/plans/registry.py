@@ -7346,6 +7346,82 @@ def streaming_topk_users(spark, sf_dir):
     return spark.table(sink)
 
 
+def _kcore_oracle(k: int = 3, rounds: int = 8) -> str:
+    """Unrolled fixed-round k-core peel (same pattern as the pagerank
+    oracle: recursive CTEs cannot re-aggregate per round, an unrolled
+    chain is plain ANSI SQL). Round i keeps nodes whose degree in the
+    round-(i-1) edge set is ≥ k and restricts edges to kept
+    endpoints; the Spark operator runs the identical recurrence with
+    an early stop that is a no-op on a stabilized set."""
+    ctes = [
+        """items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )""",
+        """e0 AS MATERIALIZED (SELECT pa AS a, pb AS b FROM pairs
+           UNION SELECT pb, pa FROM pairs)""",
+    ]
+    # AS MATERIALIZED: each CTE references its predecessor multiple
+    # times; inlining would expand the chain exponentially (DuckDB
+    # inlines CTEs by default and runs out of file handles re-opening
+    # the scan)
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""keep{i} AS MATERIALIZED (
+      SELECT a FROM e{i - 1} GROUP BY a HAVING count(*) >= {k})"""
+        )
+        ctes.append(
+            f"""e{i} AS MATERIALIZED (
+      SELECT e.a, e.b FROM e{i - 1} e
+      JOIN keep{i} ka ON ka.a = e.a
+      JOIN keep{i} kb ON kb.a = e.b)"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT a AS node, CAST(count(*) AS BIGINT) AS core_degree
+    FROM e{rounds} GROUP BY a HAVING count(*) >= {k}"""
+    )
+
+
+@_register(
+    "part_copurchase_kcore",
+    _kcore_oracle(k=3, rounds=8),
+    "k-core decomposition (k=3) of the part co-purchase graph "
+    "(market-basket pairs with support ≥2 as undirected edges): "
+    "iterative peeling removes nodes of degree <3 until the maximal "
+    "subgraph with min degree ≥3 remains — the dense-cohort detector "
+    "completing the graph family (PageRank, connected components, "
+    "triangles). Fixed-round recurrence, lineage-truncating "
+    "checkpoints; oracle is the identical peel unrolled as a CTE "
+    "chain",
+    ("graph", "iterative", "kcore"),
+)
+def part_copurchase_kcore(spark, sf_dir):
+    from ..operators.graph import kcore
+
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").dropDuplicates()
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return kcore(pairs, "src", "dst", k=3, rounds=8)
+
+
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
 # ---------------------------------------------------------------------------

@@ -253,3 +253,35 @@ def test_pq_rejects_indivisible_dim(spark):
     )
     with _pytest.raises(ValueError):
         pq_topk(emb, emb, m=3)
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling on known graphs
+# ---------------------------------------------------------------------------
+
+def test_kcore_known_graph(spark):
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.graph import (
+        kcore,
+    )
+
+    # K4 on {1,2,3,4} + a tail 4-5-6: the 3-core is exactly the K4
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(
+        k4 + [(4, 5), (5, 6)], ["src", "dst"]
+    )
+    got = {
+        r["node"]: r["core_degree"]
+        for r in kcore(edges, k=3, rounds=8).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_empty_when_graph_too_sparse(spark):
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.graph import (
+        kcore,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], ["src", "dst"]
+    )
+    assert kcore(chain, k=3, rounds=8).count() == 0
