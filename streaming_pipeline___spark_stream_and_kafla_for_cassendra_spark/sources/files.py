@@ -71,3 +71,35 @@ def read_csv(
     if keep_corrupt:
         return df
     return df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+
+
+def read_orc(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """ORC ingestion (columnar sibling of the parquet path; built into
+    Spark, predicate pushdown + column pruning apply the same way).
+    Schema optional — ORC carries one, but passing the declared schema
+    enforces the engine's no-inference discipline on untrusted drops."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
+def read_avro(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """Avro ingestion — gated: the spark-avro module is an external
+    jar; environments without it get a clear error instead of a
+    ClassNotFound stack."""
+    try:
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.format("avro").load(path)
+    except Exception as exc:  # pragma: no cover - depends on jar presence
+        raise RuntimeError(
+            "Avro support requires the spark-avro package "
+            "(org.apache.spark:spark-avro_2.13); add it via "
+            "spark.jars.packages"
+        ) from exc

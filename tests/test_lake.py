@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import glob
 
+from pyspark.sql import functions as F
+
 from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.streaming.lake import (
     LakeTable,
 )
@@ -232,3 +234,39 @@ def test_tombstone_blocks_stale_resurrection(spark, tmp_path):
         rows([(1, "new", t3, d, False)]), spark, delete_col="is_delete"
     )
     assert [r.val for r in table.read(spark).filter("id = 1").collect()] == ["new"]
+
+
+def test_orc_roundtrip_with_declared_schema(spark, tmp_path):
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.sources.files import (
+        read_orc,
+        write_orc,
+    )
+
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("name", StringType()),
+            StructField("v", DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, None, 0.0)], schema
+    )
+    path = str(tmp_path / "t.orc")
+    write_orc(df, path)
+    back = read_orc(spark, path, schema)
+    assert back.schema == schema
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+    # pushdown reaches the ORC scan
+    plan = back.filter(F.col("k") == 2)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "k" in plan
