@@ -67,6 +67,12 @@ HEADLINE = [
     "dense_ids_documents",
     "top_p_tokens_per_source",
     "daily_new_vs_returning_users",
+    "mad_outlier_events",
+    "event_type_transitions",
+    "rfm_segmentation_customers",
+    "psi_price_drift_bins",
+    "part_copurchase_kcore",
+    "unigram_surprisal_documents",
 ]
 
 
