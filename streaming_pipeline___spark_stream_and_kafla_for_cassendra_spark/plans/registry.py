@@ -7422,6 +7422,49 @@ def part_copurchase_kcore(spark, sf_dir):
     return kcore(pairs, "src", "dst", k=3, rounds=8)
 
 
+@_register(
+    "cdc_source_decode_counts",
+    """
+    WITH seq AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    recs AS (
+      SELECT i, (i * 7) % 499 + 1 AS emp_id,
+             ['c', 'u', 'u', 'd'][i % 4 + 1] AS op
+      FROM seq
+    )
+    SELECT ['Engineering', 'Marketing', 'Sales', 'HR'][emp_id % 4 + 1]
+             AS department,
+           op, CAST(count(*) AS BIGINT) AS n_events
+    FROM recs WHERE op <> 'd'
+    GROUP BY 1, 2
+    """,
+    "Custom Python DataSource end-to-end (Spark 4 DataSource API): "
+    "the broker-less cdc_envelope source (sources/cdc_source.py) "
+    "emits 2000 Kafka-shaped Debezium records across 4 input "
+    "partitions, the standard two-stage decode_cdc parses them "
+    "(deletes dropped), and per-department op counts must equal the "
+    "oracle's arithmetic reconstruction of the deterministic "
+    "generator — proving the pluggable source, the envelope "
+    "contract, and the decode path agree record-for-record",
+    ("cdc", "source", "datasource"),
+)
+def cdc_source_decode_counts(spark, sf_dir):
+    from ..schemas import EMPLOYEE_SCHEMA
+    from ..sources.cdc import decode_cdc
+    from ..sources.cdc_source import CdcEnvelopeDataSource
+
+    spark.dataSource.register(CdcEnvelopeDataSource)
+    raw = (
+        spark.read.format("cdc_envelope")
+        .option("rows", 2000)
+        .option("numPartitions", 4)
+        .load()
+    )
+    decoded = decode_cdc(raw.select("value"), EMPLOYEE_SCHEMA)
+    return decoded.groupBy("department", "op").agg(
+        F.count("*").alias("n_events")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
 # ---------------------------------------------------------------------------

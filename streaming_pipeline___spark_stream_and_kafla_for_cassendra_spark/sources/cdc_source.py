@@ -1,0 +1,150 @@
+"""Custom Python DataSource (Spark 4 DataSource API) emitting the
+reference's CDC record contract — a pluggable, broker-less stand-in
+for the Kafka+Debezium feed.
+
+The reference's source is a Kafka topic of Debezium envelopes
+(``multi_source_streaming_processor.py:76-96`` reads it;
+``PROJECT_DOCUMENTATION.md:479-497`` documents the envelope). Tests
+and demos need that contract WITHOUT a broker; this module registers
+``cdc_envelope`` as a first-class Spark source:
+
+    spark.dataSource.register(CdcEnvelopeDataSource)
+    df = (spark.read.format("cdc_envelope")
+          .option("rows", 1000).option("numPartitions", 4).load())
+    stream = (spark.readStream.format("cdc_envelope")
+              .option("rowsPerBatch", 100).load())
+
+Rows carry the Kafka record shape (key, value, topic, partition,
+offset, timestamp) with ``value`` = the Debezium envelope JSON, so
+the SAME two-stage ``decode_cdc`` path consumes this source, the
+file-source twins, and a real Kafka topic interchangeably.
+
+Everything is DETERMINISTIC in (seed, offset): employee id cycles a
+bounded population, op cycles c/u/u/d, ts_ms advances 1 s per offset
+from a fixed epoch — so batch reads, stream replays, and
+cross-engine assertions all reproduce bit-identical envelopes. The
+batch reader parallelizes via ``numPartitions`` input partitions
+(offset ranges, no driver materialization); the stream reader is a
+``SimpleDataSourceStreamReader`` whose offset is just the next row
+number (``readBetweenOffsets`` makes micro-batch replay exact).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+
+SCHEMA_DDL = (
+    "key string, value string, topic string, "
+    "partition int, offset bigint, timestamp timestamp"
+)
+
+_EPOCH_MS = 1704067200000  # 2024-01-01T00:00:00Z — fixed, deterministic
+_OPS = ("c", "u", "u", "d")
+_DEPTS = ("Engineering", "Marketing", "Sales", "HR")
+
+
+def _envelope_row(i: int, topic: str):
+    """Deterministic Kafka-shaped record #i (shared by batch+stream)."""
+    import datetime
+
+    emp_id = (i * 7) % 499 + 1  # odd population, coprime to the op cycle
+    op = _OPS[i % len(_OPS)]
+    ts_ms = _EPOCH_MS + i * 1000
+    after = (
+        None
+        if op == "d"
+        else json.dumps(
+            {
+                "id": emp_id,
+                "name": f"emp{emp_id}",
+                "email": f"emp{emp_id}@corp.test",
+                "department": _DEPTS[emp_id % len(_DEPTS)],
+                "created_at": "2024-01-01T08:00:00",
+            }
+        )
+    )
+    before = (
+        json.dumps({"id": emp_id, "name": f"emp{emp_id}"})
+        if op in ("u", "d")
+        else None
+    )
+    value = json.dumps(
+        {"payload": {"before": before, "after": after, "op": op, "ts_ms": ts_ms}}
+    )
+    ts = datetime.datetime.fromtimestamp(
+        ts_ms / 1000.0, tz=datetime.timezone.utc
+    ).replace(tzinfo=None)
+    return (str(emp_id), value, topic, 0, i, ts)
+
+
+@dataclass
+class _Range(InputPartition):
+    start: int
+    end: int
+
+
+class _BatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("rows", 1000))
+        self.parts = int(options.get("numPartitions", 4))
+        self.topic = options.get("topic", "employee-server.public.employees")
+
+    def partitions(self):
+        step = max(1, -(-self.n // self.parts))
+        return [
+            _Range(s, min(s + step, self.n))
+            for s in range(0, self.n, step)
+        ]
+
+    def read(self, partition):
+        for i in range(partition.start, partition.end):
+            yield _envelope_row(i, self.topic)
+
+
+class _StreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.per_batch = int(options.get("rowsPerBatch", 100))
+        self.topic = options.get("topic", "employee-server.public.employees")
+        self.max_rows = int(options.get("maxRows", 0))  # 0 = unbounded
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    def read(self, start):
+        s = start["offset"]
+        e = s + self.per_batch
+        if self.max_rows:
+            e = min(e, self.max_rows)
+        rows = [_envelope_row(i, self.topic) for i in range(s, e)]
+        return iter(rows), {"offset": e}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            _envelope_row(i, self.topic)
+            for i in range(start["offset"], end["offset"])
+        )
+
+
+class CdcEnvelopeDataSource(DataSource):
+    """``cdc_envelope`` — batch + streaming Debezium-contract source."""
+
+    @classmethod
+    def name(cls):
+        return "cdc_envelope"
+
+    def schema(self):
+        return SCHEMA_DDL
+
+    def reader(self, schema):
+        return _BatchReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return _StreamReader(self.options)
