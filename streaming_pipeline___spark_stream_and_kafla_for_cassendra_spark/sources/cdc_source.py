@@ -148,3 +148,113 @@ class CdcEnvelopeDataSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return _StreamReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# the write side: a JSONL sink with two-phase commit (task attempts
+# stage to uniquely-named temp files; the DRIVER's commit() publishes
+# them by rename, abort() discards) — the writer half of the pluggable
+# connector story, mirroring how the Kafka sink's transactional
+# producer publishes only on commit.
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass as _dc
+
+from pyspark.sql.datasource import (  # noqa: E402 (grouped with use site)
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+@_dc
+class _Staged(WriterCommitMessage):
+    staged_path: str
+    rows: int
+
+
+class _JsonlWriter(DataSourceWriter):
+    def __init__(self, options):
+        self.path = options["path"]
+        self.prefix = "batch"
+
+    def write(self, iterator):
+        """Runs on EXECUTORS, once per partition attempt: stage to a
+        unique temp file; speculative/retried attempts stage separate
+        files and only the committed attempt gets published."""
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        staging_dir = _os.path.join(self.path, "_staging")
+        _os.makedirs(staging_dir, exist_ok=True)
+        staged = _os.path.join(staging_dir, f"{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(staged, "w") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _Staged(staged_path=staged, rows=n)
+
+    def commit(self, messages):
+        """Driver-side publish: rename staged files into place. Until
+        this runs, readers of ``path`` see none of the job's output."""
+        import os as _os
+
+        for i, m in enumerate(messages):
+            if m is None or m.rows == 0:
+                if m is not None and _os.path.exists(m.staged_path):
+                    _os.remove(m.staged_path)
+                continue
+            final = _os.path.join(self.path, f"{self.prefix}-{i:05d}.jsonl")
+            _os.replace(m.staged_path, final)
+
+    def abort(self, messages):
+        import os as _os
+
+        for m in messages:
+            if m is not None and _os.path.exists(m.staged_path):
+                _os.remove(m.staged_path)
+
+
+class _JsonlStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        return _JsonlWriter({"path": self.path}).write(iterator)
+
+    def commit(self, messages, batchId):
+        import os as _os
+
+        for i, m in enumerate(messages):
+            if m is None or m.rows == 0:
+                if m is not None and _os.path.exists(m.staged_path):
+                    _os.remove(m.staged_path)
+                continue
+            final = _os.path.join(
+                self.path, f"stream-{batchId:08d}-{i:05d}.jsonl"
+            )
+            # replayed batch ids overwrite their own files → idempotent
+            _os.replace(m.staged_path, final)
+
+    def abort(self, messages, batchId):
+        import os as _os
+
+        for m in messages:
+            if m is not None and _os.path.exists(m.staged_path):
+                _os.remove(m.staged_path)
+
+
+class JsonlSinkDataSource(DataSource):
+    """``jsonl_sink`` — batch + streaming two-phase-commit JSONL sink."""
+
+    @classmethod
+    def name(cls):
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite):
+        return _JsonlWriter(self.options)
+
+    def streamWriter(self, schema, overwrite):
+        return _JsonlStreamWriter(self.options)

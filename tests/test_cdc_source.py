@@ -89,3 +89,80 @@ def test_stream_reads_contiguous_offsets(spark, tmp_path):
     n = len(offsets)
     assert n >= 150
     assert offsets == list(range(n))  # contiguous, no gaps or dupes
+
+
+# ---------------------------------------------------------------------------
+# custom sink: two-phase commit JSONL writer (batch + streaming)
+# ---------------------------------------------------------------------------
+
+def test_jsonl_sink_batch_publishes_only_on_commit(spark, tmp_path):
+    import glob
+    import json
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.sources.cdc_source import (
+        JsonlSinkDataSource,
+    )
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    out = str(tmp_path / "out")
+    df = spark.range(100).select(
+        F.col("id"), F.concat(F.lit("v"), F.col("id")).alias("name")
+    ).repartition(4)
+    df.write.format("jsonl_sink").option("path", out).mode("append").save()
+
+    published = sorted(glob.glob(f"{out}/batch-*.jsonl"))
+    assert published  # commit renamed staged files into place
+    assert not glob.glob(f"{out}/_staging/*")  # nothing left staged
+    rows = []
+    for p in published:
+        rows += [json.loads(l) for l in open(p)]
+    assert sorted(r["id"] for r in rows) == list(range(100))
+
+
+def test_jsonl_sink_streaming_chained_from_custom_source(spark, tmp_path):
+    """Full custom-connector loop: cdc_envelope source → decode →
+    jsonl_sink stream writer, batch-id-named files, exactly the
+    generated records."""
+    import glob
+    import json
+    import time
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.sources.cdc_source import (
+        JsonlSinkDataSource,
+    )
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    out = str(tmp_path / "sout")
+    stream = (
+        spark.readStream.format("cdc_envelope")
+        .option("rowsPerBatch", 40)
+        .option("maxRows", 120)
+        .load()
+    )
+    q = (
+        stream.select("offset", "key")
+        .writeStream.format("jsonl_sink")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    deadline = time.time() + 60
+    seen = 0
+    while time.time() < deadline:
+        seen = sum(
+            1 for p in glob.glob(f"{out}/stream-*.jsonl") for _ in open(p)
+        )
+        if seen >= 120:
+            break
+        time.sleep(1)
+    q.stop()
+    q.awaitTermination(30)
+    rows = [
+        json.loads(l)
+        for p in glob.glob(f"{out}/stream-*.jsonl")
+        for l in open(p)
+    ]
+    offsets = sorted(r["offset"] for r in rows)
+    assert len(offsets) >= 120
+    assert offsets == list(range(len(offsets)))
