@@ -68,6 +68,9 @@ def get_session(
         "spark.sql.session.timeZone": "UTC",
         # Arrow for every pandas-UDF / toPandas path
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # let custom Python data sources receive pushed filters
+        # (sources/cdc_source.py clamps its generated range with them)
+        "spark.sql.python.filterPushdown.enabled": "true",
         "spark.sql.shuffle.partitions": str(
             shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
         ),

@@ -37,7 +37,11 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     SimpleDataSourceStreamReader,
 )
 
@@ -96,12 +100,40 @@ class _BatchReader(DataSourceReader):
         self.n = int(options.get("rows", 1000))
         self.parts = int(options.get("numPartitions", 4))
         self.topic = options.get("topic", "employee-server.public.employees")
+        self.lo = 0       # pushed offset bounds narrow the generated
+        self.hi = self.n  # range BEFORE partition planning
+
+    def pushFilters(self, filters):
+        """Source-side predicate pushdown (the Python DataSource
+        twin of parquet's PushedFilters): offset range comparisons
+        clamp the generated range, so partitions() plans over the
+        SELECTED rows only — filters on other columns are returned
+        as unsupported and Spark re-applies them post-scan."""
+        for f in filters:
+            col = f.attribute[0] if hasattr(f, "attribute") else None
+            if col == "offset" and isinstance(
+                f, (GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+            ):
+                v = int(f.value)
+                if isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, v + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, v)
+                elif isinstance(f, LessThan):
+                    self.hi = min(self.hi, v)
+                else:
+                    self.hi = min(self.hi, v + 1)
+            else:
+                yield f  # unsupported -> Spark evaluates it post-scan
 
     def partitions(self):
-        step = max(1, -(-self.n // self.parts))
+        lo, hi = self.lo, max(self.lo, self.hi)
+        total = hi - lo
+        if total == 0:
+            return [_Range(lo, lo)]
+        step = max(1, -(-total // self.parts))
         return [
-            _Range(s, min(s + step, self.n))
-            for s in range(0, self.n, step)
+            _Range(s, min(s + step, hi)) for s in range(lo, hi, step)
         ]
 
     def read(self, partition):

@@ -166,3 +166,29 @@ def test_jsonl_sink_streaming_chained_from_custom_source(spark, tmp_path):
     offsets = sorted(r["offset"] for r in rows)
     assert len(offsets) >= 120
     assert offsets == list(range(len(offsets)))
+
+
+def test_source_pushes_offset_filters_into_partition_planning(spark):
+    # unfiltered: 1000 rows over 4 offset-range partitions
+    base = (
+        spark.read.format("cdc_envelope")
+        .option("rows", 1000)
+        .option("numPartitions", 4)
+        .load()
+    )
+    assert base.rdd.getNumPartitions() == 4
+    # offset < 200 is CONSUMED by the source (pushFilters clamps the
+    # generated range): the optimized plan keeps no residual
+    # comparison, so the 200-row result can only come from the
+    # source-side pruning
+    narrow = base.filter(F.col("offset") < 200)
+    plan = narrow._jdf.queryExecution().optimizedPlan().toString()
+    assert "200" not in plan
+    assert narrow.count() == 200
+    # non-offset predicates stay post-scan but results remain exact
+    mixed = base.filter((F.col("offset") >= 100) & (F.col("key") == "8"))
+    rows = mixed.collect()
+    assert all(r["offset"] >= 100 and r["key"] == "8" for r in rows)
+    assert mixed.count() == base.filter(
+        (F.col("offset") >= 100) & (F.col("key") == "8")
+    ).count()
