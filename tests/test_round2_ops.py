@@ -132,9 +132,6 @@ def test_transition_probs_sum_to_one(spark):
 
 def test_top_p_minimal_cover(spark):
     kept = BY_NAME["top_p_tokens_per_source"](spark, SF)
-    freq = (
-        BY_NAME["documents_top_tokens"]  # reuse nothing; recompute below
-    )
     d = spark.read.parquet(f"{SF}/documents.parquet")
     from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.functions.text import (
         tokens,
@@ -183,8 +180,6 @@ def test_blocking_pairs_equal_within_block_bruteforce(spark):
                 and a["tok"] == b["tok"]
                 and a["p_brand"] == b["p_brand"]
             ):
-                import difflib  # noqa: F401 (kept local; lev below)
-
                 # tiny exact Levenshtein
                 s, t = a["p_name"], b["p_name"]
                 prev = list(range(len(t) + 1))
