@@ -55,30 +55,52 @@ _OPS = ("c", "u", "u", "d")
 _DEPTS = ("Engineering", "Marketing", "Sales", "HR")
 
 
-def _envelope_row(i: int, topic: str):
+_ACTIVITIES = ("login", "page_view", "purchase", "logout", "search")
+_DEVICES = ("mobile", "desktop", "tablet")
+
+
+def _payload(i: int, table: str):
+    emp_id = (i * 7) % 499 + 1  # odd population, coprime to the op cycle
+    if table == "activities":
+        ts_s = (_EPOCH_MS + i * 1000) // 1000
+        import datetime as _dt
+
+        iso = _dt.datetime.fromtimestamp(
+            ts_s, tz=_dt.timezone.utc
+        ).strftime("%Y-%m-%d %H:%M:%S")
+        return emp_id, {
+            "id": str(i),
+            "employee_id": emp_id,
+            "activity_type": _ACTIVITIES[i % len(_ACTIVITIES)],
+            "page_url": f"/page/{i % 37}",
+            "duration_seconds": (i * 13) % 600 + 5,
+            "ip_address": f"10.0.{emp_id % 256}.{i % 256}",
+            "user_agent": "demo",
+            "activity_timestamp": iso,
+            "session_id": f"s{emp_id}-{i // 50}",
+            "device_type": _DEVICES[i % len(_DEVICES)],
+            "browser": "firefox",
+            "created_at": iso,
+        }
+    return emp_id, {
+        "id": emp_id,
+        "name": f"emp{emp_id}",
+        "email": f"emp{emp_id}@corp.test",
+        "department": _DEPTS[emp_id % len(_DEPTS)],
+        "created_at": "2024-01-01T08:00:00",
+    }
+
+
+def _envelope_row(i: int, topic: str, table: str = "employees"):
     """Deterministic Kafka-shaped record #i (shared by batch+stream)."""
     import datetime
 
-    emp_id = (i * 7) % 499 + 1  # odd population, coprime to the op cycle
     op = _OPS[i % len(_OPS)]
     ts_ms = _EPOCH_MS + i * 1000
-    after = (
-        None
-        if op == "d"
-        else json.dumps(
-            {
-                "id": emp_id,
-                "name": f"emp{emp_id}",
-                "email": f"emp{emp_id}@corp.test",
-                "department": _DEPTS[emp_id % len(_DEPTS)],
-                "created_at": "2024-01-01T08:00:00",
-            }
-        )
-    )
+    emp_id, payload = _payload(i, table)
+    after = None if op == "d" else json.dumps(payload)
     before = (
-        json.dumps({"id": emp_id, "name": f"emp{emp_id}"})
-        if op in ("u", "d")
-        else None
+        json.dumps({"id": payload["id"]}) if op in ("u", "d") else None
     )
     value = json.dumps(
         {"payload": {"before": before, "after": after, "op": op, "ts_ms": ts_ms}}
@@ -100,6 +122,7 @@ class _BatchReader(DataSourceReader):
         self.n = int(options.get("rows", 1000))
         self.parts = int(options.get("numPartitions", 4))
         self.topic = options.get("topic", "employee-server.public.employees")
+        self.table = options.get("table", "employees")
         self.lo = 0       # pushed offset bounds narrow the generated
         self.hi = self.n  # range BEFORE partition planning
 
@@ -138,13 +161,14 @@ class _BatchReader(DataSourceReader):
 
     def read(self, partition):
         for i in range(partition.start, partition.end):
-            yield _envelope_row(i, self.topic)
+            yield _envelope_row(i, self.topic, self.table)
 
 
 class _StreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options):
         self.per_batch = int(options.get("rowsPerBatch", 100))
         self.topic = options.get("topic", "employee-server.public.employees")
+        self.table = options.get("table", "employees")
         self.max_rows = int(options.get("maxRows", 0))  # 0 = unbounded
 
     def initialOffset(self):
@@ -155,12 +179,12 @@ class _StreamReader(SimpleDataSourceStreamReader):
         e = s + self.per_batch
         if self.max_rows:
             e = min(e, self.max_rows)
-        rows = [_envelope_row(i, self.topic) for i in range(s, e)]
+        rows = [_envelope_row(i, self.topic, self.table) for i in range(s, e)]
         return iter(rows), {"offset": e}
 
     def readBetweenOffsets(self, start, end):
         return iter(
-            _envelope_row(i, self.topic)
+            _envelope_row(i, self.topic, self.table)
             for i in range(start["offset"], end["offset"])
         )
 

@@ -192,3 +192,24 @@ def test_source_pushes_offset_filters_into_partition_planning(spark):
     assert mixed.count() == base.filter(
         (F.col("offset") >= 100) & (F.col("key") == "8")
     ).count()
+
+
+def test_activities_table_variant_feeds_activity_decode(spark):
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.schemas import (
+        ACTIVITY_SCHEMA,
+    )
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.sources.cdc import (
+        decode_cdc,
+    )
+
+    raw = (
+        spark.read.format("cdc_envelope")
+        .option("rows", 200)
+        .option("table", "activities")
+        .load()
+    )
+    decoded = decode_cdc(raw.select("value"), ACTIVITY_SCHEMA)
+    rows = decoded.collect()
+    assert len(rows) == 150  # deletes dropped
+    assert all(r["activity_type"] is not None for r in rows)
+    assert all(r["employee_id"] is not None for r in rows)
