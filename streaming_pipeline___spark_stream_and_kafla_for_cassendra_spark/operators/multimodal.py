@@ -318,3 +318,113 @@ def synthetic_media_from_documents(docs: DataFrame) -> DataFrame:
             F.col("source").alias("source"),
         ).alias("meta"),
     )
+
+
+PHASH_SCHEMA = StructType(
+    [StructField("media_id", LongType()), StructField("phash", LongType())]
+)
+
+
+def phash_images(media: DataFrame, use_stub_decoder: bool = True) -> DataFrame:
+    """64-bit perceptual hash (pHash) per image — the image-dedup
+    primitive of training-data pipelines (near-identical images hash
+    within a few bits; crops/re-encodes stay close, unrelated images
+    land ~32 bits apart).
+
+    Pipeline per Arrow batch (all numpy, executor-local, no shuffle):
+    decode → 32×32 grayscale → orthonormal 2-D DCT (two matmuls) →
+    top-left 8×8 low-frequency block → median threshold → 64-bit
+    pack. The stub decoder tiles payload bytes into the pixel grid
+    (deterministic; swap in a real codec at deploy time — the
+    DCT/threshold/pack stages are the real algorithm either way).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        n = 32
+        j = np.arange(n)
+        # orthonormal DCT-II basis
+        D = np.sqrt(2.0 / n) * np.cos(
+            np.pi * (2 * j[None, :] + 1) * j[:, None] / (2 * n)
+        )
+        D[0, :] /= np.sqrt(2.0)
+
+        def pixels(payload: bytes) -> np.ndarray:
+            raw = np.frombuffer(payload or b"\0", dtype=np.uint8)
+            tiled = np.resize(raw, n * n).astype(np.float64)
+            return tiled.reshape(n, n)
+
+        weights = 1 << np.arange(64, dtype=np.uint64)
+        for pdf in it:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                x = pixels(payload)
+                coeffs = (D @ x @ D.T)[:8, :8].ravel()
+                bits = coeffs > np.median(coeffs)
+                h = np.uint64((bits * weights).sum())
+                ids.append(mid)
+                hashes.append(int(h.astype(np.int64)))
+            yield pd.DataFrame({"media_id": ids, "phash": hashes})
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=PHASH_SCHEMA
+    )
+
+
+def phash_near_dup_pairs(
+    media: DataFrame, max_hamming: int = 3, use_stub_decoder: bool = True
+) -> DataFrame:
+    """Image near-dup pairs at Hamming distance ≤ ``max_hamming``.
+
+    Scale path: the 64-bit hash splits into ``max_hamming + 1``
+    bands; by pigeonhole, any pair within the distance budget agrees
+    EXACTLY on at least one band, so candidates come from a band
+    equi-join (hash-partitioned, never a cross join) and the verify
+    is a JVM-side ``bit_count(xor)`` on candidates only — the same
+    band-then-verify discipline as the MinHash/SimHash text tiers.
+    """
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    sig = phash_images(media, use_stub_decoder)
+    bands = sig.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("phash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("media_id", "phash", "bb.band", "bb.bucket")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.media_id") < F.col("b.media_id"),
+            ],
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.phash").alias("ha"),
+            F.col("b.phash").alias("hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dist = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.withColumn("hamming", dist.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -7465,6 +7465,35 @@ def cdc_source_decode_counts(spark, sf_dir):
     )
 
 
+@_register(
+    "multimodal_phash_images",
+    None,  # DCT float thresholds are not SQL-expressible; the
+    # near-dup pairing tier (pigeonhole banding + bit_count verify)
+    # is property-tested on constructed images in
+    # tests/test_multimodal.py — the synthetic text-as-pixels corpus
+    # is not image-like, so realistic Hamming budgets find no pairs
+    # there by design
+    "Perceptual-hash image fingerprints (the image tier of corpus "
+    "dedup): 64-bit pHash per payload — 32×32 grayscale → 2-D DCT → "
+    "8×8 low-frequency block → median threshold, all numpy in one "
+    "Arrow pass, no shuffle. Pair mining is "
+    "operators/multimodal.py::phash_near_dup_pairs: pigeonhole "
+    "banding (any pair within Hamming budget agrees on ≥1 band) + "
+    "JVM-side bit_count(xor) verify. Decode stubbed (no codecs "
+    "here); DCT/threshold/band stages are the real algorithm",
+    ("multimodal", "dedup", "phash", "documents"),
+)
+def multimodal_phash_images(spark, sf_dir):
+    from ..operators.multimodal import (
+        phash_images,
+        synthetic_media_from_documents,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = synthetic_media_from_documents(d)
+    return phash_images(media)
+
+
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
 # ---------------------------------------------------------------------------

@@ -76,3 +76,74 @@ def test_resize_images_payload_shape(spark):
     assert all(len(bytes(r.payload)) == 32 for r in got.values())
     assert bytes(got[1].payload) == (b"xy" * 16)
     assert (got[1].width, got[1].height) == (8, 4)
+
+
+# ---------------------------------------------------------------------------
+# perceptual hash: near-identical images collide, unrelated diverge
+# ---------------------------------------------------------------------------
+
+def test_phash_near_dup_detection(spark):
+    import numpy as np
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.multimodal import (
+        phash_images,
+        phash_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 256, size=1024, dtype=np.uint8)
+    near = base.copy()
+    near[100:104] += 1  # tiny perturbation -> low-freq DCT stable
+    other = rng.integers(0, 256, size=1024, dtype=np.uint8)
+    rows = [
+        (1, "image", bytes(base), None),
+        (2, "image", bytes(near), None),
+        (3, "image", bytes(other), None),
+    ]
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+    )
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    hashes = {r["media_id"]: r["phash"] for r in phash_images(media).collect()}
+    assert len(hashes) == 3
+    ham = bin(hashes[1] ^ hashes[2]).count("1")
+    far = bin(hashes[1] ^ hashes[3]).count("1")
+    assert ham <= 3 < far
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_dup_pairs(media, max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == ham
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_phash_banding_never_misses_within_budget(spark):
+    """Pigeonhole: constructed hashes exactly max_hamming apart MUST
+    surface as candidates through the band join."""
+    import numpy as np
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        phash_images,
+        phash_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 256, size=1024, dtype=np.uint8)
+    variants = []
+    for d in range(6):
+        v = base.copy()
+        v[200 : 200 + d] += 3
+        variants.append((d + 10, "image", bytes(v), None))
+    media = spark.createDataFrame(variants, MEDIA_SCHEMA)
+    hashes = {r["media_id"]: r["phash"] for r in phash_images(media).collect()}
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in phash_near_dup_pairs(media, max_hamming=3).collect()
+    }
+    for a in hashes:
+        for b in hashes:
+            if a < b and bin(hashes[a] ^ hashes[b]).count("1") <= 3:
+                assert (a, b) in pairs  # guarantee: no misses in budget
