@@ -75,6 +75,56 @@ def pagerank(
     return ranks
 
 
+def bfs_hops(
+    edges: DataFrame,
+    source,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 6,
+) -> DataFrame:
+    """Unweighted shortest-path hop counts from ``source`` via BFS.
+
+    Frontier-expansion breadth-first search over an undirected edge
+    list: round ``h`` joins the current frontier with the edge list
+    and keeps previously-unseen endpoints at distance ``h``. Returns
+    (node, hops) for every node reachable within ``max_hops``
+    (source included at 0).
+
+    Scale notes: per round one shuffle join frontier×edges plus one
+    anti-join against the visited set; frontier and visited frames
+    carry (node, hops) only. The fixed-round cap keeps the recurrence
+    reproducible as a bounded recursive CTE (the oracle pattern of
+    :func:`pagerank`/:func:`kcore`); rounds beyond the graph's
+    eccentricity are no-ops and exit early on an empty frontier.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates()
+        .localCheckpoint(eager=False)
+    )
+    visited = (
+        und.sparkSession.createDataFrame([(source, 0)], ["node", "hops"])
+        .localCheckpoint(eager=False)
+    )
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(und, frontier["node"] == und["a"])
+            .select(F.col("b").alias("node"))
+            .dropDuplicates()
+            .join(visited, "node", "left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited
+
+
 def kcore(
     edges: DataFrame,
     src: str = "src",
@@ -108,7 +158,10 @@ def kcore(
     prev_n = -1
     for _ in range(rounds):
         deg = cur.groupBy("a").agg(F.count("*").alias("deg"))
-        keep = deg.filter(F.col("deg") >= k).select("a")
+        # eager checkpoint materializes keep ONCE; the early-stop count
+        # and both semi-joins below read the materialized partitions
+        # instead of re-running the degree aggregation (2 jobs -> 1).
+        keep = deg.filter(F.col("deg") >= k).select("a").localCheckpoint()
         n_keep = keep.count()
         if n_keep == prev_n:
             break

@@ -7494,6 +7494,311 @@ def multimodal_phash_images(spark, sf_dir):
     return phash_images(media)
 
 
+@_register(
+    "ewma_user_value",
+    """
+    WITH seq AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           round(list_reduce(vals,
+                             (acc, x) -> acc * 0.7::DOUBLE + x * 0.3::DOUBLE),
+                 6) AS ewma_value
+    FROM seq
+    """,
+    "Per-user exponentially-weighted moving average (alpha=0.3) of "
+    "event values — a sequential recurrence expressed as an in-row "
+    "left fold: collect_list sorted by (ts, event_id) then "
+    "F.aggregate with acc*(1-a)+x*a, seeded from the first element. "
+    "One shuffle (the groupBy), state lives inside the row, and the "
+    "fold order is bit-identical to DuckDB's list_reduce so the "
+    "doubles hash-match without tolerance. The pattern generalizes "
+    "to any per-key scan/recurrence (compound interest, decay "
+    "counters) that window functions cannot express",
+    ("timeseries", "recurrence", "events"),
+)
+def ewma_user_value(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))).alias(
+            "seq"
+        )
+    )
+    rest = F.slice(F.col("seq"), 2, F.greatest(F.size("seq") - 1, F.lit(0)))
+    init = F.element_at(F.col("seq"), 1)["value"]
+    ewma = F.aggregate(
+        rest, init, lambda acc, x: acc * F.lit(0.7) + x["value"] * F.lit(0.3)
+    )
+    return seq.select(
+        "user_id",
+        F.size("seq").cast("long").alias("n_events"),
+        F.round(ewma, 6).alias("ewma_value"),
+    )
+
+
+@_register(
+    "bfs_nation_hops",
+    """
+    WITH RECURSIVE base AS (
+      SELECT DISTINCT cn.n_name AS a, sn.n_name AS b
+      FROM lineitem
+      JOIN orders    ON o_orderkey  = l_orderkey
+      JOIN customer  ON c_custkey   = o_custkey
+      JOIN nation cn ON cn.n_nationkey = c_nationkey
+      JOIN supplier  ON s_suppkey   = l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s_nationkey
+      WHERE cn.n_name <> sn.n_name
+    ),
+    edges AS (SELECT a, b FROM base UNION SELECT b, a FROM base),
+    walk(node, hops) AS (
+      SELECT 'NATION_0', 0
+      UNION
+      SELECT e.b, walk.hops + 1
+      FROM walk JOIN edges e ON e.a = walk.node
+      WHERE walk.hops < 4
+    )
+    SELECT node, CAST(min(hops) AS INT) AS hops
+    FROM walk GROUP BY node
+    """,
+    "Unweighted shortest-path hop counts (BFS, <=4 hops) from "
+    "NATION_0 over the undirected customer-nation <-> supplier-nation "
+    "trade graph. Frontier-expansion joins with an anti-join against "
+    "the visited set (operators/graph.py::bfs_hops), lineage "
+    "checkpoint-truncated per round; oracle is a bounded recursive "
+    "CTE taking min(hops) per reached node. Completes the graph "
+    "family: reachability radius alongside PageRank, components, "
+    "triangles, k-core",
+    ("graph", "iterative", "bfs"),
+)
+def bfs_nation_hops(spark, sf_dir):
+    from ..operators.graph import bfs_hops
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("src"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("dst"))
+    edges = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .dropDuplicates()
+    )
+    return bfs_hops(edges, "NATION_0", "src", "dst", max_hops=4)
+
+
+@_register(
+    "events_mode_disc_census",
+    """
+    WITH s AS (
+      SELECT event_type, count(*) AS n, list(value ORDER BY value) AS vs
+      FROM events GROUP BY event_type
+    ),
+    b AS (
+      SELECT event_type, CAST(floor(value) AS BIGINT) AS bucket,
+             count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, bucket,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY c DESC, bucket ASC) AS rn
+      FROM b
+    )
+    SELECT s.event_type,
+           CAST(n AS BIGINT) AS n_events,
+           m.bucket AS mode_bucket,
+           vs[CAST(ceil(n * 0.5::DOUBLE) AS INT)] AS p50_disc,
+           vs[CAST(ceil(n * 0.9::DOUBLE) AS INT)] AS p90_disc
+    FROM s JOIN m ON m.event_type = s.event_type AND m.rn = 1
+    """,
+    "Discrete order statistics the engine's percentile()/median "
+    "(continuous, interpolating) cannot express: percentile_disc "
+    "(0.5/0.9) as 1-based indexing into the sorted in-row value "
+    "array (the returned value is always an actual data point, "
+    "bit-identical across engines — no interpolation arithmetic), "
+    "plus deterministic mode over floor-bucketed values (ties break "
+    "to the smallest bucket via row_number, not engine-dependent "
+    "mode())",
+    ("agg", "census", "events"),
+)
+def events_mode_disc_census(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.array_sort(F.collect_list("value")).alias("vs"),
+    )
+    b = ev.withColumn("bucket", F.floor("value").cast("long")).groupBy(
+        "event_type", "bucket"
+    ).agg(F.count("*").alias("c"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("c").desc(), F.col("bucket").asc()
+    )
+    m = (
+        b.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("bucket").alias("mode_bucket"))
+    )
+
+    def disc(q):
+        return F.element_at(
+            "vs", F.ceil(F.col("n") * F.lit(q)).cast("int")
+        )
+
+    return s.join(m, "event_type").select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        "mode_bucket",
+        disc(0.5).alias("p50_disc"),
+        disc(0.9).alias("p90_disc"),
+    )
+
+
+@_register(
+    "quality_ensemble_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks,
+             length(text) AS n_c,
+             length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_p
+      FROM documents
+    ), f AS (
+      SELECT doc_id,
+             CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))
+                  AS DOUBLE) / greatest(len(toks), 1) AS stop_r,
+             CAST(n_c - n_p AS DOUBLE) / greatest(n_c, 1) AS punct_r,
+             CAST(least(len(toks), 64) AS DOUBLE) / 64.0 AS len_f
+      FROM t
+    ), x AS (
+      SELECT doc_id,
+             -1.0 + 2.5 * stop_r - 6.0 * punct_r + 1.5 * len_f AS raw
+      FROM f
+    )
+    SELECT doc_id,
+           round(0.5 + 0.5 * (raw / (1.0 + abs(raw))), 6) AS quality_score,
+           raw >= 0.0 AS keep
+    FROM x
+    """,
+    "Model-style quality ensemble: linear combination of stopword "
+    "ratio, punctuation ratio and a saturating length feature, "
+    "squashed through the RATIONAL sigmoid x/(1+|x|) instead of the "
+    "logistic — only +,*,/,abs, so the score is bit-identical across "
+    "engines (libm exp() is not). The shape of a fastText-quality "
+    "/ Gopher-filter scorer as one JVM-side codegen expression: no "
+    "UDF, no shuffle, scan-local",
+    ("text", "quality", "ensemble", "documents"),
+)
+def quality_ensemble_documents(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    stop_r = stopword_ratio(F.col("text"))
+    punct_r = punct_ratio(F.col("text"))
+    len_f = F.least(F.size(toks), F.lit(64)).cast("double") / F.lit(64.0)
+    raw = (
+        F.lit(-1.0)
+        + F.lit(2.5) * stop_r
+        - F.lit(6.0) * punct_r
+        + F.lit(1.5) * len_f
+    )
+    return d.select(
+        "doc_id",
+        F.round(
+            F.lit(0.5) + F.lit(0.5) * (raw / (F.lit(1.0) + F.abs(raw))), 6
+        ).alias("quality_score"),
+        (raw >= F.lit(0.0)).alias("keep"),
+    )
+
+
+@_register(
+    "interval_union_by_user",
+    """
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts)
+               + CAST(floor(value * 60.0) AS BIGINT) * 1000000 AS e
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_id, s, e,
+             CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+      WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             sum(new_island) OVER (PARTITION BY user_id
+                                   ORDER BY s, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS island_id
+      FROM marked
+    ),
+    isl AS (
+      SELECT user_id, island_id, max(e) - min(s) AS covered
+      FROM islands GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(covered) AS BIGINT) AS covered_us
+    FROM isl GROUP BY user_id
+    """,
+    "Sweep-line interval union per user: each event spans "
+    "[ts, ts + value minutes]; overlapping spans merge into islands "
+    "(running-max watermark + island counter, two window passes over "
+    "ONE hash partitioning) and the union length sums max(end)-"
+    "min(start) per island — overlap never double-counts. All "
+    "arithmetic in integer microseconds (epoch_us), so the result "
+    "is exact. The classic session-coverage / machine-utilization "
+    "query that naive SUM(duration) gets wrong",
+    ("timeseries", "window", "events"),
+)
+def interval_union_by_user(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + F.floor(F.col("value") * F.lit(60.0)).cast("long")
+            * F.lit(1000000)
+        ).alias("e"),
+    )
+    ordered = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max = F.max("e").over(
+        ordered.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    )
+    islands = marked.withColumn(
+        "island_id",
+        F.sum("new_island").over(
+            ordered.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    isl = islands.groupBy("user_id", "island_id").agg(
+        (F.max("e") - F.min("s")).alias("covered")
+    )
+    return isl.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        F.sum("covered").alias("covered_us"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
 # ---------------------------------------------------------------------------
