@@ -182,3 +182,58 @@ def dense_ids(
             yield out
 
     return with_pid.mapInPandas(assign, schema=out_schema)
+
+
+def collect_file_stats(
+    spark: SparkSession, path: str, cols: list[str]
+) -> DataFrame:
+    """Build a per-file min/max statistics index — the data-skipping
+    layer a lakehouse keeps in its manifest (Delta add-file stats,
+    Iceberg manifests, Hudi column_stats).
+
+    One full scan groups rows by ``input_file_name()`` and records
+    min/max per requested column. Persist the result next to the
+    table and keep it fresh on write; reads then consult the index
+    instead of opening footers. Pairs with ``zorder_value`` — Z-
+    ordered layout is what makes these per-file bounding boxes tight
+    on MULTIPLE columns at once.
+    """
+    df = spark.read.parquet(path)
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return df.groupBy(F.input_file_name().alias("file")).agg(*aggs)
+
+
+def pruned_read(
+    spark: SparkSession,
+    path: str,
+    stats: DataFrame,
+    col: str,
+    lo,
+    hi,
+) -> DataFrame:
+    """Range-predicate read that opens ONLY files whose [min, max]
+    interval intersects [lo, hi], per the ``collect_file_stats``
+    index.
+
+    The file list is index-metadata-sized (one row per file — the
+    same information a lake format's planner pulls from its
+    manifest), never data-sized; the predicate is re-applied after
+    the scan, so skipping is purely an optimization and can never
+    change results. Files whose stats straddle the range still get
+    row-group-level pushdown from the parquet reader.
+    """
+    keep = [
+        r["file"]
+        for r in stats.filter(
+            (F.col(f"max_{col}") >= F.lit(lo)) & (F.col(f"min_{col}") <= F.lit(hi))
+        )
+        .select("file")
+        .collect()
+    ]
+    pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    if not keep:
+        return spark.read.parquet(path).where(F.lit(False))
+    return spark.read.parquet(*keep).where(pred)

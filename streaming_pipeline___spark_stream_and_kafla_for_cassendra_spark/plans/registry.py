@@ -7799,6 +7799,61 @@ def interval_union_by_user(spark, sf_dir):
     )
 
 
+@_register(
+    "streaming_ewma_users",
+    """
+    WITH seq AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           round(list_reduce(vals,
+                             (acc, x) -> acc * 0.7::DOUBLE + x * 0.3::DOUBLE),
+                 6) AS ewma_value
+    FROM seq
+    """,
+    "Streaming per-key lifetime EWMA (custom stateful operator, "
+    "streaming/stateful.py::ewma_stream): two scalars of state per "
+    "key carried across micro-batches, update-mode emissions, "
+    "in-batch (ts, event_id) sort. The availableNow run's final "
+    "emission per key is bit-identical to the batch fold "
+    "(ewma_user_value), so the ORACLE is the same list_reduce SQL — "
+    "a sequential recurrence checked exactly through the streaming "
+    "path, kappa-architecture parity made testable",
+    ("streaming", "stateful", "timeseries", "events"),
+)
+def streaming_ewma_users(spark, sf_dir):
+    import uuid
+
+    from ..sources.tables import load_events_stream
+    from ..streaming.stateful import ewma_stream
+
+    stream = load_events_stream(spark, sf_dir)
+    out = ewma_stream(stream)
+    sink = f"stream_ewma_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q, 120)
+    t = spark.table(sink)
+    # keep each key's LAST emission (n_events grows monotonically)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        t.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("ewma_value", 6).alias("ewma_value"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
 # ---------------------------------------------------------------------------

@@ -427,3 +427,78 @@ def running_totals(
         outputMode="Update",
         timeMode="None",
     )
+
+
+EWMA_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("ewma_value", DoubleType()),
+    ]
+)
+
+_EWMA_STATE = StructType(
+    [StructField("n", LongType()), StructField("ewma", DoubleType())]
+)
+
+
+def ewma_stream(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Per-key lifetime EWMA carried across micro-batches — the
+    streaming twin of the batch ``ewma_user_value`` fold (registry):
+    same recurrence ``ewma := ewma*(1-a) + value*a``, same (ts, id)
+    ordering, so when every event for a key arrives in event-time
+    order the final emission is bit-identical to the batch fold.
+
+    Emits one row per key per batch (update semantics) with the
+    lifetime event count and current EWMA. State is two scalars per
+    key (O(live keys), no timeout — a lifetime metric, like
+    :func:`running_totals`, not a windowed one); the only shuffle is
+    the hash partition on the key. Events are sorted within each
+    batch, so intra-batch disorder self-heals; cross-batch disorder
+    is the source's ordering contract (Kafka: per-key partition
+    ordering).
+    """
+    a = float(alpha)
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        user = key[0]
+        if state.exists:
+            n, ewma = state.get
+        else:
+            n, ewma = 0, None
+
+        frames = [pdf for pdf in pdf_iter if not pdf.empty]
+        if frames:
+            pdf = pd.concat(frames).sort_values([ts_col, id_col])
+            for v in pdf[value_col].to_numpy():
+                v = float(v)
+                ewma = v if ewma is None else ewma * (1.0 - a) + v * a
+                n += 1
+
+        if n:
+            state.update((n, float(ewma)))
+            yield pd.DataFrame(
+                {
+                    "user_id": [user],
+                    "n_events": [n],
+                    "ewma_value": [float(ewma)],
+                }
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=EWMA_SCHEMA,
+        stateStructType=_EWMA_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

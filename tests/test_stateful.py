@@ -305,3 +305,55 @@ def test_running_totals_transform_with_state_across_restarts(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev_provider
             )
+
+
+# ---------------------------------------------------------------------------
+# streaming EWMA: cross-batch state == batch fold
+# ---------------------------------------------------------------------------
+
+def test_ewma_stream_state_carries_across_batches(spark, tmp_path):
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.streaming.stateful import (
+        ewma_stream,
+    )
+
+    src = str(tmp_path / "ewma_events")
+    # batch 1 (file 1): first two events per user; batch 2: the rest
+    _write_events(spark, src, [
+        (1, "2024-01-01 10:00:00", 1, 10.0),
+        (2, "2024-01-01 10:01:00", 1, 20.0),
+        (3, "2024-01-01 10:00:30", 2, 5.0),
+    ])
+    _write_events(spark, src, [
+        (4, "2024-01-01 10:02:00", 1, 40.0),
+        (5, "2024-01-01 10:03:00", 2, 15.0),
+    ])
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = f"ewma_{uuid.uuid4().hex[:8]}"
+    q = (
+        ewma_stream(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    rows = spark.table(sink).collect()
+    final = {}
+    for r in rows:
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.ewma_value)
+
+    # sequential fold over ALL events in (ts, id) order
+    u1 = ((10.0 * 0.7 + 20.0 * 0.3) * 0.7) + 40.0 * 0.3
+    u2 = 5.0 * 0.7 + 15.0 * 0.3
+    assert final[1] == (3, u1)
+    assert final[2] == (2, u2)
+    # intermediate emission from batch 1 exists too (update mode)
+    assert any(r.user_id == 1 and r.n_events == 2 for r in rows)
