@@ -73,6 +73,11 @@ HEADLINE = [
     "psi_price_drift_bins",
     "part_copurchase_kcore",
     "unigram_surprisal_documents",
+    "ewma_user_value",
+    "interval_union_by_user",
+    "bfs_nation_hops",
+    "quality_ensemble_documents",
+    "streaming_ewma_users",
 ]
 
 

@@ -7854,6 +7854,82 @@ def streaming_ewma_users(spark, sf_dir):
     )
 
 
+@_register(
+    "decimal_exact_revenue",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS gross,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(3,2))
+                       - CAST(l_discount AS DECIMAL(3,2))))
+                AS DECIMAL(38,4)) AS net
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    "Exact money arithmetic: prices cast to DECIMAL(18,2) and "
+    "discounts to DECIMAL(3,2) BEFORE aggregation, so gross and "
+    "discounted revenue are exact decimal sums — no float "
+    "accumulation error, no rounding discipline needed; the outputs "
+    "hash-match as exact decimal strings. Final casts pin the "
+    "result scale because Spark and DuckDB propagate decimal "
+    "precision differently even when the VALUES are identical",
+    ("agg", "decimal", "lineitem"),
+)
+def decimal_exact_revenue(spark, sf_dir):
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS gross,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(3,2))
+                           - CAST(l_discount AS DECIMAL(3,2))))
+                    AS DECIMAL(38,4)) AS net
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@_register(
+    "group_by_all_except_census",
+    """
+    WITH slim AS (SELECT * EXCLUDE (o_orderdate, o_custkey) FROM orders)
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 4) AS total_price
+    FROM slim
+    GROUP BY ALL
+    """,
+    "Modern projection/grouping sugar: SELECT * EXCEPT (Spark) / "
+    "EXCLUDE (DuckDB) drops wide payload columns without "
+    "enumerating the keep-list, and GROUP BY ALL infers the "
+    "grouping keys from the select list — the ergonomic surface "
+    "analysts expect from a 2024-era engine, compiled to the same "
+    "single-shuffle hash aggregate (column pruning still reaches "
+    "the scan: the EXCEPT projection prunes, not materializes)",
+    ("sql", "census", "orders"),
+)
+def group_by_all_except_census(spark, sf_dir):
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH slim AS (SELECT * EXCEPT (o_orderdate, o_custkey) FROM orders)
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 4) AS total_price
+        FROM slim
+        GROUP BY ALL
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
 # ---------------------------------------------------------------------------

@@ -611,3 +611,106 @@ def test_single_scan_fanout_one_query_many_sinks(spark, cdc_dirs, tmp_path):
     b = {r.id for r in spark.read.parquet(str(sink_b)).collect()}
     assert a == b == {"1", "2", "3", "4"}  # delete dropped, sinks agree
     assert sum(n for _, n in seen_batches) == 4
+
+
+def test_stream_stream_full_outer_join(spark, tmp_path):
+    """T9+: watermarked stream-stream FULL OUTER join — unmatched rows
+    from BOTH sides emit with nulls once the watermark proves no match
+    can still arrive (Spark 3.1+ capability the left-outer test covers
+    only half of)."""
+    import json
+
+    def ev(i, user, ts):
+        return json.dumps({"id": i, "user_id": user, "ts": ts})
+
+    (tmp_path / "fl").mkdir()
+    (tmp_path / "fr").mkdir()
+    (tmp_path / "fl" / "a.jsonl").write_text(
+        "\n".join([
+            ev(1, 1, "2024-01-01 10:05:00"),
+            ev(2, 9, "2024-01-01 10:06:00"),   # left-only
+            ev(99, 97, "2024-01-01 12:00:00"),  # watermark flush
+        ])
+    )
+    (tmp_path / "fr" / "a.jsonl").write_text(
+        "\n".join([
+            ev(100, 1, "2024-01-01 10:00:00"),
+            ev(300, 7, "2024-01-01 10:01:00"),  # right-only
+            ev(900, 98, "2024-01-01 12:00:00"),  # watermark flush
+        ])
+    )
+    schema = "id long, user_id long, ts timestamp"
+    left = (
+        spark.readStream.schema(schema).json(str(tmp_path / "fl"))
+        .withWatermark("ts", "10 minutes")
+        .select(F.col("id").alias("l_id"), F.col("user_id").alias("l_user"),
+                F.col("ts").alias("l_ts"))
+    )
+    right = (
+        spark.readStream.schema(schema).json(str(tmp_path / "fr"))
+        .withWatermark("ts", "10 minutes")
+        .select(F.col("id").alias("r_id"), F.col("user_id").alias("r_user"),
+                F.col("ts").alias("r_ts"))
+    )
+    joined = left.join(
+        right,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 10 MINUTES")),
+        "fullOuter",
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ss_full_join")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {(r.l_id, r.r_id) for r in spark.table("ss_full_join").collect()}
+    assert got == {(1, 100), (2, None), (None, 300)}
+
+
+def test_chained_streaming_window_aggregations(spark, tmp_path):
+    """Multiple stateful operators in ONE streaming query (Spark 3.4+):
+    a 5-minute windowed count re-aggregated into 15-minute windows
+    downstream — the rollup-of-rollup shape that previously required
+    two queries with an intermediate topic. Append mode: only windows
+    the watermark has closed emit; the late flush row closes them."""
+    import json
+
+    (tmp_path / "ch").mkdir()
+    (tmp_path / "ch" / "a.jsonl").write_text(
+        "\n".join(
+            [json.dumps({"id": i, "ts": f"2024-01-01 10:{m:02d}:00"})
+             for i, m in enumerate([0, 1, 2, 6, 7, 11, 16])]
+            + [json.dumps({"id": 99, "ts": "2024-01-01 13:00:00"})]
+        )
+    )
+    stream = (
+        spark.readStream.schema("id long, ts timestamp")
+        .json(str(tmp_path / "ch"))
+        .withWatermark("ts", "5 minutes")
+    )
+    five = stream.groupBy(F.window("ts", "5 minutes").alias("w5")).agg(
+        F.count("*").alias("n5")
+    )
+    fifteen = (
+        five.groupBy(F.window(F.col("w5"), "15 minutes").alias("w15"))
+        .agg(F.sum("n5").alias("n15"), F.count("*").alias("n_subwindows"))
+        .select(
+            F.col("w15.start").alias("start"), "n15", "n_subwindows"
+        )
+    )
+    q = (
+        fifteen.writeStream.format("memory").queryName("chained_agg")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (str(r.start), r.n15, r.n_subwindows)
+        for r in spark.table("chained_agg").collect()
+    }
+    # 10:00-10:15 closes with three 5-min subwindows (3+2+1 events);
+    # 10:15-10:30 closes too (flush row advances watermark past it)
+    assert got == {
+        ("2024-01-01 10:00:00", 6, 3),
+        ("2024-01-01 10:15:00", 1, 1),
+    }
