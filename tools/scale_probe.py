@@ -193,6 +193,51 @@ def main() -> None:
     timings["dense_ids_20m"] = round(time.perf_counter() - t0, 2)
     assert got["c"] == n_ids and got["s"] == n_ids * (n_ids - 1) // 2, got
 
+    # 9. sweep-line interval union over every fact row: two window
+    # passes sharing ONE hash partitioning on the key (running-max
+    # island marking, island numbering), then two grouped aggs —
+    # the pattern must not re-exchange between passes.
+    n_iv = min(n, 50_000_000)
+    n_users = max(n_iv // 50, 1)
+    iv = spark.range(n_iv).select(
+        (F.col("id") % n_users).alias("u"),
+        (F.col("id") * 7919 % 1_000_000_000).alias("s"),
+    ).withColumn("e", F.col("s") + 5000 + (F.col("s") % 7000))
+    wo = Window.partitionBy("u").orderBy("s", "e")
+    prev_max = F.max("e").over(wo.rowsBetween(Window.unboundedPreceding, -1))
+    marked = iv.withColumn(
+        "ni", F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0)
+    )
+    islands = marked.withColumn(
+        "isl", F.sum("ni").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    run(
+        "interval_union_sweep",
+        islands.groupBy("u", "isl")
+        .agg((F.max("e") - F.min("s")).alias("cov"))
+        .groupBy("u")
+        .agg(F.sum("cov").alias("covered"), F.count("*").alias("n_islands")),
+    )
+
+    # 10. in-row EWMA fold: 50 events per key collected into a sorted
+    # array and folded JVM-side — the sequential-recurrence pattern at
+    # scale (one shuffle, no Python, state inside the row).
+    ew = spark.range(n_iv).select(
+        (F.col("id") % n_users).alias("u"),
+        F.col("id").alias("seq"),
+        ((F.col("id") % 211) * 1.5).alias("v"),
+    )
+    grouped = ew.groupBy("u").agg(
+        F.array_sort(F.collect_list(F.struct("seq", "v"))).alias("arr")
+    )
+    rest = F.slice(F.col("arr"), 2, F.greatest(F.size("arr") - 1, F.lit(0)))
+    fold = F.aggregate(
+        rest,
+        F.element_at(F.col("arr"), 1)["v"],
+        lambda acc, x: acc * F.lit(0.7) + x["v"] * F.lit(0.3),
+    )
+    run("ewma_inrow_fold", grouped.select("u", fold.alias("ewma")))
+
     print(
         json.dumps(
             {
