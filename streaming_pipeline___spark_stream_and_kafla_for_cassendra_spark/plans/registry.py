@@ -7930,6 +7930,129 @@ def group_by_all_except_census(spark, sf_dir):
     )
 
 
+@_register(
+    "mixture_temperature_weights",
+    """
+    WITH counts AS (
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(len(list_filter(string_split_regex(lower(text),
+                                                         '\\s+'),
+                                      x -> x <> ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    w AS (SELECT lang, n_docs, n_tokens,
+                 sqrt(CAST(n_tokens AS DOUBLE)) AS wt
+          FROM counts),
+    tot AS (
+      SELECT list_reduce(list(wt ORDER BY lang), (a, b) -> a + b) AS z
+      FROM w
+    )
+    SELECT lang, n_docs, n_tokens,
+           round(wt / z, 6) AS sample_weight,
+           round(wt / z * 100000, 4) AS expected_docs_per_100k
+    FROM w, tot
+    """,
+    "Temperature-based mixture reweighting (T=0.5, the multilingual-"
+    "corpus upsampling rule w_i ∝ p_i^0.5): per-language token counts "
+    "→ sqrt weights → normalized sampling shares. sqrt is correctly "
+    "rounded IEEE (unlike pow/exp), and the normalizer is computed as "
+    "an ORDERED in-row fold over the per-group weights — the "
+    "float-sum order is pinned on both engines, so a global "
+    "normalization over doubles still hash-matches bit-for-bit. "
+    "Group-cardinality data only after the first agg: scales with "
+    "#languages, not corpus size",
+    ("sampling", "mixture", "documents"),
+)
+def mixture_temperature_weights(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).alias("n_tokens"),
+    )
+    w = counts.withColumn("wt", F.sqrt(F.col("n_tokens").cast("double")))
+    # deterministic normalizer: fold the lang-sorted weight list
+    tot = w.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("lang", "wt"))),
+                lambda s: s["wt"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("z")
+    )
+    return w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("wt") / F.col("z"), 6).alias("sample_weight"),
+        F.round(F.col("wt") / F.col("z") * 100000, 4).alias(
+            "expected_docs_per_100k"
+        ),
+    )
+
+
+@_register(
+    "shard_manifest_documents",
+    """
+    WITH sized AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS r
+      FROM sized
+    ),
+    assigned AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN (r // 8) % 2 = 0 THEN r % 8
+                  ELSE 7 - (r % 8) END AS shard
+      FROM ranked
+    )
+    SELECT CAST(shard AS INT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(min(n_tokens) AS BIGINT) AS min_doc_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_doc_tokens
+    FROM assigned GROUP BY 1
+    """,
+    "Training-shard manifest: docs ranked by token count and dealt "
+    "into 8 shards in SNAKE order (even rank-blocks deal 0→7, odd "
+    "deal 7→0), the classic greedy balancer that keeps per-shard "
+    "token totals within one max-doc of each other — vs naive "
+    "round-robin which systematically overloads shard 0. Output is "
+    "the per-shard manifest (doc/token totals). The global "
+    "row_number is the oracle-parity formulation; at corpus scale "
+    "swap it for operators/scale.py::dense_ids (same ordering "
+    "contract, no single-task sort) and the shard arithmetic is "
+    "unchanged",
+    ("sampling", "sharding", "documents"),
+)
+def shard_manifest_documents(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    w = Window.orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
+    ranked = sized.withColumn("r", F.row_number().over(w) - 1)
+    shard = F.when(
+        (F.col("r") / 8).cast("long") % 2 == 0, F.col("r") % 8
+    ).otherwise(7 - (F.col("r") % 8))
+    return (
+        ranked.withColumn("shard", shard.cast("int"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_tokens").cast("long").alias("min_doc_tokens"),
+            F.max("n_tokens").cast("long").alias("max_doc_tokens"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
 # ---------------------------------------------------------------------------

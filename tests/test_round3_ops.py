@@ -150,3 +150,35 @@ def test_quality_ensemble_bounds_and_keep(spark):
     for r in rows:
         assert 0.0 < r["quality_score"] < 1.0
         assert r["keep"] == (r["quality_score"] >= 0.5)
+
+
+# ---------------------------------------------------------------------------
+# temperature mixture + shard manifest properties
+# ---------------------------------------------------------------------------
+
+def test_mixture_temperature_weights_normalized_and_flattened(spark):
+    rows = BY_NAME["mixture_temperature_weights"](spark, SF).collect()
+    assert rows
+    total = sum(r["sample_weight"] for r in rows)
+    assert abs(total - 1.0) < 1e-4
+    # T=0.5 flattens: every language's share of the sample is closer
+    # to uniform than its share of tokens (upsample tail, downsample head)
+    tok_total = sum(r["n_tokens"] for r in rows)
+    uniform = 1.0 / len(rows)
+    for r in rows:
+        p = r["n_tokens"] / tok_total
+        if abs(p - uniform) > 1e-9:
+            assert abs(r["sample_weight"] - uniform) < abs(p - uniform)
+
+
+def test_shard_manifest_balances_tokens(spark):
+    rows = BY_NAME["shard_manifest_documents"](spark, SF).collect()
+    assert len(rows) == 8
+    totals = [r["total_tokens"] for r in rows]
+    counts = [r["n_docs"] for r in rows]
+    assert sum(counts) == spark.read.parquet(f"{SF}/documents.parquet").count()
+    # snake dealing over size-sorted docs: shard totals stay within
+    # one max-document of each other
+    max_doc = max(r["max_doc_tokens"] for r in rows)
+    assert max(totals) - min(totals) <= max_doc
+    assert max(counts) - min(counts) <= 1
