@@ -223,3 +223,41 @@ def mixture_reweight(
         )
         .drop("_rate")
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    group_col: str | None = None,
+    salt: str = "prio-v1",
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via priority sampling
+    (Duffield/Lund/Thorup): each row draws a deterministic uniform
+    u ∈ (0, 1] from its key hash and competes with priority
+    q = weight / u; the top-``k`` priorities (per ``group_col`` if
+    given) are the sample. Inclusion probability is ∝ weight (heavy
+    rows draw proportionally more of the top slots), the estimator
+    family over the kept rows is unbiased, and — unlike weighted
+    ``rand()`` approaches — the same key + salt + weights reproduce
+    the same sample on every run, every retry, every engine.
+
+    Scan-local until the top-k (one window shuffle on the group key;
+    global top-k should feed a ``group_col`` bucketing or a two-phase
+    per-partition head at 100 TB).
+    """
+    h = F.conv(_bucket_hex(F.col(key_col), salt), 16, 10).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(_SPACE))
+    q = F.col(weight_col).cast("double") / u
+    parts = [group_col] if group_col else []
+    w = Window.partitionBy(*parts).orderBy(
+        F.desc(priority_col), F.col(key_col)
+    )
+    return (
+        df.withColumn(priority_col, q)
+        .withColumn("_prio_rn", F.row_number().over(w))
+        .filter(F.col("_prio_rn") <= k)
+        .drop("_prio_rn")
+    )

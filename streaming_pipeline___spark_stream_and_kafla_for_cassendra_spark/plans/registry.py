@@ -8053,6 +8053,57 @@ def shard_manifest_documents(spark, sf_dir):
     )
 
 
+@_register(
+    "priority_sample_documents",
+    """
+    WITH h AS (
+      SELECT lang, doc_id, n_chars,
+             ('0x' || substr(md5('prio-v1' || CAST(doc_id AS VARCHAR)),
+                             1, 8))::BIGINT AS hv
+      FROM documents
+    ),
+    q AS (
+      SELECT lang, doc_id, n_chars,
+             CAST(n_chars AS DOUBLE)
+               / (CAST(hv + 1 AS DOUBLE) / 4294967296.0) AS pri
+      FROM h
+    )
+    SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           round(pri, 4) AS priority
+    FROM (SELECT *, row_number() OVER (PARTITION BY lang
+                                       ORDER BY pri DESC, doc_id) AS rn
+          FROM q)
+    WHERE rn <= 5
+    """,
+    "Deterministic WEIGHTED sampling without replacement (priority "
+    "sampling, Duffield/Lund/Thorup): u = (md5-hash(key)+1)/2^32, "
+    "priority = weight/u, keep the per-language top-5 priorities. "
+    "Inclusion probability ∝ n_chars, yet the sample is a pure "
+    "function of (key, salt, weight) — task retries, reruns and the "
+    "DuckDB oracle all reproduce it exactly, which rand()-weighted "
+    "reservoir methods cannot promise. Complements the uniform "
+    "deterministic_sample / reservoir_per_group family",
+    ("sampling", "weighted", "documents"),
+)
+def priority_sample_documents(spark, sf_dir):
+    from ..operators.sampling import priority_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = priority_sample(
+        d.select("lang", "doc_id", "n_chars"),
+        key_col="doc_id",
+        weight_col="n_chars",
+        k=5,
+        group_col="lang",
+    )
+    return out.select(
+        "lang",
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round("priority", 4).alias("priority"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
 # ---------------------------------------------------------------------------

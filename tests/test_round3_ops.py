@@ -182,3 +182,31 @@ def test_shard_manifest_balances_tokens(spark):
     max_doc = max(r["max_doc_tokens"] for r in rows)
     assert max(totals) - min(totals) <= max_doc
     assert max(counts) - min(counts) <= 1
+
+
+# ---------------------------------------------------------------------------
+# priority sampling: deterministic, weight-proportional inclusion
+# ---------------------------------------------------------------------------
+
+def test_priority_sample_deterministic_and_weight_biased(spark):
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.sampling import (
+        priority_sample,
+    )
+
+    # 3 heavy keys (weight 100) among 30 light ones (weight 1)
+    rows = [(i, 100.0 if i < 3 else 1.0) for i in range(33)]
+    df = spark.createDataFrame(rows, ["k", "w"])
+
+    a = priority_sample(df, "k", "w", k=5, salt="s1").collect()
+    b = priority_sample(df, "k", "w", k=5, salt="s1").collect()
+    assert sorted(r["k"] for r in a) == sorted(r["k"] for r in b)
+
+    # across salts, heavy keys are picked far more often than light
+    heavy_hits = light_hits = 0
+    for salt in [f"salt{i}" for i in range(12)]:
+        kept = {r["k"] for r in priority_sample(df, "k", "w", k=5, salt=salt).collect()}
+        heavy_hits += sum(1 for k in kept if k < 3)
+        light_hits += sum(1 for k in kept if k >= 3)
+    # 3 heavy keys carry 300/330 of the weight: they should dominate
+    assert heavy_hits / (12 * 3) > 0.8          # heavy keys almost always in
+    assert light_hits / (12 * 30) < 0.15        # light keys rarely in
