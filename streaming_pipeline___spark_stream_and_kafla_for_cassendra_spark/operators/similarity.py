@@ -363,6 +363,162 @@ def lsh_topk(
     )
 
 
+def _train_spherical_quantizer(
+    candidates: DataFrame,
+    vec_col: str,
+    n_lists: int,
+    train_sample: int,
+    seed: int,
+):
+    """Seeded spherical k-means on a bounded sample (driver numpy —
+    the only driver-side work in the IVF family). Returns the
+    unit-norm centroid matrix; deterministic for fixed inputs."""
+    import numpy as np
+
+    sample = [
+        r[0] for r in candidates.select(vec_col).limit(train_sample).collect()
+    ]
+    train = np.asarray(sample, dtype=np.float64)
+    train /= np.maximum(np.linalg.norm(train, axis=1, keepdims=True), 1e-300)
+    rng = np.random.default_rng(seed)
+    n_lists = min(n_lists, len(train))
+    cent = train[rng.choice(len(train), size=n_lists, replace=False)]
+    for _ in range(10):  # fixed Lloyd iterations, deterministic
+        assign = np.argmax(train @ cent.T, axis=1)
+        for j in range(n_lists):
+            members = train[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                cent[j] = c / max(np.linalg.norm(c), 1e-300)
+    return cent
+
+
+def semantic_dedup(
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.92,
+    n_lists: int = 16,
+    train_sample: int = 4096,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column.
+
+    1. the corpus is partitioned by the IVF coarse quantizer (shared
+       :func:`_train_spherical_quantizer` — spherical k-means lists);
+    2. within each list, ids are visited ASCENDING and a vector is
+       dropped iff its cosine to an already-KEPT vector reaches
+       ``threshold`` — the greedy ε-net rule, deterministic because
+       the visit order is the id order, vectorized as one list-local
+       matmul per Arrow group.
+
+    Returns (id, list_id, keep, dup_of) where ``dup_of`` is the kept
+    representative that absorbed a dropped row (null for keepers).
+
+    Scale notes: candidate pairs exist only WITHIN a quantizer list
+    (the SemDeDup observation: semantic duplicates collide in
+    embedding-cluster space), so the O(m²) similarity check is
+    per-list, executor-local BLAS, never a corpus cross-join; the
+    shuffle carries each vector once, keyed by list. Near-boundary
+    pairs split across lists are the (documented) recall loss —
+    tighten with more Lloyd iterations or multi-probe assignment.
+    """
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    cent = _train_spherical_quantizer(
+        candidates, vec_col, n_lists, train_sample, seed
+    )
+    b_cent = candidates.sparkSession.sparkContext.broadcast(cent)
+    thr = float(threshold)
+
+    assigned_schema = StructType(
+        [
+            StructField("list_id", LongType()),
+            StructField("_id", LongType()),
+            StructField("_vec", ArrayType(DoubleType())),
+        ]
+    )
+
+    def assign_lists(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = b_cent.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
+            mat /= np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-300
+            )
+            yield pd.DataFrame(
+                {
+                    "list_id": np.argmax(mat @ C.T, axis=1).astype(np.int64),
+                    "_id": pdf["_id"].to_numpy(dtype=np.int64),
+                    "_vec": list(mat),
+                }
+            )
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("list_id", LongType()),
+            StructField("keep", BooleanType()),
+            StructField("dup_of", LongType()),
+        ]
+    )
+
+    def dedup_list(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("_id").reset_index(drop=True)
+        mat = np.stack(pdf["_vec"].to_numpy())
+        sims = mat @ mat.T
+        m = len(pdf)
+        keep = np.ones(m, dtype=bool)
+        dup_of = np.full(m, -1, dtype=np.int64)
+        kept: list[int] = []
+        for i in range(m):
+            if kept:
+                s = sims[i, kept]
+                j = int(np.argmax(s))
+                if s[j] >= thr:
+                    keep[i] = False
+                    dup_of[i] = kept[j]
+                    continue
+            kept.append(i)
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "list_id": pdf["list_id"].to_numpy(dtype=np.int64),
+                "keep": keep,
+                "dup_of": pd.array(
+                    [int(ids[d]) if d >= 0 else None for d in dup_of],
+                    dtype="Int64",
+                ),
+            }
+        )
+
+    assigned = (
+        candidates.select(
+            F.col(id_col).cast("long").alias("_id"),
+            _as_double(F.col(vec_col)).alias("_vec"),
+        )
+        .mapInPandas(assign_lists, schema=assigned_schema)
+    )
+    return assigned.groupBy("list_id").applyInPandas(dedup_list, out_schema)
+
+
 def ivf_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -393,8 +549,6 @@ def ivf_topk(
     unit sphere), per-list matmuls are executor-local, and recall is
     tunable with ``n_probe`` without re-indexing.
     """
-    import numpy as np
-
     from pyspark.sql.types import (
         ArrayType,
         DoubleType,
@@ -404,22 +558,10 @@ def ivf_topk(
     )
 
     # --- 1. train the coarse quantizer on a bounded sample ---------
-    sample = [
-        r[0]
-        for r in candidates.select(vec_col).limit(train_sample).collect()
-    ]
-    train = np.asarray(sample, dtype=np.float64)
-    train /= np.maximum(np.linalg.norm(train, axis=1, keepdims=True), 1e-300)
-    rng = np.random.default_rng(seed)
-    n_lists = min(n_lists, len(train))
-    cent = train[rng.choice(len(train), size=n_lists, replace=False)]
-    for _ in range(10):  # fixed Lloyd iterations, deterministic
-        assign = np.argmax(train @ cent.T, axis=1)
-        for j in range(n_lists):
-            members = train[assign == j]
-            if len(members):
-                c = members.sum(axis=0)
-                cent[j] = c / max(np.linalg.norm(c), 1e-300)
+    cent = _train_spherical_quantizer(
+        candidates, vec_col, n_lists, train_sample, seed
+    )
+    n_lists = len(cent)
     b_cent = candidates.sparkSession.sparkContext.broadcast(cent)
     n_probe = min(n_probe, n_lists)
 

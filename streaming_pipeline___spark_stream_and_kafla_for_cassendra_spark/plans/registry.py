@@ -8104,6 +8104,28 @@ def priority_sample_documents(spark, sf_dir):
     )
 
 
+@_register(
+    "semantic_dedup_embeddings",
+    None,  # the coarse quantizer is driver-side seeded k-means — not
+    # SQL-expressible; the greedy ε-net rule is property-tested on
+    # planted duplicate clusters in tests/test_round3_ops.py
+    "SemDeDup-style semantic deduplication: spherical-k-means lists "
+    "partition the corpus (same coarse quantizer as the IVF ANN "
+    "tier), then ids are visited ascending within each list and a "
+    "vector is dropped iff cosine >= 0.92 to an already-kept one "
+    "(greedy epsilon-net, deterministic). O(m^2) similarity only "
+    "WITHIN a list (executor-local BLAS), one shuffle keyed by "
+    "list_id — the embedding-space dedup pass a training pipeline "
+    "runs after exact/minhash text dedup",
+    ("dedup", "semantic", "embeddings"),
+)
+def semantic_dedup_embeddings(spark, sf_dir):
+    from ..operators.similarity import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, threshold=0.92)
+
+
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
 # ---------------------------------------------------------------------------

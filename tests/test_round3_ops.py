@@ -210,3 +210,49 @@ def test_priority_sample_deterministic_and_weight_biased(spark):
     # 3 heavy keys carry 300/330 of the weight: they should dominate
     assert heavy_hits / (12 * 3) > 0.8          # heavy keys almost always in
     assert light_hits / (12 * 30) < 0.15        # light keys rarely in
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup: planted duplicate clusters collapse to one keeper
+# ---------------------------------------------------------------------------
+
+def test_semantic_dedup_collapses_planted_clusters(spark):
+    import numpy as np
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    # 6 well-separated base directions; 4 near-copies of each
+    bases = []
+    for g in range(6):
+        b = rng.normal(size=24)
+        b /= np.linalg.norm(b)
+        bases.append(b)
+        for _ in range(4):
+            v = b + rng.normal(scale=0.01, size=24)
+            rows.append((vid, (v / np.linalg.norm(v)).tolist(), g))
+            vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = semantic_dedup(
+        df, threshold=0.95, n_lists=4, train_sample=1024, seed=1
+    ).collect()
+
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(by_id) == 24
+    kept = [r for r in out if r["keep"]]
+    # every planted group of 4 collapses to exactly one keeper
+    # (groups are far apart, copies are 0.999+ similar)
+    group_of = {i: i // 4 for i in range(24)}
+    kept_groups = [group_of[r["vec_id"]] for r in kept]
+    assert sorted(kept_groups) == list(range(6))
+    # dropped rows point at a keeper of their OWN group
+    for r in out:
+        if not r["keep"]:
+            assert r["dup_of"] is not None
+            assert group_of[r["dup_of"]] == group_of[r["vec_id"]]
+            assert by_id[r["dup_of"]]["keep"]
+            assert r["dup_of"] < r["vec_id"]  # ascending visit order
