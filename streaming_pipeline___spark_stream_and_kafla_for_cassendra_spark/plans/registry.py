@@ -8126,6 +8126,46 @@ def semantic_dedup_embeddings(spark, sf_dir):
     return semantic_dedup(e, threshold=0.92)
 
 
+@_register(
+    "streaming_anomaly_alerts",
+    None,  # alert emission depends on sequential per-key EW state —
+    # covered rows-only here; the recurrence itself is pinned by the
+    # planted-spike test in tests/test_stateful.py
+    "Streaming anomaly detection (stateful: per-key EWMA + "
+    "exponentially-weighted variance, West's recurrence): emits a "
+    "row ONLY when an event sits more than 4 EW-sigmas from its "
+    "key's expected value after a 5-event warm-up. The alerting "
+    "pattern the reference's console monitoring gestures at, as "
+    "bounded per-key state; chain the debounce operator downstream "
+    "for one-alert-per-incident",
+    ("streaming", "stateful", "anomaly", "events"),
+)
+def streaming_anomaly_alerts(spark, sf_dir):
+    import uuid
+
+    from ..sources.tables import load_events_stream
+    from ..streaming.stateful import anomaly_stream
+
+    stream = load_events_stream(spark, sf_dir)
+    out = anomaly_stream(stream, alpha=0.1, z=4.0, min_obs=5)
+    sink = f"stream_anom_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q, 120)
+    return spark.table(sink).select(
+        "user_id",
+        "ts",
+        F.round("value", 4).alias("value"),
+        F.round("expected", 4).alias("expected"),
+        F.round("deviation_sigmas", 4).alias("deviation_sigmas"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
 # ---------------------------------------------------------------------------

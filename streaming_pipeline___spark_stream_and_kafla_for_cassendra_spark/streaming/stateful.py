@@ -502,3 +502,105 @@ def ewma_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ANOMALY_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("expected", DoubleType()),
+        StructField("deviation_sigmas", DoubleType()),
+    ]
+)
+
+_ANOMALY_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("ewma", DoubleType()),
+        StructField("ewmvar", DoubleType()),
+    ]
+)
+
+
+def anomaly_stream(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    alpha: float = 0.1,
+    z: float = 4.0,
+    min_obs: int = 5,
+) -> DataFrame:
+    """Streaming anomaly detection: per-key EWMA + exponentially-
+    weighted variance (West's recurrence), emitting an alert row when
+    an event deviates more than ``z`` EW standard deviations from the
+    key's expected value — after a ``min_obs`` warm-up so the first
+    events of a key never alert off an unsettled baseline.
+
+    The monitoring twin of :func:`ewma_stream`: same (ts, id)
+    in-batch ordering, same two-scalar-ish state (count, mean,
+    variance) carried across micro-batches, append-mode output that
+    contains ONLY alerts — the alerting pattern the reference's
+    console-sink monitoring gestures at, with state instead of
+    eyeballs. Chain :func:`debounce` downstream for one alert per
+    incident. State is O(live keys); the only shuffle is the key
+    hash partition.
+    """
+    a, zz, warm = float(alpha), float(z), int(min_obs)
+
+    def fn(key, pdf_iter, state):
+        import math
+
+        import pandas as pd
+
+        user = key[0]
+        if state.exists:
+            n, ewma, ewmvar = state.get
+        else:
+            n, ewma, ewmvar = 0, 0.0, 0.0
+
+        out_ts, out_v, out_exp, out_dev = [], [], [], []
+        frames = [p for p in pdf_iter if not p.empty]
+        if frames:
+            pdf = pd.concat(frames).sort_values([ts_col, id_col])
+            ts_us = pdf[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+            vals = pdf[value_col].fillna(0.0).to_numpy()
+            for t, v in zip(ts_us, vals):
+                v = float(v)
+                if n == 0:
+                    ewma, ewmvar = v, 0.0
+                else:
+                    sd = math.sqrt(max(ewmvar, 0.0))
+                    if n >= warm and sd > 0.0 and abs(v - ewma) > zz * sd:
+                        out_ts.append(int(t))
+                        out_v.append(v)
+                        out_exp.append(ewma)
+                        out_dev.append(abs(v - ewma) / sd)
+                    d = v - ewma
+                    incr = a * d
+                    ewma += incr
+                    ewmvar = (1.0 - a) * (ewmvar + d * incr)
+                n += 1
+
+        state.update((n, float(ewma), float(ewmvar)))
+        if out_ts:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user] * len(out_ts),
+                    "ts": [pd.Timestamp(t, unit="us") for t in out_ts],
+                    "value": out_v,
+                    "expected": out_exp,
+                    "deviation_sigmas": out_dev,
+                }
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=ANOMALY_SCHEMA,
+        stateStructType=_ANOMALY_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -247,3 +247,55 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     # pruning is plan-level only; the answer equals the static filter
     assert joined.count() == fact.where(F.col("d") < 2).count()
+
+
+# ---------------------------------------------------------------------------
+# AQE skew-join split: the runtime half of the skew story
+# ---------------------------------------------------------------------------
+
+def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
+    """PLANS.md claims AQE's skew split complements salted_join —
+    assert it actually fires: a hot-key sort-merge join with lowered
+    skew thresholds must show skew=true in the final adaptive plan."""
+    fact_path = str(tmp_path / "skew_fact")
+    # 150k rows on ONE key + uniform tail over 1000 keys
+    (
+        spark.range(0, 200_000)
+        .withColumn(
+            "k",
+            F.when(F.col("id") < 150_000, F.lit(7)).otherwise(
+                F.col("id") % 1000
+            ),
+        )
+        .withColumn("payload", F.concat(F.lit("x" * 64), F.col("id")))
+        .write.parquet(fact_path)
+    )
+    dim_path = str(tmp_path / "skew_dim")
+    spark.range(0, 1000).withColumn("d", F.col("id") % 7).write.parquet(dim_path)
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.read.parquet(fact_path)
+        dim = spark.read.parquet(dim_path)
+        joined = fact.join(dim, fact["k"] == dim["id"])
+        # execute THIS DataFrame's plan (count() would spawn its own
+        # query execution and leave this one un-finalized)
+        assert len(joined.collect()) == 200_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan[:500]
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -357,3 +357,52 @@ def test_ewma_stream_state_carries_across_batches(spark, tmp_path):
     assert final[2] == (2, u2)
     # intermediate emission from batch 1 exists too (update mode)
     assert any(r.user_id == 1 and r.n_events == 2 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# streaming anomaly detection: planted spike alerts, steady series quiet
+# ---------------------------------------------------------------------------
+
+def test_anomaly_stream_flags_planted_spike_across_batches(spark, tmp_path):
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.streaming.stateful import (
+        anomaly_stream,
+    )
+
+    src = str(tmp_path / "anom_events")
+    # batch 1: user 1 steady-with-jitter warm-up (8 events);
+    #          user 2 steady, no anomalies ever
+    jitter = [10.0, 10.5, 9.5, 10.2, 9.8, 10.4, 9.6, 10.1]
+    _write_events(spark, src, [
+        (i, f"2024-01-01 10:{i:02d}:00", 1, v) for i, v in enumerate(jitter)
+    ] + [
+        (100 + i, f"2024-01-01 10:{i:02d}:30", 2, 5.0 + 0.1 * (i % 3))
+        for i in range(8)
+    ])
+    # batch 2: user 1 gets a 10x spike then returns to normal
+    _write_events(spark, src, [
+        (50, "2024-01-01 11:00:00", 1, 100.0),
+        (51, "2024-01-01 11:01:00", 1, 10.0),
+        (150, "2024-01-01 11:00:30", 2, 5.1),
+    ])
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = f"anom_{uuid.uuid4().hex[:8]}"
+    q = (
+        anomaly_stream(stream, alpha=0.1, z=4.0, min_obs=5)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    rows = spark.table(sink).collect()
+    # exactly the spike alerts — warm-up jitter and user 2 stay quiet
+    assert [(r.user_id, r.value) for r in rows] == [(1, 100.0)]
+    assert rows[0].deviation_sigmas > 4.0
+    assert abs(rows[0].expected - 10.0) < 1.0
