@@ -78,6 +78,12 @@ HEADLINE = [
     "bfs_nation_hops",
     "quality_ensemble_documents",
     "streaming_ewma_users",
+    "priority_sample_documents",
+    "shard_manifest_documents",
+    "semantic_dedup_embeddings",
+    "streaming_anomaly_alerts",
+    "mixture_temperature_weights",
+    "decimal_exact_revenue",
 ]
 
 

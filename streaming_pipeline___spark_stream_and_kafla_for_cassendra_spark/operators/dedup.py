@@ -293,6 +293,95 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via PREFIX FILTERING (AllPairs/
+    PPJoin): same results as :func:`ngram_jaccard_pairs`, far fewer
+    candidates.
+
+    Grams are globally ordered rarest-first (ascending document
+    frequency); a document of |d| grams indexes only its first
+    ``|d| - ceil(t·|d|) + 1`` grams. The prefix-filter theorem: two
+    sets with Jaccard ≥ t must overlap by ≥ ceil(t·|d|) grams on
+    each side, so their prefixes cannot be disjoint — joining prefix
+    against prefix loses no qualifying pair, while the frequent grams
+    (the quadratic-bucket offenders of the full inverted index) are
+    exactly the ones the ordering pushes OUT of prefixes. Candidates
+    are then verified exactly with one in-row ``array_intersect``
+    against the full sorted gram arrays.
+
+    Scale: the candidate join carries prefix-only (gram, id) longs;
+    df-ordering costs one extra #grams-sized aggregate + window. Wins
+    grow with the threshold (prefix length shrinks as 1-t) and with
+    corpus skew (stopword-ish grams leave every prefix).
+    """
+    from pyspark.sql import Window
+
+    grams = shingle_rows(df, id_col, text_col, shingle_n).localCheckpoint(
+        eager=False
+    )
+    dfreq = grams.groupBy("gram").agg(F.count("*").alias("gdf"))
+    sizes = grams.groupBy("_id").agg(F.count("*").alias("n_grams"))
+    w = Window.partitionBy("_id").orderBy("gdf", "gram")
+    ordered = (
+        grams.join(dfreq, "gram")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, "_id")
+    )
+    pref_len = (
+        F.col("n_grams")
+        - F.ceil(F.col("n_grams") * F.lit(threshold)).cast("int")
+        + 1
+    )
+    prefix = ordered.filter(F.col("rn") <= pref_len).select("_id", "gram")
+
+    cand = (
+        prefix.alias("pa")
+        .join(
+            prefix.alias("pb"),
+            on=[
+                F.col("pa.gram") == F.col("pb.gram"),
+                F.col("pa._id") < F.col("pb._id"),
+            ],
+        )
+        .select(F.col("pa._id").alias("id_a"), F.col("pb._id").alias("id_b"))
+        .distinct()
+    )
+
+    sets = grams.groupBy("_id").agg(
+        F.array_sort(F.collect_list("gram")).alias("gs"),
+        F.count("*").alias("n"),
+    )
+    joined = (
+        cand.join(
+            sets.select(
+                F.col("_id").alias("id_a"),
+                F.col("gs").alias("ga"),
+                F.col("n").alias("na"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col("_id").alias("id_b"),
+                F.col("gs").alias("gb"),
+                F.col("n").alias("nb"),
+            ),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect("ga", "gb"))
+    jac = inter / (F.col("na") + F.col("nb") - inter)
+    return joined.filter(jac >= F.lit(threshold)).select(
+        "id_a", "id_b", F.round(jac, 4).alias("jaccard")
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",

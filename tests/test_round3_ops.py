@@ -256,3 +256,28 @@ def test_semantic_dedup_collapses_planted_clusters(spark):
             assert group_of[r["dup_of"]] == group_of[r["vec_id"]]
             assert by_id[r["dup_of"]]["keep"]
             assert r["dup_of"] < r["vec_id"]  # ascending visit order
+
+
+# ---------------------------------------------------------------------------
+# prefix-filter Jaccard join: lossless vs full inverted index, fewer candidates
+# ---------------------------------------------------------------------------
+
+def test_prefix_filter_matches_inverted_index_and_prunes(spark):
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.dedup import (
+        jaccard_prefix_filter_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    for thr in (0.3, 0.5, 0.7):
+        full = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in ngram_jaccard_pairs(d, "text", "doc_id", 3, thr).collect()
+        }
+        pruned = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in jaccard_prefix_filter_pairs(
+                d, "text", "doc_id", 3, thr
+            ).collect()
+        }
+        assert pruned == full, f"threshold {thr}: lossy pruning"
