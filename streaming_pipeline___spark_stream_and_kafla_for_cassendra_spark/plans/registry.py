@@ -1420,6 +1420,40 @@ def ann_topk_bruteforce(spark, sf_dir):
 
 
 @_register(
+    "ann_topk_filtered",
+    """
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings WHERE vec_id % 100 = 0),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+          FROM embeddings WHERE label % 3 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.emb, c.emb) AS sim
+      FROM q, c WHERE c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, round(sim, 4) AS cosine_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+    "FILTERED vector search (the hybrid-search shape: metadata "
+    "predicate + ANN): the label filter applies to candidates "
+    "BEFORE scoring — pre-filtering, so every query returns exactly "
+    "k QUALIFIED neighbors (post-filtering an unfiltered top-k can "
+    "return fewer than k, or none). The predicate rides the normal "
+    "Catalyst pushdown into the candidate scan; scoring cost drops "
+    "with selectivity instead of growing a re-try loop",
+    ("similarity", "ann", "filtered", "embeddings"),
+)
+def ann_topk_filtered(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    cands = emb.filter(F.col("label") % 3 == 0)
+    return brute_force_topk(cands, queries_df, k=5)
+
+
+@_register(
     "ann_topk_lsh",
     None,  # approximate; recall vs brute force asserted in tests
     "Similarity search scale path: random-hyperplane LSH bucketing + "
