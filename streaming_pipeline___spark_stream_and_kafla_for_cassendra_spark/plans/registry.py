@@ -8243,6 +8243,132 @@ def jaccard_prefix_filter_pairs_q(spark, sf_dir):
     )
 
 
+@_register(
+    "snapshot_diff_orders",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 11 <> 0
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT coalesce(new.o_orderkey, old.o_orderkey) AS o_orderkey,
+           CASE
+             WHEN old.o_orderkey IS NOT NULL AND new.o_orderkey IS NOT NULL
+                  AND (old.o_totalprice IS DISTINCT FROM new.o_totalprice
+                       OR old.o_orderstatus IS DISTINCT FROM new.o_orderstatus)
+               THEN 'u'
+             WHEN new.o_orderkey IS NULL THEN 'd'
+             WHEN old.o_orderkey IS NULL THEN 'c'
+           END AS op,
+           old.o_totalprice  AS old_o_totalprice,
+           old.o_orderstatus AS old_o_orderstatus,
+           new.o_totalprice  AS new_o_totalprice,
+           new.o_orderstatus AS new_o_orderstatus
+    FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+       OR old.o_totalprice IS DISTINCT FROM new.o_totalprice
+       OR old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+    """,
+    "Snapshot diffing — CDC changelog DERIVATION (the inverse of the "
+    "reference's envelope decode): two deterministic snapshots of "
+    "orders (old drops keys %11=0; new drops %7=0 and bumps "
+    "totalprice by an exact +10.0 on keys %5=0) are full-outer "
+    "joined on the key and classified into the Debezium op taxonomy "
+    "c/u/d with null-safe tracked-column comparison; unchanged keys "
+    "emit nothing. One shuffle — the minimum for a diff; bucketed "
+    "snapshots make it zero-exchange at 100 TB",
+    ("cdc", "diff", "join"),
+)
+def snapshot_diff_orders(spark, sf_dir):
+    from ..operators.diff import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 10.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    return snapshot_diff(
+        old, new, keys=["o_orderkey"], tracked=["o_totalprice", "o_orderstatus"]
+    )
+
+
+@_register(
+    "pca_project_embeddings",
+    None,  # eigendecomposition is not SQL-expressible; verified vs numpy in tests
+    "Distributed PCA (one-pass covariance factorization): executors "
+    "emit O(d²) (n, Σx, XᵀX) partials per partition — independent of "
+    "row count — the driver eigensolves the 64×64 covariance "
+    "(microseconds), and projection is a broadcast GEMM per Arrow "
+    "batch with zero shuffle; eigenvector signs pinned "
+    "deterministically. Returns each vector's first two principal "
+    "components",
+    ("embeddings", "linalg", "pca", "pandas_udf"),
+)
+def pca_project_embeddings(spark, sf_dir):
+    from ..operators.linalg import pca_fit_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pca_fit_project(emb, id_col="vec_id", vec_col="embedding", k=2)
+
+
+@_register(
+    "streaming_join_view_orders",
+    """
+    SELECT o_custkey AS custkey, o_orderkey, o_totalprice,
+           c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    "Incrementally-maintained materialized JOIN view (delta-join IVM "
+    "— the join the reference never does, kept continuously): orders "
+    "and customer arrive as two tagged streams through ONE "
+    "foreachBatch; each micro-batch folds ΔL⋈R ∪ L⋈ΔR ∪ ΔL⋈ΔR into "
+    "an append-only lake view with batch-id-named idempotent writes "
+    "and a commit ledger, so the availableNow run's view equals the "
+    "batch inner join EXACTLY (DuckDB oracle), without ever "
+    "recomputing it",
+    ("streaming", "ivm", "join", "materialized-view"),
+)
+def streaming_join_view_orders(spark, sf_dir):
+    import tempfile
+
+    from ..sources.tables import load_table_stream
+    from ..streaming.ivm import JoinView, write_streams_to_join_view
+
+    left = load_table_stream(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    right = load_table_stream(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_name", "c_mktsegment"
+    )
+    base = tempfile.mkdtemp(prefix="ivm_orders_")
+    view = JoinView(path=os.path.join(base, "v"), on=("custkey",))
+    q = write_streams_to_join_view(
+        left,
+        right,
+        view,
+        checkpoint_root=os.path.join(base, "ck"),
+        available_now=True,
+    )
+    _await_stream(q, 300)
+    return view.read(spark).select(
+        "custkey", "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
 # ---------------------------------------------------------------------------

@@ -86,6 +86,26 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def load_table_stream(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    """File-stream twin of ``load_table`` for any fixture table —
+    ``readStream`` needs the schema up front, so probe the footer with
+    a batch read first. ``events`` goes through its ts-normalizing
+    loader instead."""
+    if name == "events":
+        return load_events_stream(spark, sf_dir)
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR
 ) -> dict[str, DataFrame]:
