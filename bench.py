@@ -97,6 +97,10 @@ def materialize(df) -> None:
 def main() -> None:
     by_name = {q.name: q for q in REGISTRY}
     spark = get_session("spark-graft-bench")
+    # keep stderr to genuine errors: a transiently-failed first run of a
+    # streaming query (retried below) otherwise dumps a scary WARN/INFO
+    # trace into the driver's captured tail
+    spark.sparkContext.setLogLevel("ERROR")
     # one warm-up pass so JVM/codegen startup doesn't skew query times
     warm = by_name["q01_pricing_summary"].builder(spark, SF_DIR)
     materialize(warm)

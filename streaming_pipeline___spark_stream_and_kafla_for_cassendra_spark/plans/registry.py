@@ -8307,6 +8307,176 @@ def snapshot_diff_orders(spark, sf_dir):
 
 
 @_register(
+    "bigram_surprisal_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    bi AS (
+      SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, len(w) - 1)) AS i
+            FROM toks WHERE len(w) >= 2)
+    ),
+    c1 AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS f1
+      FROM (SELECT unnest(w) AS tok FROM toks) GROUP BY 1
+    ),
+    v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c1),
+    c2 AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS f2 FROM bi GROUP BY 1, 2
+    ),
+    per_doc_type AS (
+      SELECT bi.doc_id, bi.w1, bi.w2,
+             CAST(count(*) AS BIGINT) AS m,
+             -log2((c2.f2 + 0.5) / (c1.f1 + 0.5 * v.v)) AS s
+      FROM bi
+      JOIN c2 ON c2.w1 = bi.w1 AND c2.w2 = bi.w2
+      JOIN c1 ON c1.tok = bi.w1
+      CROSS JOIN v
+      GROUP BY bi.doc_id, bi.w1, bi.w2, c2.f2, c1.f1, v.v
+    )
+    SELECT doc_id,
+           CAST(sum(m) AS BIGINT) AS n_bigrams,
+           round(sum(m * s) / sum(m), 4) + 0.0 AS avg_surprisal_bits,
+           round(max(s), 4) + 0.0 AS max_surprisal_bits
+    FROM per_doc_type GROUP BY doc_id
+    """,
+    "Bigram-LM surprisal per document (one step up from the unigram "
+    "filter toward the CCNet LM-perplexity gate): corpus-wide "
+    "add-half-smoothed P(w₂|w₁) from bigram/unigram counts, per-doc "
+    "mean/max −log₂p. Bigrams are extracted IN-ROW (transform over "
+    "the token array — zero shuffle for pair generation); per-doc "
+    "stats are weighted by per-doc bigram-type multiplicity so both "
+    "engines sum in the same shape. Conditional surprisal separates "
+    "locally-coherent text from bag-of-frequent-words spam that "
+    "fools the unigram score",
+    ("text", "quality", "documents", "lm"),
+)
+def bigram_surprisal_documents(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks_arr = d.select("doc_id", tokens(F.col("text")).alias("w")).filter(
+        F.size("w") >= 2
+    )
+    bi = toks_arr.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> struct(w[i-1] AS w1, w[i] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    uni = toks_arr.select(F.explode("w").alias("tok"))
+    c1 = uni.groupBy("tok").agg(F.count("*").alias("f1"))
+    v = c1.agg(F.count("*").alias("v"))
+    c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("f2"))
+    per_doc_type = (
+        bi.groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("m"))
+        .join(c2, ["w1", "w2"])
+        .join(
+            F.broadcast(c1.withColumnRenamed("tok", "w1")), "w1"
+        )
+        .crossJoin(F.broadcast(v))
+        .withColumn(
+            "s",
+            -F.log2(
+                (F.col("f2") + 0.5) / (F.col("f1") + 0.5 * F.col("v"))
+            ),
+        )
+    )
+    return per_doc_type.groupBy("doc_id").agg(
+        F.sum("m").alias("n_bigrams"),
+        (F.round(F.sum(F.col("m") * F.col("s")) / F.sum("m"), 4) + F.lit(0.0)).alias(
+            "avg_surprisal_bits"
+        ),
+        (F.round(F.max("s"), 4) + F.lit(0.0)).alias("max_surprisal_bits"),
+    )
+
+
+@_register(
+    "knn_classify_embeddings",
+    """
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id AS qid, a.label AS true_label,
+             b.vec_id AS nid, b.label AS nbr_label,
+             list_cosine_similarity(a.emb, b.emb) AS sim
+      FROM v a, v b WHERE a.vec_id <> b.vec_id
+    ),
+    top AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                                     ORDER BY sim DESC, nid) AS rnk
+        FROM scored
+      ) WHERE rnk <= 10
+    ),
+    tally AS (
+      SELECT qid, true_label, nbr_label,
+             CAST(count(*) AS BIGINT) AS votes
+      FROM top GROUP BY 1, 2, 3
+    )
+    SELECT qid AS vec_id, true_label,
+           nbr_label AS predicted_label,
+           true_label = nbr_label AS is_correct
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY votes DESC, nbr_label) AS pick
+      FROM tally
+    ) WHERE pick = 1
+    """,
+    "k-NN label classification over the embedding table (the "
+    "label-propagation / auto-labeling primitive): every vector is "
+    "classified by majority vote of its 10 exact-cosine nearest "
+    "neighbors (self excluded, ties sim-desc→id, vote ties "
+    "count-desc→label). Built on the same batched-GEMM top-k as the "
+    "ANN baseline — queries broadcast, shuffle carries k-sized "
+    "winners, never the N² score matrix",
+    ("similarity", "embeddings", "classify", "knn"),
+)
+def knn_classify_embeddings(spark, sf_dir):
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", "label")
+    nbrs = brute_force_topk(emb, emb, k=10)
+    votes = nbrs.join(
+        labels.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("nbr_label"),
+        ),
+        "neighbor_id",
+    )
+    tally = votes.groupBy("query_id", "nbr_label").agg(
+        F.count("*").alias("votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("nbr_label")
+    )
+    pred = (
+        tally.withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") == 1)
+        .select(
+            F.col("query_id").alias("vec_id"),
+            F.col("nbr_label").alias("predicted_label"),
+        )
+    )
+    return pred.join(labels, "vec_id").select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        "predicted_label",
+        (F.col("label") == F.col("predicted_label")).alias("is_correct"),
+    )
+
+
+@_register(
     "pca_project_embeddings",
     None,  # eigendecomposition is not SQL-expressible; verified vs numpy in tests
     "Distributed PCA (one-pass covariance factorization): executors "
