@@ -8306,6 +8306,151 @@ def snapshot_diff_orders(spark, sf_dir):
     )
 
 
+def _pretrain_funnel_oracle() -> str:
+    return f"""
+    WITH b2 AS (
+      SELECT doc_id, source, lang, text,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '')) AS n_tok
+      FROM documents
+    ),
+    s1 AS (SELECT * FROM b2 WHERE lang = 'en' AND source <> 'src0'),
+    s2 AS (
+      SELECT * FROM s1
+      WHERE n_tok >= 5
+        AND len(list_filter(toks, x -> list_contains({{stops}}, x))) * 1.0
+            / greatest(n_tok, 1) <= 0.5
+    ),
+    s3 AS (
+      SELECT * FROM s2
+      QUALIFY row_number() OVER (
+        PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+        ORDER BY doc_id) = 1
+    ),
+    g3 AS (
+      SELECT DISTINCT doc_id,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i
+            FROM s3)
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM g3 GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+      FROM g3 a JOIN g3 b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    drop4 AS (
+      SELECT DISTINCT ib AS doc_id
+      FROM pairs
+      JOIN cnt ca ON ca.doc_id = ia
+      JOIN cnt cb ON cb.doc_id = ib
+      WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+    ),
+    s4 AS (SELECT * FROM s3
+           WHERE doc_id NOT IN (SELECT doc_id FROM drop4)),
+    bench AS (
+      SELECT DISTINCT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+               || ' ' || toks[i+3] || ' ' || toks[i+4] AS g
+      FROM (SELECT toks,
+                   unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS i
+            FROM b2 WHERE source = 'src0')
+    ),
+    g5 AS (
+      SELECT DISTINCT doc_id,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+               || ' ' || toks[i+3] || ' ' || toks[i+4] AS g
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS i
+            FROM s4)
+    ),
+    drop5 AS (SELECT DISTINCT doc_id FROM g5 JOIN bench USING (g)),
+    s5 AS (SELECT * FROM s4
+           WHERE doc_id NOT IN (SELECT doc_id FROM drop5))
+    SELECT * FROM (
+      SELECT '0_all' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM b2
+      UNION ALL SELECT '1_lang', count(*), CAST(sum(n_tok) AS BIGINT) FROM s1
+      UNION ALL SELECT '2_quality', count(*), CAST(sum(n_tok) AS BIGINT) FROM s2
+      UNION ALL SELECT '3_exact_dedup', count(*), CAST(sum(n_tok) AS BIGINT) FROM s3
+      UNION ALL SELECT '4_near_dup', count(*), CAST(sum(n_tok) AS BIGINT) FROM s4
+      UNION ALL SELECT '5_decontaminated', count(*), CAST(sum(n_tok) AS BIGINT) FROM s5
+    )
+    """.replace("{stops}", _STOP_SQL)
+
+
+@_register(
+    "pretrain_funnel_report",
+    _pretrain_funnel_oracle(),
+    "THE end-to-end pretraining-corpus funnel, one query: language "
+    "gate → Gopher-style quality gate (≥5 tokens, stopword ratio "
+    "≤0.5) → exact dedup (normalized-md5, keep lowest id) → exact "
+    "3-gram-Jaccard near-dup removal (t=0.5, drop the larger id of "
+    "every qualifying pair) → benchmark decontamination (any shared "
+    "5-gram with the held-out source). Emits the per-stage doc/token "
+    "funnel the data-engineering report needs. Every stage reuses an "
+    "independently-oracle-checked operator; text never shuffles — "
+    "hashes and gram keys do",
+    ("text", "dedup", "pipeline", "training", "documents", "flagship"),
+)
+def pretrain_funnel_report(spark, sf_dir):
+    from ..functions.text import word_ngrams
+    from ..operators.dedup import ngram_jaccard_pairs as _njp
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        "text",
+        F.size(tokens("text")).alias("n_tok"),
+    )
+    s1 = base.filter((F.col("lang") == "en") & (F.col("source") != "src0"))
+    s2 = s1.filter(
+        (F.col("n_tok") >= 5) & (stopword_ratio("text") <= 0.5)
+    )
+    w = Window.partitionBy(content_fingerprint(F.col("text"))).orderBy(
+        "doc_id"
+    )
+    s3 = (
+        s2.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    pairs = _njp(s3, "text", "doc_id", shingle_n=3, threshold=0.5)
+    drop4 = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    s4 = s3.join(drop4, "doc_id", "left_anti")
+    bench = (
+        base.filter(F.col("source") == "src0")
+        .select(F.explode(word_ngrams(F.col("text"), 5)).alias("g"))
+        .distinct()
+    )
+    g5 = s4.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), 5)).alias("g")
+    )
+    drop5 = g5.join(bench, "g", "left_semi").select("doc_id").distinct()
+    s5 = s4.join(drop5, "doc_id", "left_anti")
+
+    def stage(df, name):
+        return df.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        ).select(F.lit(name).alias("stage"), "n_docs", "n_tokens")
+
+    out = stage(base, "0_all")
+    for df, name in [
+        (s1, "1_lang"),
+        (s2, "2_quality"),
+        (s3, "3_exact_dedup"),
+        (s4, "4_near_dup"),
+        (s5, "5_decontaminated"),
+    ]:
+        out = out.unionAll(stage(df, name))
+    return out
+
+
 @_register(
     "bigram_surprisal_documents",
     """
