@@ -8306,6 +8306,45 @@ def snapshot_diff_orders(spark, sf_dir):
     )
 
 
+@_register(
+    "bpe_merges_documents",
+    None,  # iterative argmax-per-round training is not SQL-expressible;
+    # exact-match vs a pure-python reference BPE in tests
+    "REAL BPE tokenizer training (Sennrich et al. 2016), distributed: "
+    "one corpus pass reduces to the word-frequency table (Heaps-law "
+    "sized, never corpus-sized), then each merge round is an in-row "
+    "adjacent-pair explode + weighted count (one #pairs-sized "
+    "shuffle) and an Arrow-batched merge application with zero "
+    "shuffle; ties broken (count desc, pair asc) so the merge "
+    "sequence is total-order deterministic. Returns the learned "
+    "merge table",
+    ("text", "bpe", "tokenizer", "training", "documents"),
+)
+def bpe_merges_documents(spark, sf_dir):
+    from ..functions.bpe import bpe_train, merges_df
+
+    d = _t(spark, sf_dir, "documents")
+    return merges_df(spark, bpe_train(d, "text", num_merges=25))
+
+
+@_register(
+    "bpe_token_counts_documents",
+    None,  # depends on the learned merges above (non-SQL training)
+    "Corpus tokenization with the corpus-trained BPE: broadcast the "
+    "learned merge ranks, apply greedy-by-rank merging per word in "
+    "one mapInPandas pass (zero shuffle). Returns per-doc BPE-token "
+    "and word counts — the real sequence-length accounting a "
+    "packing/sharding stage consumes",
+    ("text", "bpe", "tokenizer", "documents"),
+)
+def bpe_token_counts_documents(spark, sf_dir):
+    from ..functions.bpe import bpe_encode, bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_train(d, "text", num_merges=25)
+    return bpe_encode(d, merges, id_col="doc_id", text_col="text")
+
+
 def _pretrain_funnel_oracle() -> str:
     return f"""
     WITH b2 AS (
