@@ -8307,6 +8307,97 @@ def snapshot_diff_orders(spark, sf_dir):
 
 
 @_register(
+    "streaming_abandoned_views",
+    """
+    WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+    p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    mm AS (SELECT least((SELECT max(ts) FROM v),
+                        (SELECT max(ts) FROM p)) AS m),
+    vv AS (SELECT v.* FROM v, mm WHERE v.ts <= mm.m - INTERVAL 45 MINUTE)
+    SELECT vv.user_id AS user_id, vv.event_id AS view_id,
+           epoch_us(vv.ts) AS view_ts_us
+    FROM vv
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p
+      WHERE p.user_id = vv.user_id
+        AND p.ts >= vv.ts
+        AND p.ts <= vv.ts + INTERVAL 30 MINUTE
+    )
+    """,
+    "Streaming ABANDONMENT detection — the stream-stream LEFT OUTER "
+    "interval join's null path, oracle-checked: views with no "
+    "same-user purchase within 30 minutes emit (with nulls) only "
+    "when the joint watermark PROVES no match can arrive. Views are "
+    "cut 45 min before the joint horizon (watermark 10 min + window "
+    "30 min + margin) so every retained view's verdict is final, and "
+    "the availableNow run equals DuckDB's batch NOT EXISTS exactly — "
+    "eviction-timing semantics, not just join results",
+    ("streaming", "join", "outer", "events"),
+)
+def streaming_abandoned_views(spark, sf_dir):
+    import datetime
+    import uuid
+
+    from ..sources.tables import load_events_stream
+
+    ev = _t(spark, sf_dir, "events")
+    mm = ev.agg(
+        F.least(
+            F.max(F.when(F.col("event_type") == "view", F.col("ts"))),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+        ).alias("m")
+    ).collect()[0]["m"]
+    cutoff = mm - datetime.timedelta(minutes=45)
+
+    views = (
+        load_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "10 minutes")
+        .filter(F.col("view_ts") <= F.lit(cutoff))
+    )
+    purchases = (
+        load_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "leftOuter",
+    )
+    abandoned = joined.filter(F.col("purchase_id").isNull()).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        F.unix_micros("view_ts").alias("view_ts_us"),
+    )
+    sink = f"abandoned_{uuid.uuid4().hex[:8]}"
+    q = (
+        abandoned.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q, 300)
+    return spark.table(sink)
+
+
+@_register(
     "bpe_merges_documents",
     None,  # iterative argmax-per-round training is not SQL-expressible;
     # exact-match vs a pure-python reference BPE in tests
