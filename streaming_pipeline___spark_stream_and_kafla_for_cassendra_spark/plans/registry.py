@@ -8307,6 +8307,182 @@ def snapshot_diff_orders(spark, sf_dir):
 
 
 @_register(
+    "holt_forecast_users",
+    """
+    WITH seq AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id
+    ),
+    folded AS (
+      -- accumulator is a 2-list [level, trend], NOT a struct:
+      -- DuckDB's struct_pack lambda rebinds acc fields name-wise as
+      -- each field evaluates (let*-style), which corrupts any formula
+      -- reading an already-written field; list literals evaluate all
+      -- elements against the unmodified acc
+      SELECT user_id, len(vals) AS n,
+             list_reduce(
+               list_transform(vals, x -> [x::DOUBLE, 0.0::DOUBLE]),
+               (acc, x) -> [
+                 0.5::DOUBLE * x[1] + 0.5::DOUBLE * (acc[1] + acc[2]),
+                 0.3::DOUBLE * ((0.5::DOUBLE * x[1]
+                    + 0.5::DOUBLE * (acc[1] + acc[2])) - acc[1])
+                   + 0.7::DOUBLE * acc[2]
+               ]) AS st
+      FROM seq
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           round(st[1], 6) AS level,
+           round(st[2], 6) AS trend,
+           round(st[1] + st[2], 6) AS forecast_next
+    FROM folded
+    """,
+    "Holt double-exponential smoothing per user (level+trend, "
+    "α=0.5 β=0.3, b₀=0): a TWO-variable sequential recurrence as an "
+    "in-row STRUCT fold — array_sort + F.aggregate with a (l, b) "
+    "struct accumulator, the generalization of the scalar EWMA fold "
+    "to coupled state. One shuffle; the fold's arithmetic is written "
+    "in the identical op order as DuckDB's list_reduce so level, "
+    "trend AND the one-step forecast hash-match bit-for-bit. This is "
+    "the forecasting primitive the reference's dashboards lack",
+    ("timeseries", "recurrence", "forecast", "events"),
+)
+def holt_forecast_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("seq")
+    )
+    rest = F.slice(F.col("seq"), 2, F.greatest(F.size("seq") - 1, F.lit(0)))
+    init = F.struct(
+        F.element_at(F.col("seq"), 1)["value"].alias("l"),
+        F.lit(0.0).alias("b"),
+    )
+
+    def step(acc, x):
+        lp = F.lit(0.5) * x["value"] + F.lit(0.5) * (acc["l"] + acc["b"])
+        bp = F.lit(0.3) * (lp - acc["l"]) + F.lit(0.7) * acc["b"]
+        return F.struct(lp.alias("l"), bp.alias("b"))
+
+    st = F.aggregate(rest, init, step)
+    return seq.select(
+        "user_id",
+        F.size("seq").cast("long").alias("n_events"),
+        F.round(st["l"], 6).alias("level"),
+        F.round(st["b"], 6).alias("trend"),
+        F.round(st["l"] + st["b"], 6).alias("forecast_next"),
+    )
+
+
+@_register(
+    "woe_price_bins_lineitem",
+    """
+    WITH binned AS (
+      SELECT l_returnflag = 'R' AS bad,
+             ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+                             l_linenumber) AS bin
+      FROM lineitem
+    ),
+    per_bin AS (
+      SELECT bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(sum(n_bad) AS BIGINT) AS tot_bad,
+             CAST(sum(n - n_bad) AS BIGINT) AS tot_good
+      FROM per_bin
+    )
+    SELECT bin, n, n_bad,
+           round(ln((n_bad * 1.0 / tot_bad)
+                    / ((n - n_bad) * 1.0 / tot_good)), 4) + 0.0 AS woe,
+           round((n_bad * 1.0 / tot_bad - (n - n_bad) * 1.0 / tot_good)
+                 * ln((n_bad * 1.0 / tot_bad)
+                      / ((n - n_bad) * 1.0 / tot_good)), 6) + 0.0
+             AS iv_contrib
+    FROM per_bin CROSS JOIN tot
+    """,
+    "Weight-of-evidence / information-value feature binning (the "
+    "credit-scoring & feature-selection primitive): deterministic "
+    "decile bins over price (ntile with a total tie order), per-bin "
+    "bad-rate odds vs the corpus, ln-odds WOE and IV contribution. "
+    "One window pass + one tiny aggregate; the binned target join "
+    "is a broadcast of 2 totals",
+    ("feature", "binning", "agg", "lineitem"),
+)
+def woe_price_bins_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    binned = li.select(
+        (F.col("l_returnflag") == "R").alias("bad"),
+        F.ntile(10).over(w).alias("bin"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("bad"), 1).otherwise(0)).alias("n_bad"),
+    )
+    tot = per_bin.agg(
+        F.sum("n_bad").alias("tot_bad"),
+        F.sum(F.col("n") - F.col("n_bad")).alias("tot_good"),
+    )
+    bad_share = F.col("n_bad") * 1.0 / F.col("tot_bad")
+    good_share = (F.col("n") - F.col("n_bad")) * 1.0 / F.col("tot_good")
+    woe = F.log(bad_share / good_share)
+    return per_bin.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "n_bad",
+        (F.round(woe, 4) + F.lit(0.0)).alias("woe"),
+        (F.round((bad_share - good_share) * woe, 6) + F.lit(0.0)).alias(
+            "iv_contrib"
+        ),
+    )
+
+
+@_register(
+    "skew_diagnostics_lineitem",
+    """
+    WITH per_key AS (
+      SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(cnt) AS BIGINT) AS max_cnt,
+           CAST(min(cnt) AS BIGINT) AS min_cnt,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           floor(max(cnt) * 10000.0 / sum(cnt)) / 10000.0
+             AS max_key_share,
+           CAST(ceil(max(cnt) * count(*) * 1.0 / sum(cnt)) AS BIGINT)
+             AS recommended_salt
+    FROM per_key
+    """,
+    "Shuffle-skew diagnostics for a join/agg key — the pre-flight "
+    "check before the salted-join / AQE-skew levers in "
+    "pkg/operators/scale.py: per-key counts in one aggregate, then "
+    "hottest-key share and the salt factor (max/avg ratio, ceil) "
+    "that would level it. Integer-exact except the floor-stabilized "
+    "share",
+    ("scale", "skew", "diagnostics", "lineitem"),
+)
+def skew_diagnostics_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_suppkey").agg(F.count("*").alias("cnt"))
+    return per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.min("cnt").alias("min_cnt"),
+        F.sum("cnt").alias("n_rows"),
+        (
+            F.floor(F.max("cnt") * 10000.0 / F.sum("cnt")) / 10000.0
+        ).alias("max_key_share"),
+        F.ceil(F.max("cnt") * F.count("*") * 1.0 / F.sum("cnt"))
+        .cast("long")
+        .alias("recommended_salt"),
+    )
+
+
+@_register(
     "streaming_abandoned_views",
     """
     WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
