@@ -29,18 +29,26 @@ def asof_join(
     right_ts: str,
     right_cols: list[str] | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward (inclusive) as-of join.
+    """Inclusive as-of join, backward (default) or forward.
 
-    For every left row, attach the right row with the greatest
-    ``right_ts`` ≤ ``left_ts`` within the same ``on`` key group.
-    Equivalent of DuckDB/pandas ``ASOF LEFT JOIN``.
+    ``direction="backward"``: for every left row, attach the right row
+    with the greatest ``right_ts`` ≤ ``left_ts`` within the same
+    ``on`` key group — equivalent of DuckDB/pandas ``ASOF LEFT JOIN``.
+    ``direction="forward"``: smallest ``right_ts`` ≥ ``left_ts`` (the
+    "next reading at or after" enrichment, e.g. first quote published
+    after an order).
 
     Implementation: tag both sides, union by key, then a single
     partition-sorted window pass carrying the last-seen right row
     forward (``last(..., ignorenulls=True)``). Right rows sort before
-    left rows at identical timestamps so "at or before" is inclusive.
+    left rows at identical timestamps so the match is inclusive; the
+    forward variant just flips the time sort. Either direction costs
+    one shuffle + one sort — never a range cross-join.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in keys and c != right_ts]
@@ -65,9 +73,12 @@ def asof_join(
         *[c for c in left.columns if c not in keys],
     )
     unioned = r.unionByName(l)
+    ts_order = (
+        F.col("_asof_ts").asc() if direction == "backward" else F.col("_asof_ts").desc()
+    )
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("_asof_ts").asc(), F.col("_side").asc())
+        .orderBy(ts_order, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = unioned.withColumn(
@@ -121,6 +132,61 @@ def range_join(
         .filter(
             (F.col(point_col) >= F.col(start_col))
             & (F.col(point_col) <= F.col(end_col))
+        )
+        .drop("_bucket")
+    )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval × interval overlap join without an equi-key.
+
+    Matches every (L, R) pair with ``L.start ≤ R.end AND
+    R.start ≤ L.end`` (closed-interval overlap). The naive plan is a
+    BroadcastNestedLoopJoin over the bare theta condition —
+    O(|L|·|R|). Here BOTH sides explode into the coarse time buckets
+    they cover and meet in a hash equi-join on bucket id; the exact
+    overlap predicate filters inside the join.
+
+    An overlapping pair shares every bucket in the overlap region, so
+    naive bucketing would emit duplicates. Each pair is emitted
+    exactly once by keeping only the FIRST shared bucket — the bucket
+    containing ``greatest(L.start, R.start)``, which both sides cover
+    by definition — so no post-join distinct (a full extra shuffle at
+    scale) is needed. Cost is O((|L|+|R|)·w/bucket + matches); AQE
+    skew splitting absorbs hot buckets.
+    """
+    epoch = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
+
+    def explode_side(df, start, end):
+        return df.withColumn(
+            "_bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(epoch(start) / bucket_seconds),
+                    F.floor(epoch(end) / bucket_seconds),
+                )
+            ),
+        )
+
+    lb = explode_side(left, left_start, left_end)
+    rb = explode_side(right, right_start, right_end)
+    first_shared = F.floor(
+        F.greatest(epoch(left_start), epoch(right_start)) / bucket_seconds
+    )
+    return (
+        lb.join(rb, "_bucket")
+        .filter(
+            (F.col(left_start) <= F.col(right_end))
+            & (F.col(right_start) <= F.col(left_end))
+            & (F.col("_bucket") == first_shared)
         )
         .drop("_bucket")
     )

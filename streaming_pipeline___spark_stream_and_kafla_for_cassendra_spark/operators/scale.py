@@ -237,3 +237,92 @@ def pruned_read(
     if not keep:
         return spark.read.parquet(path).where(F.lit(False))
     return spark.read.parquet(*keep).where(pred)
+
+
+def _bloom_positions(col: str, k: int, m: int):
+    """k hash positions in [0, m) for a value, via xxhash64 with k
+    seeds — pure codegen expressions, no UDF."""
+    return [
+        F.pmod(F.xxhash64(F.col(col), F.lit(seed)), F.lit(m)) for seed in range(k)
+    ]
+
+
+def build_bloom_file_index(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    bits: int = 1 << 16,
+    hashes: int = 5,
+) -> DataFrame:
+    """Per-file Bloom-filter index for EQUALITY lookups on a
+    high-cardinality key — the complement of ``collect_file_stats``
+    (min/max ranges skip poorly when every file spans the key
+    domain, e.g. unsorted user_id).
+
+    One scan: each row sets ``hashes`` bit positions (xxhash64 with
+    k seeds → pmod bits), positions group into 64-bit words, and
+    ``bit_or(1 << offset)`` folds each word per (file, word index).
+    The index is one row per non-empty word per file — metadata-
+    sized, the same shape Parquet's own optional bloom filters or a
+    lake format's puffin/deletion-vector sidecars take. Entirely
+    JVM-side codegen: no UDFs, no driver loops over data.
+    """
+    df = spark.read.parquet(path).select(
+        F.input_file_name().alias("file"), F.col(col)
+    )
+    pos = F.explode(F.array(*_bloom_positions(col, hashes, bits))).alias("pos")
+    words = df.select("file", pos).select(
+        "file",
+        (F.col("pos") / 64).cast("long").alias("word"),
+        F.expr("shiftleft(1L, cast(pos % 64 AS INT))").alias("bit"),
+    )
+    return words.groupBy("file", "word").agg(F.bit_or("bit").alias("bits"))
+
+
+def bloom_lookup_read(
+    spark: SparkSession,
+    path: str,
+    index: DataFrame,
+    col: str,
+    value,
+    bits: int = 1 << 16,
+    hashes: int = 5,
+) -> DataFrame:
+    """Point-lookup read that opens ONLY files whose Bloom filter
+    matches ``value`` on ALL ``hashes`` positions.
+
+    The probe computes the value's k (word, bit) pairs driver-side
+    (k scalars), semi-joins them against the metadata-sized index,
+    and keeps files where all k bits are set. False positives cost
+    an extra file open (the exact predicate re-filters after the
+    scan, so results never change); false negatives cannot happen.
+    ``bits``/``hashes`` must match the build call.
+    """
+    probe = spark.range(1).select(F.lit(value).alias(col))
+    pairs = probe.select(
+        F.array(*_bloom_positions(col, hashes, bits)).alias("ps")
+    ).select(F.explode("ps").alias("pos")).select(
+        (F.col("pos") / 64).cast("long").alias("word"),
+        F.expr("shiftleft(1L, cast(pos % 64 AS INT))").alias("bit"),
+    ).collect()
+    hits = index
+    # a file qualifies iff every probed (word, bit) is present: count
+    # matching index rows per file == number of DISTINCT probed words
+    # (several bits can share a word — OR them before matching)
+    want: dict[int, int] = {}
+    for r in pairs:
+        want[r["word"]] = want.get(r["word"], 0) | r["bit"]
+    match = None
+    for w, b in want.items():
+        m = (F.col("word") == F.lit(w)) & (F.col("bits").bitwiseAND(F.lit(b)) == F.lit(b))
+        match = m if match is None else (match | m)
+    qualified = (
+        hits.filter(match)
+        .groupBy("file")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") == F.lit(len(want)))
+    )
+    keep = [r["file"] for r in qualified.select("file").collect()]
+    if not keep:
+        return spark.read.parquet(path).where(F.lit(False))
+    return spark.read.parquet(*keep).where(F.col(col) == F.lit(value))

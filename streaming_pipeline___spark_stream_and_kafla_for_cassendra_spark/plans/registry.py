@@ -8990,6 +8990,11 @@ def streaming_join_view_orders(spark, sf_dir):
     )
 
 
+# Round-2 additions register themselves on import (must precede the
+# accessors' first call; the import sits here so every helper above is
+# already defined when registry2 pulls them in).
+from . import registry2  # noqa: E402,F401  isort:skip
+
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,693 @@
+"""Round-2 registry additions — time-series statistics, weighted
+order statistics, categorical independence testing, ML feature prep,
+entity-resolution survivorship, collocation mining, and the
+interval/forward join family.
+
+Same contract as ``registry.py``: every query is a DataFrame builder
+paired with a DuckDB oracle (column names, types, and float rounding
+aligned). Imported at the bottom of ``registry.py`` so the public
+``queries()`` / ``oracle_sql()`` accessors see these automatically.
+
+Determinism notes (same discipline as registry.py):
+* per-group float sums are rounded BEFORE any further arithmetic so
+  both engines continue from identical doubles;
+* series-level folds (ACF) run left-to-right over day-sorted arrays
+  (``F.aggregate`` ↔ ``list_reduce``) so float summation order is
+  pinned cross-engine;
+* every derived double is emitted through one deterministic
+  expression over integers or pinned doubles, then
+  ``floor(x*1e6+0.5)/1e6`` (or round4) stabilized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..operators.joins import asof_join, interval_overlap_join
+from .registry import _register, _t
+
+
+def _r6(col):
+    return F.floor(col * 1000000 + F.lit(0.5)) / F.lit(1000000.0)
+
+
+# ---------------------------------------------------------------------------
+# Time-series statistics
+# ---------------------------------------------------------------------------
+
+@_register(
+    "acf_daily_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             round(sum(o_totalprice), 4) AS rev
+      FROM orders GROUP BY 1
+    ),
+    s AS (SELECT list(rev ORDER BY day) AS arr FROM daily),
+    m AS (
+      SELECT arr, len(arr) AS n,
+             list_reduce(arr, (a, x) -> a + x) / len(arr) AS mu
+      FROM s
+    )
+    SELECT CAST(lag AS INTEGER) AS lag,
+           CAST(n AS INTEGER) AS n_days,
+           floor(
+             list_reduce(
+               list_transform(range(1, n - lag + 1),
+                              i -> (arr[i] - mu) * (arr[i + lag] - mu)),
+               (a, b) -> a + b)
+             / list_reduce(
+               list_transform(range(1, n + 1),
+                              i -> (arr[i] - mu) * (arr[i] - mu)),
+               (a, b) -> a + b)
+             * 1000000 + 0.5) / 1000000.0 AS acf
+    FROM m, (SELECT unnest(range(1, 8)) AS lag)
+    """,
+    "Autocorrelation function (lags 1-7) of the daily revenue series: "
+    "fact rows collapse to a days-sized rollup in ONE aggregate, then "
+    "the whole ACF computes inside a single row via index-based "
+    "higher-order folds over the day-sorted array — left-to-right "
+    "summation pinned cross-engine, no per-lag self-joins. At 100 TB "
+    "the series length is #days, so the fold side is O(1) regardless "
+    "of corpus size",
+    ("timeseries", "agg", "hof", "orders"),
+)
+def acf_daily_revenue(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 4).alias("rev")
+    )
+    one = daily.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "rev"))), lambda s: s["rev"]
+        ).alias("arr")
+    )
+    arr = F.col("arr")
+    n = F.size(arr)
+    mu = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x) / n
+    lagged = one.select(
+        arr.alias("arr"),
+        n.alias("n"),
+        mu.alias("mu"),
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("lag"),
+    )
+    num = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.col("n") - F.col("lag")),
+            lambda i: (F.element_at(arr, i) - F.col("mu"))
+            * (F.element_at(arr, i + F.col("lag")) - F.col("mu")),
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    den = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.col("n")),
+            lambda i: (F.element_at(arr, i) - F.col("mu"))
+            * (F.element_at(arr, i) - F.col("mu")),
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return lagged.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("int").alias("n_days"),
+        _r6(num / den).alias("acf"),
+    )
+
+
+@_register(
+    "cusum_changepoint_daily_events",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ),
+    c AS (
+      SELECT day, n_events,
+             sum(n_events) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - row_number() OVER (ORDER BY day)
+                 * (sum(n_events) OVER () / (count(*) OVER () * 1.0)) AS raw
+      FROM daily
+    )
+    SELECT day, n_events,
+           floor(raw * 1000000 + 0.5) / 1000000.0 AS cusum,
+           abs(raw) = max(abs(raw)) OVER () AS is_changepoint
+    FROM c
+    """,
+    "CUSUM changepoint screen over the daily event-count series: "
+    "running sum of deviations from the global mean rate, flagging "
+    "the day of maximum |drift|. Every value derives from integer "
+    "counts through one float expression, so both engines agree "
+    "bit-for-bit including the argmax flag. The windowed part runs "
+    "over the #days-sized rollup, never fact rows",
+    ("timeseries", "window", "quality", "events"),
+)
+def cusum_changepoint_daily_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n_events")
+    )
+    run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full = Window.partitionBy()
+    raw = (
+        F.sum("n_events").over(run)
+        - F.row_number().over(Window.orderBy("day"))
+        * (F.sum("n_events").over(full) / (F.count("*").over(full) * F.lit(1.0)))
+    )
+    c = daily.select("day", "n_events", raw.alias("raw"))
+    return c.select(
+        "day",
+        "n_events",
+        _r6(F.col("raw")).alias("cusum"),
+        (F.abs("raw") == F.max(F.abs("raw")).over(Window.partitionBy())).alias(
+            "is_changepoint"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted order statistics
+# ---------------------------------------------------------------------------
+
+@_register(
+    "weighted_median_price_by_brand",
+    """
+    WITH g AS (
+      SELECT p_brand, l_extendedprice AS price,
+             sum(l_quantity) AS wt
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT p_brand, price, wt,
+             sum(wt) OVER (PARTITION BY p_brand ORDER BY price
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(wt) OVER (PARTITION BY p_brand) AS tot
+      FROM g
+    )
+    SELECT p_brand,
+           min(CASE WHEN cum >= tot / 2 THEN price END) AS weighted_median_price,
+           CAST(max(tot) AS BIGINT) AS total_weight
+    FROM c GROUP BY 1
+    """,
+    "Quantity-weighted median price per brand: per-(brand, price) "
+    "weight rollup first (so the windowed pass runs over distinct "
+    "prices, not fact rows), then a cumulative-weight window picks "
+    "the first price covering half the total weight. Weights are "
+    "integer-valued quantity sums — exact in both engines. One fact "
+    "shuffle + one bounded window; the generalization of exact "
+    "median to weighted distributions",
+    ("agg", "window", "percentile", "lineitem", "part"),
+)
+def weighted_median_price_by_brand(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    g = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", F.col("l_extendedprice").alias("price"))
+        .agg(F.sum("l_quantity").alias("wt"))
+    )
+    cum_w = (
+        Window.partitionBy("p_brand")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = g.select(
+        "p_brand",
+        "price",
+        "wt",
+        F.sum("wt").over(cum_w).alias("cum"),
+        F.sum("wt").over(Window.partitionBy("p_brand")).alias("tot"),
+    )
+    return c.groupBy("p_brand").agg(
+        F.min(F.when(F.col("cum") >= F.col("tot") / 2, F.col("price"))).alias(
+            "weighted_median_price"
+        ),
+        F.max("tot").cast("long").alias("total_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Categorical independence testing
+# ---------------------------------------------------------------------------
+
+@_register(
+    "chi_square_type_daypart",
+    """
+    WITH cells AS (
+      SELECT event_type,
+             CASE WHEN hour(ts) < 6 THEN 'night'
+                  WHEN hour(ts) < 12 THEN 'morning'
+                  WHEN hour(ts) < 18 THEN 'afternoon'
+                  ELSE 'evening' END AS daypart,
+             CAST(count(*) AS BIGINT) AS observed
+      FROM events GROUP BY 1, 2
+    ),
+    e AS (
+      SELECT *,
+             sum(observed) OVER (PARTITION BY event_type) * 1.0
+               * sum(observed) OVER (PARTITION BY daypart)
+               / sum(observed) OVER () AS expected
+      FROM cells
+    )
+    SELECT event_type, daypart, observed,
+           round(expected, 4) AS expected,
+           floor((observed - expected) * (observed - expected) / expected
+                 * 1000000 + 0.5) / 1000000.0 AS chi2_contrib
+    FROM e
+    """,
+    "Chi-square independence test of event_type × daypart: the "
+    "contingency table is one fact-keyed aggregate (cells ≤ "
+    "#types × 4); marginals and expected counts come from windows "
+    "over that tiny table. Per-cell contributions sum to the chi² "
+    "statistic; every float derives from integer counts, so both "
+    "engines agree exactly. The categorical-drift sibling of the PSI "
+    "monitor",
+    ("agg", "stats", "quality", "events"),
+)
+def chi_square_type_daypart(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    daypart = (
+        F.when(F.hour("ts") < 6, "night")
+        .when(F.hour("ts") < 12, "morning")
+        .when(F.hour("ts") < 18, "afternoon")
+        .otherwise("evening")
+    )
+    cells = e.groupBy("event_type", daypart.alias("daypart")).agg(
+        F.count("*").alias("observed")
+    )
+    expected = (
+        F.sum("observed").over(Window.partitionBy("event_type")) * F.lit(1.0)
+        * F.sum("observed").over(Window.partitionBy("daypart"))
+        / F.sum("observed").over(Window.partitionBy())
+    )
+    ce = cells.withColumn("expected_raw", expected)
+    diff = F.col("observed") - F.col("expected_raw")
+    return ce.select(
+        "event_type",
+        "daypart",
+        "observed",
+        F.round("expected_raw", 4).alias("expected"),
+        _r6(diff * diff / F.col("expected_raw")).alias("chi2_contrib"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ML feature preparation
+# ---------------------------------------------------------------------------
+
+@_register(
+    "target_encode_loo_brand",
+    """
+    WITH g AS (
+      SELECT p_brand AS brand,
+             CAST(count(*) AS BIGINT) AS cnt,
+             round(sum(l_extendedprice), 4) AS sum4
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1
+    )
+    SELECT l_orderkey, l_linenumber, brand,
+           CASE WHEN cnt > 1
+                THEN round((sum4 - l_extendedprice) / (cnt - 1), 4)
+           END AS loo_price_mean
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    JOIN g ON p_brand = brand
+    """,
+    "Leave-one-out target encoding of brand by mean extended price: "
+    "the leakage-safe categorical encoder ((group_sum − own) / "
+    "(n − 1)). Group sums are rounded once, so the per-row arithmetic "
+    "continues from identical doubles in both engines. One grouped "
+    "aggregate (cardinality = #brands) broadcast back over the fact "
+    "scan — the fact table shuffles zero times",
+    ("ml-prep", "encoding", "lineitem", "part"),
+)
+def target_encode_loo_brand(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    fact = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_orderkey", "l_linenumber", F.col("p_brand").alias("brand"),
+        "l_extendedprice",
+    )
+    g = fact.groupBy("brand").agg(
+        F.count("*").alias("cnt"), F.round(F.sum("l_extendedprice"), 4).alias("sum4")
+    )
+    enc = F.when(
+        F.col("cnt") > 1,
+        F.round((F.col("sum4") - F.col("l_extendedprice")) / (F.col("cnt") - 1), 4),
+    )
+    return fact.join(F.broadcast(g), "brand").select(
+        "l_orderkey", "l_linenumber", "brand", enc.alias("loo_price_mean")
+    )
+
+
+@_register(
+    "impute_median_by_type_events",
+    """
+    WITH masked AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 17 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v, event_type) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS cnt
+      FROM masked WHERE v IS NOT NULL
+    ),
+    med AS (
+      SELECT event_type, v AS median_v
+      FROM ranked WHERE rn = (cnt + 1) // 2
+    )
+    SELECT event_id, m.event_type,
+           m.v IS NULL AS was_imputed,
+           round(coalesce(m.v, median_v), 4) AS value_filled
+    FROM masked m JOIN med ON m.event_type = med.event_type
+    """,
+    "Missing-value imputation with the per-group exact lower median: "
+    "values are deterministically masked (event_id % 17) to simulate "
+    "nulls, the per-type median is picked by a rank window over "
+    "non-null rows (deterministic tie order), and the tiny medians "
+    "table broadcasts back over the scan. The data-cleaning stage of "
+    "a feature pipeline; at 100 TB swap the exact rank for the KLL "
+    "sketch quantile the engine also ships",
+    ("ml-prep", "quality", "window", "events"),
+)
+def impute_median_by_type_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    masked = e.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 17 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    nn = masked.filter(F.col("v").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("v", "event_type")
+    ranked = nn.select(
+        "event_type",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("cnt"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.floor((F.col("cnt") + 1) / 2)
+    ).select("event_type", F.col("v").alias("median_v"))
+    return masked.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        F.col("v").isNull().alias("was_imputed"),
+        F.round(F.coalesce("v", "median_v"), 4).alias("value_filled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Entity-resolution survivorship (golden record)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "golden_record_customers",
+    """
+    WITH tagged AS (
+      SELECT *, c_custkey % 500 AS entity_id FROM customer
+    ),
+    best AS (
+      SELECT entity_id, c_name AS golden_name, c_acctbal AS golden_acctbal
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY entity_id
+                 ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+        FROM tagged
+      ) WHERE rn = 1
+    ),
+    seg AS (
+      SELECT entity_id, c_mktsegment AS top_segment
+      FROM (
+        SELECT entity_id, c_mktsegment,
+               row_number() OVER (PARTITION BY entity_id
+                 ORDER BY count(*) DESC, c_mktsegment) AS rn
+        FROM tagged GROUP BY entity_id, c_mktsegment
+      ) WHERE rn = 1
+    ),
+    stats AS (
+      SELECT entity_id, CAST(count(*) AS BIGINT) AS n_records,
+             round(sum(c_acctbal), 4) AS total_acctbal
+      FROM tagged GROUP BY 1
+    )
+    SELECT s.entity_id, golden_name, golden_acctbal, n_records,
+           total_acctbal, top_segment
+    FROM stats s JOIN best USING (entity_id) JOIN seg USING (entity_id)
+    """,
+    "Golden-record survivorship merge: duplicate customer records "
+    "(entity = custkey % 500) collapse to one canonical row — "
+    "best-balance row wins name/balance (deterministic tie order), "
+    "the modal market segment wins (tie → smallest), plus per-entity "
+    "record count and balance total. All three passes share ONE hash "
+    "partitioning on entity_id; the final join touches entity-sized "
+    "tables only. The survivorship stage that completes the "
+    "blocking → scoring → merge entity-resolution pipeline",
+    ("entity-resolution", "window", "agg", "customer"),
+)
+def golden_record_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    tagged = c.withColumn("entity_id", F.col("c_custkey") % 500)
+    w = Window.partitionBy("entity_id").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").desc()
+    )
+    best = (
+        tagged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "entity_id",
+            F.col("c_name").alias("golden_name"),
+            F.col("c_acctbal").alias("golden_acctbal"),
+        )
+    )
+    seg_counts = tagged.groupBy("entity_id", "c_mktsegment").count()
+    ws = Window.partitionBy("entity_id").orderBy(
+        F.col("count").desc(), F.col("c_mktsegment")
+    )
+    seg = (
+        seg_counts.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") == 1)
+        .select("entity_id", F.col("c_mktsegment").alias("top_segment"))
+    )
+    stats = tagged.groupBy("entity_id").agg(
+        F.count("*").alias("n_records"),
+        F.round(F.sum("c_acctbal"), 4).alias("total_acctbal"),
+    )
+    return (
+        stats.join(best, "entity_id")
+        .join(seg, "entity_id")
+        .select(
+            "entity_id", "golden_name", "golden_acctbal", "n_records",
+            "total_acctbal", "top_segment",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining (PMI)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "pmi_bigrams_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    uni AS (
+      SELECT unnest(t) AS w FROM toks
+    ),
+    ucnt AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c_w FROM uni GROUP BY 1
+    ),
+    bi AS (
+      SELECT unnest(list_transform(range(1, len(t)),
+                    i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS b
+      FROM toks WHERE len(t) >= 2
+    ),
+    bcnt AS (
+      SELECT b.w1 AS w1, b.w2 AS w2, CAST(count(*) AS BIGINT) AS c_xy
+      FROM bi GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n FROM bcnt)
+    SELECT w1, w2, c_xy,
+           floor(ln(c_xy * 1.0 * n / (u1.c_w * u2.c_w)) * 1000000 + 0.5)
+             / 1000000.0 AS pmi
+    FROM bcnt, tot
+    JOIN ucnt u1 ON w1 = u1.w
+    JOIN ucnt u2 ON w2 = u2.w
+    WHERE c_xy >= 5
+    """,
+    "PMI collocation mining over adjacent token pairs: bigrams are "
+    "extracted IN-ROW via an index higher-order transform (the "
+    "token-sized explode never shuffles raw shingles), counted with "
+    "map-side combine, and joined to the unigram vocabulary — "
+    "vocabulary-sized tables, not corpus-sized. PMI derives from "
+    "integer counts through one ln() expression; support floor ≥5 "
+    "keeps the output the interesting collocations",
+    ("text", "nlp", "agg", "documents"),
+)
+def pmi_bigrams_documents(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.filter(
+            F.split(F.lower("text"), r"\s+"), lambda x: x != ""
+        ).alias("t")
+    )
+    uni = toks.select(F.explode("t").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count("*").alias("c_w"))
+    bi = toks.filter(F.size("t") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("t"), i).alias("w1"),
+                    F.element_at(F.col("t"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b")
+    )
+    bcnt = bi.groupBy(
+        F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    ).agg(F.count("*").alias("c_xy"))
+    tot = bcnt.agg(F.sum("c_xy").alias("n"))
+    u1 = ucnt.select(F.col("w").alias("w1"), F.col("c_w").alias("c_w1"))
+    u2 = ucnt.select(F.col("w").alias("w2"), F.col("c_w").alias("c_w2"))
+    pmi = F.log(
+        F.col("c_xy") * F.lit(1.0) * F.col("n") / (F.col("c_w1") * F.col("c_w2"))
+    )
+    return (
+        bcnt.filter(F.col("c_xy") >= 5)
+        .crossJoin(F.broadcast(tot))
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .select("w1", "w2", "c_xy", _r6(pmi).alias("pmi"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join (time-to-conversion)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "asof_forward_time_to_purchase",
+    """
+    SELECT v.event_id, v.user_id, v.ts AS view_ts,
+           p.ts AS next_purchase_ts,
+           CASE WHEN p.ts IS NULL THEN NULL
+                ELSE CAST(date_diff('second', v.ts, p.ts) AS BIGINT)
+           END AS secs_to_purchase
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+    ASOF LEFT JOIN
+         (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id AND v.ts <= p.ts
+    """,
+    "Forward as-of join — every view matched to the user's NEXT "
+    "purchase at or after it (time-to-conversion). Same union+window "
+    "single-shuffle plan as the backward as-of (operators/joins.py::"
+    "asof_join direction='forward'), never a range cross-join; the "
+    "oracle is DuckDB's native forward ASOF. Completes the as-of "
+    "family the reference's FK schema gestures at (SURVEY §2.4 J1)",
+    ("join", "asof", "events", "timeseries"),
+)
+def asof_forward_time_to_purchase(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    j = asof_join(
+        views,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=[],
+        direction="forward",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("ts_right").alias("next_purchase_ts"),
+        F.when(
+            F.col("ts_right").isNotNull(),
+            F.col("ts_right").cast("timestamp").cast("long")
+            - F.col("ts").cast("timestamp").cast("long"),
+        ).alias("secs_to_purchase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval × interval overlap join
+# ---------------------------------------------------------------------------
+
+@_register(
+    "interval_overlap_user_incidents",
+    """
+    WITH sess AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             min(ts) AS s, max(ts) AS e
+      FROM events GROUP BY 1, 2
+    ),
+    hourly AS (
+      SELECT date_trunc('hour', ts) AS h, round(sum(value), 4) AS hv
+      FROM events GROUP BY 1
+    ),
+    inc AS (
+      SELECT h AS h_start, h + INTERVAL 3599 SECOND AS h_end
+      FROM (
+        SELECT h, row_number() OVER (ORDER BY hv DESC, h) AS rn FROM hourly
+      ) WHERE rn <= 20
+    )
+    SELECT user_id, day, h_start AS incident_hour,
+           CAST(date_diff('second',
+                          greatest(s, h_start),
+                          least(e, h_end)) AS BIGINT) AS overlap_seconds
+    FROM sess JOIN inc
+      ON s <= h_end AND h_start <= e
+    """,
+    "Interval × interval overlap join: per-user daily activity spans "
+    "[min ts, max ts] × the top-20 high-value incident hours. Runs "
+    "through operators/joins.py::interval_overlap_join — both sides "
+    "explode into hour buckets, meet in a hash equi-join, and each "
+    "pair is emitted exactly once from the bucket containing "
+    "greatest(starts) (no post-join distinct). The oracle is the "
+    "plain theta join, which at 100 TB would be a nested-loop "
+    "non-starter",
+    ("join", "range", "interval", "events"),
+)
+def interval_overlap_user_incidents(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    sess = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.round(F.sum("value"), 4).alias("hv")
+    )
+    inc = (
+        hourly.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.col("hv").desc(), F.col("h")))
+        )
+        .filter(F.col("rn") <= 20)
+        .select(
+            F.col("h").alias("h_start"),
+            (F.col("h").cast("long") + 3599).cast("timestamp").alias("h_end"),
+        )
+    )
+    j = interval_overlap_join(sess, inc, "s", "e", "h_start", "h_end")
+    return j.select(
+        "user_id",
+        "day",
+        F.col("h_start").alias("incident_hour"),
+        (
+            F.least("e", "h_end").cast("long")
+            - F.greatest("s", "h_start").cast("long")
+        ).alias("overlap_seconds"),
+    )

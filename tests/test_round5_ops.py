@@ -1,0 +1,169 @@
+"""Round-5 operator tests: forward as-of join and the interval ×
+interval overlap join (bucketized theta-join rewrite)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+from pyspark.sql import functions as F
+
+from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.joins import (
+    asof_join,
+    interval_overlap_join,
+)
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_forward_inclusive(spark):
+    left = spark.createDataFrame(
+        [("a", _ts("2024-01-01 10:00:00")), ("a", _ts("2024-01-01 12:00:00")),
+         ("b", _ts("2024-01-01 09:00:00"))],
+        "k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("a", _ts("2024-01-01 10:00:00"), 1.0),   # equal ts → inclusive match
+         ("a", _ts("2024-01-01 11:00:00"), 2.0),
+         ("b", _ts("2024-01-01 08:00:00"), 3.0)],  # before left → no forward match
+        "k string, ts timestamp, v double",
+    )
+    rows = {
+        (r["k"], r["ts"]): (r["ts_right"], r["v_right"])
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts", direction="forward"
+        ).collect()
+    }
+    assert rows[("a", _ts("2024-01-01 10:00:00"))] == (_ts("2024-01-01 10:00:00"), 1.0)
+    assert rows[("a", _ts("2024-01-01 12:00:00"))] == (None, None)
+    assert rows[("b", _ts("2024-01-01 09:00:00"))] == (None, None)
+
+
+def test_asof_forward_matches_naive_min_over_candidates(spark):
+    rng = random.Random(7)
+    base = dt.datetime(2024, 3, 1)
+    left = [
+        (f"k{rng.randrange(5)}", base + dt.timedelta(seconds=rng.randrange(10000)))
+        for _ in range(300)
+    ]
+    right = [
+        (f"k{rng.randrange(5)}", base + dt.timedelta(seconds=rng.randrange(10000)),
+         float(i))
+        for i in range(200)
+    ]
+    ldf = spark.createDataFrame(left, "k string, ts timestamp").withColumn(
+        "lid", F.monotonically_increasing_id()
+    )
+    rdf = spark.createDataFrame(right, "k string, ts timestamp, v double")
+    got = {
+        r["lid"]: r["ts_right"]
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_ts="ts", direction="forward"
+        ).collect()
+    }
+    naive = (
+        ldf.join(rdf.withColumnRenamed("ts", "rts"), "k")
+        .filter(F.col("rts") >= F.col("ts"))
+        .groupBy("lid")
+        .agg(F.min("rts").alias("want"))
+        .collect()
+    )
+    want = {r["lid"]: r["want"] for r in naive}
+    for r in ldf.collect():
+        assert got[r["lid"]] == want.get(r["lid"]), r["lid"]
+
+
+def test_interval_overlap_join_matches_naive_theta(spark):
+    rng = random.Random(11)
+    base = dt.datetime(2024, 5, 1)
+
+    def mk_intervals(n, max_width):
+        out = []
+        for i in range(n):
+            s = base + dt.timedelta(seconds=rng.randrange(200000))
+            e = s + dt.timedelta(seconds=rng.randrange(max_width))
+            out.append((i, s, e))
+        return out
+
+    left = spark.createDataFrame(
+        mk_intervals(250, 20000), "lid int, ls timestamp, le timestamp"
+    )
+    right = spark.createDataFrame(
+        mk_intervals(180, 8000), "rid int, rs timestamp, re timestamp"
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bucket_seconds=3600
+        ).collect()
+    )
+    want = sorted(
+        (r["lid"], r["rid"])
+        for r in left.join(
+            right,
+            (F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le")),
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+    # exactly-once emission: no duplicates even though overlapping pairs
+    # share many hour buckets
+    assert len(got) == len(set(got))
+
+
+def test_interval_overlap_join_touching_endpoints_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00"))],
+        "lid int, ls timestamp, le timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 11:00:00"), _ts("2024-01-01 12:00:00")),   # touches end
+         (2, _ts("2024-01-01 09:00:00"), _ts("2024-01-01 10:00:00")),   # touches start
+         (3, _ts("2024-01-01 12:00:01"), _ts("2024-01-01 13:00:00"))],  # disjoint
+        "rid int, rs timestamp, re timestamp",
+    )
+    got = sorted(
+        r["rid"]
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bucket_seconds=1800
+        ).collect()
+    )
+    assert got == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter file index (equality-lookup data skipping)
+# ---------------------------------------------------------------------------
+
+def test_bloom_file_index_point_lookup_skips_files_and_matches_full_scan(
+    spark, tmp_path
+):
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.scale import (
+        bloom_lookup_read,
+        build_bloom_file_index,
+    )
+
+    path = str(tmp_path / "bloomfacts")
+    # key clustered into files (hash-partitioned writes cluster keys
+    # naturally); every file spans the FULL numeric range, so min/max
+    # stats cannot skip anything — exactly the case blooms exist for
+    df = spark.range(0, 50_000).withColumn("key", F.concat(F.lit("u"), F.col("id")))
+    df.repartition(10, "key").write.parquet(path)
+
+    idx = build_bloom_file_index(spark, path, "key").localCheckpoint()
+    n_files = len(spark.read.parquet(path).inputFiles())
+    assert n_files == 10
+
+    for probe in ["u123", "u40000", "u7"]:
+        got = bloom_lookup_read(spark, path, idx, "key", probe)
+        # the key lives in exactly one file; a few false-positive
+        # files are allowed, but far fewer than the full table
+        assert 0 < len(got.inputFiles()) < n_files
+        rows = got.collect()
+        assert len(rows) == 1 and rows[0]["key"] == probe
+
+    # absent key: no false negatives possible, result must be empty
+    missing = bloom_lookup_read(spark, path, idx, "key", "u99999999")
+    assert missing.count() == 0
+    assert set(missing.columns) == {"id", "key"}
