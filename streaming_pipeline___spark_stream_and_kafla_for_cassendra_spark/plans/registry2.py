@@ -691,3 +691,386 @@ def interval_overlap_user_incidents(spark, sf_dir):
             - F.greatest("s", "h_start").cast("long")
         ).alias("overlap_seconds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample distribution testing (exact KS)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "ks_statistic_value_by_type",
+    """
+    WITH vals AS (
+      SELECT event_type, value, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    base AS (SELECT value, c AS c_v FROM vals WHERE event_type = 'view'),
+    others AS (
+      SELECT event_type, value, c AS c_t FROM vals WHERE event_type <> 'view'
+    ),
+    types AS (SELECT DISTINCT event_type FROM others),
+    merged AS (
+      SELECT event_type, value, c_t, CAST(0 AS BIGINT) AS c_v FROM others
+      UNION ALL
+      SELECT t.event_type, b.value, CAST(0 AS BIGINT), b.c_v
+      FROM types t CROSS JOIN base b
+    ),
+    grouped AS (
+      SELECT event_type, value,
+             CAST(sum(c_t) AS BIGINT) AS c_t,
+             CAST(sum(c_v) AS BIGINT) AS c_v
+      FROM merged GROUP BY 1, 2
+    ),
+    cums AS (
+      SELECT event_type,
+             sum(c_t) OVER (PARTITION BY event_type ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_t,
+             sum(c_v) OVER (PARTITION BY event_type ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_v,
+             sum(c_t) OVER (PARTITION BY event_type) AS n_t,
+             sum(c_v) OVER (PARTITION BY event_type) AS n_v
+      FROM grouped
+    )
+    SELECT event_type,
+           CAST(max(n_t) AS BIGINT) AS n_sample,
+           CAST(max(n_v) AS BIGINT) AS n_baseline,
+           floor(max(abs(cum_t * 1.0 / n_t - cum_v * 1.0 / n_v))
+                 * 1000000 + 0.5) / 1000000.0 AS ks_stat
+    FROM cums GROUP BY 1
+    """,
+    "Exact two-sample Kolmogorov-Smirnov statistic of each event "
+    "type's value distribution against the 'view' baseline: samples "
+    "collapse to per-(type, value) counts first (the windowed ECDF "
+    "pass runs over distinct values, not raw rows), the baseline "
+    "replicates once per comparison type, and D = max |ECDF gap| "
+    "falls out of one partitioned window. Integer counts → identical "
+    "doubles in both engines. The exact-test sibling of the binned "
+    "PSI monitor",
+    ("stats", "window", "quality", "events"),
+)
+def ks_statistic_value_by_type(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    vals = e.groupBy("event_type", "value").agg(F.count("*").alias("c"))
+    base = vals.filter(F.col("event_type") == "view").select(
+        "value", F.col("c").alias("c_v")
+    )
+    others = vals.filter(F.col("event_type") != "view").select(
+        "event_type", "value", F.col("c").alias("c_t")
+    )
+    types = others.select("event_type").distinct()
+    merged = others.withColumn("c_v", F.lit(0).cast("long")).unionByName(
+        F.broadcast(types)
+        .crossJoin(base)
+        .select("event_type", "value", F.lit(0).cast("long").alias("c_t"), "c_v")
+    )
+    grouped = merged.groupBy("event_type", "value").agg(
+        F.sum("c_t").alias("c_t"), F.sum("c_v").alias("c_v")
+    )
+    run = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    part = Window.partitionBy("event_type")
+    cums = grouped.select(
+        "event_type",
+        F.sum("c_t").over(run).alias("cum_t"),
+        F.sum("c_v").over(run).alias("cum_v"),
+        F.sum("c_t").over(part).alias("n_t"),
+        F.sum("c_v").over(part).alias("n_v"),
+    )
+    gap = F.abs(
+        F.col("cum_t") * F.lit(1.0) / F.col("n_t")
+        - F.col("cum_v") * F.lit(1.0) / F.col("n_v")
+    )
+    return cums.groupBy("event_type").agg(
+        F.max("n_t").cast("long").alias("n_sample"),
+        F.max("n_v").cast("long").alias("n_baseline"),
+        _r6(F.max(gap)).alias("ks_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling technical bands (integer-cent arithmetic, segment-tree safe)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "bollinger_daily_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(floor(round(sum(o_totalprice), 4) * 100 + 0.5) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ),
+    roll AS (
+      SELECT day, cents,
+             count(*) OVER w AS n,
+             sum(cents) OVER w AS s,
+             sum(cents * cents) OVER w AS q
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day,
+           cents / 100.0 AS revenue,
+           CAST(n AS INTEGER) AS n_window,
+           floor(s / (100.0 * n) * 1000000 + 0.5) / 1000000.0 AS ma7,
+           CASE WHEN n > 1 THEN floor(
+             sqrt((q / 10000.0 - (s / 100.0) * (s / 100.0) / n) / (n - 1))
+             * 1000000 + 0.5) / 1000000.0 END AS sd7,
+           CASE WHEN n > 1 THEN
+             abs(cents / 100.0 - s / (100.0 * n)) >
+               2 * sqrt((q / 10000.0 - (s / 100.0) * (s / 100.0) / n) / (n - 1))
+           ELSE FALSE END AS outside_band
+    FROM roll
+    """,
+    "Bollinger bands over the daily revenue series: 7-day rolling "
+    "mean and sample stddev plus a ±2σ breakout flag. Daily revenue "
+    "converts to INTEGER cents before the sliding sums, so the "
+    "rolling window is exact under ANY summation order — immune to "
+    "the segment-tree vs running-buffer difference between engines' "
+    "sliding-frame implementations. Windowed pass runs over the "
+    "#days-sized rollup only",
+    ("timeseries", "window", "orders"),
+)
+def bollinger_daily_revenue(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.floor(F.round(F.sum("o_totalprice"), 4) * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    roll = daily.select(
+        "day",
+        "cents",
+        F.count("*").over(w).alias("n"),
+        F.sum("cents").over(w).alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("q"),
+    )
+    mean = F.col("s") / (F.lit(100.0) * F.col("n"))
+    var = (
+        F.col("q") / F.lit(10000.0)
+        - (F.col("s") / 100.0) * (F.col("s") / 100.0) / F.col("n")
+    ) / (F.col("n") - 1)
+    sd = F.sqrt(var)
+    return roll.select(
+        "day",
+        (F.col("cents") / F.lit(100.0)).alias("revenue"),
+        F.col("n").cast("int").alias("n_window"),
+        _r6(mean).alias("ma7"),
+        F.when(F.col("n") > 1, _r6(sd)).alias("sd7"),
+        F.when(
+            F.col("n") > 1,
+            F.abs(F.col("cents") / F.lit(100.0) - mean) > 2 * sd,
+        )
+        .otherwise(F.lit(False))
+        .alias("outside_band"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Marketing attribution (chained as-of joins with channel priority)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "attribution_last_touch",
+    """
+    SELECT p.event_id, p.user_id,
+           CASE WHEN c.ts IS NOT NULL THEN 'click'
+                WHEN v.ts IS NOT NULL THEN 'view'
+                ELSE 'direct' END AS channel,
+           coalesce(c.ts, v.ts) AS attributed_ts,
+           CASE WHEN coalesce(c.ts, v.ts) IS NOT NULL THEN
+             CAST(date_diff('second', coalesce(c.ts, v.ts), p.ts) AS BIGINT)
+           END AS secs_since_touch
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                    WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                    WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    "Last-touch marketing attribution: each purchase credits the "
+    "user's most recent prior click, falling back to the most recent "
+    "prior view, else 'direct'. Two chained backward as-of joins "
+    "(union+window single-shuffle plans — the second reuses the same "
+    "user_id partitioning), then a priority CASE. The composition "
+    "pattern for multi-tier as-of enrichment",
+    ("join", "asof", "attribution", "events"),
+)
+def attribution_last_touch(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts")
+    step1 = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=[], suffix="_click",
+    )
+    step2 = asof_join(
+        step1, views, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=[], suffix="_view",
+    )
+    attributed = F.coalesce("ts_click", "ts_view")
+    return step2.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("ts_click").isNotNull(), "click")
+        .when(F.col("ts_view").isNotNull(), "view")
+        .otherwise("direct")
+        .alias("channel"),
+        attributed.alias("attributed_ts"),
+        F.when(
+            attributed.isNotNull(),
+            F.col("ts").cast("timestamp").cast("long")
+            - attributed.cast("timestamp").cast("long"),
+        ).alias("secs_since_touch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram (quantile binning)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "equi_depth_histogram_events",
+    """
+    WITH ranked AS (
+      SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS bucket
+      FROM events
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(value) AS lo,
+           max(value) AS hi
+    FROM ranked GROUP BY 1
+    """,
+    "Equi-depth (quantile) histogram of event values: ntile(10) over "
+    "a deterministic total order (value, event_id tiebreak) gives "
+    "ten equal-population buckets with their observed [lo, hi] "
+    "bounds — the histogram a cost-based optimizer keeps for skewed "
+    "columns, complementing the fixed-width histogram the registry "
+    "already has. Global-order window noted: at 100 TB swap ntile "
+    "for the KLL sketch boundaries, same output contract",
+    ("agg", "window", "histogram", "events"),
+)
+def equi_depth_histogram_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    ranked = e.select(
+        "value",
+        F.ntile(10).over(Window.orderBy("value", "event_id")).alias("bucket"),
+    )
+    return ranked.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph: local clustering coefficient
+# ---------------------------------------------------------------------------
+
+@_register(
+    "clustering_coefficient_nations",
+    """
+    WITH trade AS (
+      SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS a,
+                      greatest(c.c_nationkey, s.s_nationkey) AS b
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT a AS node FROM trade UNION ALL SELECT b FROM trade
+      ) GROUP BY 1
+    ),
+    tris AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM trade e1
+      JOIN trade e2 ON e1.b = e2.a
+      JOIN trade e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    node_tri AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        SELECT x AS node FROM tris
+        UNION ALL SELECT y FROM tris
+        UNION ALL SELECT z FROM tris
+      ) GROUP BY 1
+    )
+    SELECT d.node AS nationkey, d.degree,
+           coalesce(t.n_triangles, 0) AS n_triangles,
+           CASE WHEN d.degree > 1 THEN
+             floor(2.0 * coalesce(t.n_triangles, 0)
+                   / (d.degree * (d.degree - 1)) * 1000000 + 0.5) / 1000000.0
+           ELSE 0.0 END AS clustering_coeff
+    FROM deg d LEFT JOIN node_tri t ON d.node = t.node
+    """,
+    "Local clustering coefficient per nation on the trade graph "
+    "(same canonical a<b edge set as the triangle counter): each "
+    "triangle from the ordered 3-way self-join credits its three "
+    "corners, coefficient = 2·T(v) / (deg(v)·(deg(v)−1)). Degrees "
+    "and per-node triangle counts are node-sized aggregates; floats "
+    "derive from integer counts only. Completes the graph suite "
+    "(pagerank, components, BFS, k-core, triangles → coefficients)",
+    ("graph", "join", "agg"),
+)
+def clustering_coefficient_nations(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    trade = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .filter(c["c_nationkey"] != s["s_nationkey"])
+        .select(
+            F.least(c["c_nationkey"], s["s_nationkey"]).alias("a"),
+            F.greatest(c["c_nationkey"], s["s_nationkey"]).alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        trade.select(F.col("a").alias("node"))
+        .unionAll(trade.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    e1, e2, e3 = trade.alias("e1"), trade.alias("e2"), trade.alias("e3")
+    tris = e1.join(e2, F.col("e1.b") == F.col("e2.a")).join(
+        e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b"))
+    ).select(
+        F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+    )
+    node_tri = (
+        tris.select(F.col("x").alias("node"))
+        .unionAll(tris.select(F.col("y").alias("node")))
+        .unionAll(tris.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    joined = deg.join(node_tri, "node", "left").select(
+        F.col("node").alias("nationkey"),
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+    )
+    coeff = F.when(
+        F.col("degree") > 1,
+        _r6(
+            F.lit(2.0)
+            * F.col("n_triangles")
+            / (F.col("degree") * (F.col("degree") - 1))
+        ),
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "nationkey", "degree", "n_triangles", coeff.alias("clustering_coeff")
+    )
