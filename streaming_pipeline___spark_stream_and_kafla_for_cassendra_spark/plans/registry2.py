@@ -1074,3 +1074,63 @@ def clustering_coefficient_nations(spark, sf_dir):
     return joined.select(
         "nationkey", "degree", "n_triangles", coeff.alias("clustering_coeff")
     )
+
+
+# ---------------------------------------------------------------------------
+# Materialized-view rewrite (summary-table acceleration, plans/mv.py)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "mv_rewrite_daily_value_stats",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(value), 2) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           floor(round(sum(value), 2) / count(*) * 1000000 + 0.5)
+             / 1000000.0 AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+    "Summary-table acceleration proved sound end-to-end: an HOURLY "
+    "mergeable-partials summary (plans/mv.py::SummaryTable) is built "
+    "once, then a DAILY per-type stats request is answered by QUERY "
+    "REWRITE over the partials — while the oracle recomputes the "
+    "truth from raw fact rows. Count/min/max merge exactly; the "
+    "re-summed sum rounds to cents; avg derives from the rounded sum "
+    "so both engines divide identical doubles. At 100 TB the rewrite "
+    "reads ~10⁵ summary rows instead of the fact table",
+    ("mv", "rewrite", "agg", "events"),
+)
+def mv_rewrite_daily_value_stats(spark, sf_dir):
+    import tempfile
+
+    from .mv import AggRequest, SummaryTable
+
+    e = _t(spark, sf_dir, "events")
+    summary = SummaryTable(
+        path=tempfile.mkdtemp(prefix="mv_events_") + "/hourly",
+        time_col="ts",
+        value_col="value",
+        keys=("event_type",),
+        grain="hour",
+    )
+    summary.build(e)
+    req = AggRequest(
+        grain="day",
+        keys=("event_type",),
+        measures=("n_rows", "sum_value", "min_value", "max_value"),
+    )
+    hit = summary.try_rewrite(spark, req)
+    if hit is None:  # pragma: no cover - rewrite must trigger here
+        raise RuntimeError("summary rewrite unexpectedly refused the request")
+    sum2 = F.round("sum_value", 2)
+    return hit.select(
+        F.to_date("bucket").alias("day"),
+        "event_type",
+        "n_rows",
+        sum2.alias("sum_value"),
+        "min_value",
+        "max_value",
+        _r6(sum2 / F.col("n_rows")).alias("avg_value"),
+    )

@@ -1,0 +1,111 @@
+"""Materialized-summary rewrite layer: soundness (answers match the
+fact table), refusal (unanswerable requests fall back), and the
+acceleration property (answered plans read summary files only)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.plans.mv import (
+    AggRequest,
+    SummaryTable,
+    answer_or_fallback,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.sources.tables import (
+        load_table,
+    )
+
+    return load_table(spark, SF, "events")
+
+
+@pytest.fixture(scope="module")
+def summary(spark, events, tmp_path_factory):
+    s = SummaryTable(
+        path=str(tmp_path_factory.mktemp("mv") / "events_hourly"),
+        time_col="ts",
+        value_col="value",
+        keys=("event_type",),
+        grain="hour",
+    )
+    s.build(events)
+    return s
+
+
+def _direct(events, grain, keys, measures):
+    agg = {
+        "n_rows": F.count("*").alias("n_rows"),
+        "sum_value": F.sum("value").alias("sum_value"),
+        "min_value": F.min("value").alias("min_value"),
+        "max_value": F.max("value").alias("max_value"),
+        "avg_value": F.avg("value").alias("avg_value"),
+    }
+    return events.groupBy(
+        F.date_trunc(grain, F.col("ts")).alias("bucket"), *keys
+    ).agg(*[agg[m] for m in measures])
+
+
+def _as_map(df, keys, measures):
+    out = {}
+    for r in df.collect():
+        k = (r["bucket"], *[r[c] for c in keys])
+        out[k] = tuple(
+            round(r[m], 6) if isinstance(r[m], float) else r[m] for m in measures
+        )
+    return out
+
+
+@pytest.mark.parametrize(
+    "grain,keys",
+    [("day", ("event_type",)), ("day", ()), ("week", ("event_type",)), ("month", ())],
+)
+def test_rewrite_matches_fact_table(spark, events, summary, grain, keys):
+    measures = ("n_rows", "sum_value", "min_value", "max_value", "avg_value")
+    req = AggRequest(grain=grain, keys=keys, measures=measures)
+    got = summary.try_rewrite(spark, req)
+    assert got is not None
+    want = _direct(events, grain, keys, measures)
+    assert _as_map(got, keys, measures) == _as_map(want, keys, measures)
+
+
+def test_rewrite_reads_summary_files_only(spark, summary):
+    req = AggRequest(grain="day", keys=("event_type",))
+    got = summary.try_rewrite(spark, req)
+    files = got.inputFiles()
+    assert files and all(summary.path in f for f in files)
+
+
+def test_refusal_finer_grain_and_unknown_key(spark, summary):
+    assert not summary.can_answer(AggRequest(grain="minute"))
+    assert summary.try_rewrite(spark, AggRequest(grain="minute")) is None
+    assert not summary.can_answer(AggRequest(grain="day", keys=("user_id",)))
+    assert summary.try_rewrite(spark, AggRequest(grain="day", keys=("user_id",))) is None
+    assert not summary.can_answer(
+        AggRequest(grain="day", measures=("n_rows", "p99_value"))
+    )
+
+
+def test_fallback_computes_from_base_with_same_schema(spark, events, summary):
+    req = AggRequest(grain="day", keys=("user_id",), measures=("n_rows",))
+    out = answer_or_fallback(spark, summary, events, req)
+    # unanswerable → computed from base, same output contract
+    assert set(out.columns) == {"bucket", "user_id", "n_rows"}
+    assert out.agg(F.sum("n_rows")).first()[0] == events.count()
+
+
+def test_answered_request_same_schema_as_fallback(spark, events, summary):
+    req = AggRequest(grain="day", keys=("event_type",), measures=("n_rows", "avg_value"))
+    hit = summary.try_rewrite(spark, req)
+    miss = answer_or_fallback(
+        spark,
+        SummaryTable(path=summary.path, keys=(), grain="hour"),
+        events,
+        req,
+    )
+    assert hit.columns == miss.columns
