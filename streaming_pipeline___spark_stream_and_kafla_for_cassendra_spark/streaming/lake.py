@@ -192,6 +192,92 @@ class LakeTable:
             )
 
 
+    def purge_keys(self, spark: SparkSession, keys: list) -> int:
+        """GDPR right-to-be-forgotten: physically erase EVERY stored
+        version of the given record keys — live rows, superseded
+        versions, and tombstone markers alike (a tombstone still
+        carries the key, which is exactly what erasure must remove).
+
+        Only partitions actually containing a target key are
+        rewritten; a partition left empty by the purge has its
+        directory deleted outright (dynamic partition overwrite
+        cannot replace a partition with zero rows). Returns the
+        number of physical rows removed. Unlike :meth:`upsert_batch`
+        tombstones, purge is administrative erasure: a later replay
+        of old data WILL re-insert the key — run purges after
+        upstream retention has stopped replaying it, or follow with
+        a tombstone if logical deletion must also persist.
+        """
+        if not self.exists(spark):
+            return 0
+        raw = self._read_raw(spark)
+        key_col = F.col(self.record_key)
+        hit_parts = [
+            r[0]
+            for r in raw.filter(key_col.isin(keys))
+            .select(self.partition_field)
+            .distinct()
+            .collect()
+        ]
+        if not hit_parts:
+            return 0
+        scoped = raw.filter(F.col(self.partition_field).isin(hit_parts)).cache()
+        try:
+            kept = scoped.filter(~key_col.isin(keys))
+            removed = scoped.count() - kept.count()
+            kept_parts = {
+                r[0] for r in kept.select(self.partition_field).distinct().collect()
+            }
+            with _partition_overwrite_dynamic(spark):
+                (
+                    kept.write.partitionBy(self.partition_field)
+                    .mode("overwrite")
+                    .parquet(self.path)
+                )
+            for p in hit_parts:
+                if p not in kept_parts:
+                    self._drop_partition_dir(spark, p)
+        finally:
+            scoped.unpersist()
+        return removed
+
+    def expire_partitions(self, spark: SparkSession, keep_from) -> list:
+        """Retention sweep: drop every partition strictly older than
+        ``keep_from`` (compared as the partition value, e.g. a date).
+
+        This is a METADATA-ONLY operation — whole partition
+        directories are removed via the filesystem, no data is read
+        or rewritten; at 100 TB expiring a year of daily partitions
+        costs one directory listing plus #expired deletes, the same
+        operation a lake format performs by dropping manifest
+        entries. Returns the expired partition values."""
+        jvm = spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(root):
+            return []
+        expired = []
+        prefix = f"{self.partition_field}="
+        for status in fs.listStatus(root):
+            name = status.getPath().getName()
+            if not name.startswith(prefix):
+                continue
+            value = name[len(prefix):]
+            if value < str(keep_from):
+                fs.delete(status.getPath(), True)
+                expired.append(value)
+        return sorted(expired)
+
+    def _drop_partition_dir(self, spark: SparkSession, value) -> None:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(self.path, f"{self.partition_field}={value}")
+        )
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(p):
+            fs.delete(p, True)
+
+
 class _partition_overwrite_dynamic:
     """Scoped ``spark.sql.sources.partitionOverwriteMode=dynamic``."""
 

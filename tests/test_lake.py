@@ -270,3 +270,56 @@ def test_orc_roundtrip_with_declared_schema(spark, tmp_path):
     # pushdown reaches the ORC scan
     plan = back.filter(F.col("k") == 2)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "k" in plan
+
+
+def test_purge_keys_erases_all_versions_and_tombstones(spark, tmp_path):
+    import datetime as dt
+
+    d1, d2 = dt.date(2024, 2, 1), dt.date(2024, 2, 2)
+    t1 = dt.datetime(2024, 2, 1, 9, 0, 0)
+    t2 = dt.datetime(2024, 2, 2, 9, 0, 0)
+    table = LakeTable(path=str(tmp_path / "purge"))
+    table.upsert_batch(
+        _rows(spark, [(1, "a", t1, d1), (2, "b", t1, d1), (3, "c", t2, d2)]), spark
+    )
+    # key 2 gets a tombstone — purge must remove the marker too
+    deld = _rows(spark, [(2, "b", t2, d1)]).withColumn("is_del", F.lit(True))
+    table.upsert_batch(deld, spark, delete_col="is_del")
+
+    removed = table.purge_keys(spark, [1, 2])
+    assert removed == 2  # live row for 1 + tombstone marker for 2
+    got = {r.id for r in table.read(spark).collect()}
+    assert got == {3}
+    # no physical row for the purged keys remains (raw read incl. markers)
+    raw = spark.read.option("mergeSchema", "true").parquet(table.path)
+    assert raw.filter(F.col("id").isin([1, 2])).count() == 0
+
+
+def test_purge_keys_drops_partition_left_empty(spark, tmp_path):
+    import datetime as dt
+
+    d1, d2 = dt.date(2024, 3, 1), dt.date(2024, 3, 2)
+    t = dt.datetime(2024, 3, 1, 8, 0, 0)
+    table = LakeTable(path=str(tmp_path / "purge2"))
+    table.upsert_batch(_rows(spark, [(1, "only", t, d1), (2, "other", t, d2)]), spark)
+
+    assert table.purge_keys(spark, [1]) == 1
+    assert glob.glob(str(tmp_path / "purge2" / "processing_date=2024-03-01")) == []
+    assert {r.id for r in table.read(spark).collect()} == {2}
+
+
+def test_expire_partitions_is_metadata_only_and_bounded(spark, tmp_path):
+    import datetime as dt
+
+    table = LakeTable(path=str(tmp_path / "retention"))
+    t = dt.datetime(2024, 4, 1, 8, 0, 0)
+    for i in range(1, 5):
+        d = dt.date(2024, 4, i)
+        table.upsert_batch(_rows(spark, [(i, f"v{i}", t, d)]), spark)
+
+    expired = table.expire_partitions(spark, keep_from=dt.date(2024, 4, 3))
+    assert expired == ["2024-04-01", "2024-04-02"]
+    kept = {r.id for r in table.read(spark).collect()}
+    assert kept == {3, 4}
+    # second sweep is a no-op
+    assert table.expire_partitions(spark, keep_from=dt.date(2024, 4, 3)) == []
