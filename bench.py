@@ -84,6 +84,12 @@ HEADLINE = [
     "streaming_anomaly_alerts",
     "mixture_temperature_weights",
     "decimal_exact_revenue",
+    "interval_overlap_user_incidents",
+    "ks_statistic_value_by_type",
+    "attribution_last_touch",
+    "mv_rewrite_daily_value_stats",
+    "hybrid_search_rrf",
+    "weighted_median_price_by_brand",
 ]
 
 

@@ -1134,3 +1134,302 @@ def mv_rewrite_daily_value_stats(spark, sf_dir):
         "max_value",
         _r6(sum2 / F.col("n_rows")).alias("avg_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 ∪ dense cosine fused by reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+def _rrf_oracle() -> str:
+    from .registry import _BM25_B, _BM25_K1, _BM25_QUERY
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dlen FROM toks GROUP BY doc_id),
+    stats AS (SELECT avg(dlen) AS avgdl, count(*) AS n_docs FROM dl),
+    tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM toks
+      WHERE w IN {_BM25_QUERY!r}
+      GROUP BY doc_id, w
+    ),
+    df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    bm25 AS (
+      SELECT tf.doc_id,
+             sum(
+               ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.tf * ({_BM25_K1} + 1.0)
+               / (tf.tf + {_BM25_K1}
+                  * (1.0 - {_BM25_B} + {_BM25_B} * dl.dlen / s.avgdl))
+             ) AS score
+      FROM tf
+      JOIN df USING (w)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    ),
+    sparse AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+               AS sparse_rank
+      FROM bm25
+      QUALIFY sparse_rank <= 20
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS emb
+          FROM embeddings WHERE vec_id = 0),
+    dense AS (
+      SELECT c.vec_id AS doc_id,
+             CAST(row_number() OVER (
+               ORDER BY list_cosine_similarity(q.emb,
+                        CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id
+             ) AS INTEGER) AS dense_rank
+      FROM embeddings c, q WHERE c.vec_id <> 0
+      QUALIFY dense_rank <= 20
+    )
+    SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+           s.sparse_rank, d.dense_rank,
+           floor((coalesce(1.0 / (60 + s.sparse_rank), 0.0)
+                  + coalesce(1.0 / (60 + d.dense_rank), 0.0))
+                 * 1000000 + 0.5) / 1000000.0 AS rrf_score
+    FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+    """
+
+
+@_register(
+    "hybrid_search_rrf",
+    _rrf_oracle(),
+    "Hybrid retrieval: the BM25 sparse list (same scorer/constants as "
+    "bm25_search_documents) and the exact-cosine dense list for query "
+    "vector 0 are fused by reciprocal-rank fusion "
+    "(Σ 1/(60+rank)) — the standard fusion used when lexical and "
+    "embedding retrieval disagree. Each list is its own top-20 "
+    "pipeline (broadcast stats / per-partition top-k heaps); the "
+    "fusion join touches 2k rows, ranks are integers so the fused "
+    "score is bit-deterministic cross-engine",
+    ("retrieval", "hybrid", "rrf", "documents", "embeddings"),
+)
+def hybrid_search_rrf(spark, sf_dir):
+    from ..operators.similarity import brute_force_topk
+    from .registry import bm25_search_documents
+
+    sparse = (
+        bm25_search_documents(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+            .cast("int")
+            .alias("sparse_rank"),
+        )
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    dense = (
+        brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=20)
+        .select(
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").cast("int").alias("dense_rank"),
+        )
+    )
+    fused = sparse.join(dense, "doc_id", "full_outer")
+    rrf = F.coalesce(1.0 / (60 + F.col("sparse_rank")), F.lit(0.0)) + F.coalesce(
+        1.0 / (60 + F.col("dense_rank")), F.lit(0.0)
+    )
+    return fused.select(
+        "doc_id", "sparse_rank", "dense_rank", _r6(rrf).alias("rrf_score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conversion-latency percentiles (integer order statistics per cohort)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "conversion_latency_percentiles",
+    """
+    WITH conv AS (
+      SELECT dayofweek(v.ts) + 1 AS view_dow,
+             CAST(floor(epoch(p.ts)) - floor(epoch(v.ts)) AS BIGINT) AS secs
+      FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+      ASOF JOIN (SELECT user_id, ts FROM events
+                 WHERE event_type = 'purchase') p
+        ON v.user_id = p.user_id AND v.ts <= p.ts
+    ),
+    arrs AS (
+      SELECT view_dow, list(secs ORDER BY secs) AS a,
+             CAST(count(*) AS BIGINT) AS n
+      FROM conv GROUP BY 1
+    )
+    SELECT CAST(view_dow AS INTEGER) AS view_dow, n,
+           a[CAST(ceil(n * 0.5) AS BIGINT)] AS p50_secs,
+           a[CAST(ceil(n * 0.9) AS BIGINT)] AS p90_secs
+    FROM arrs
+    """,
+    "Time-to-conversion percentiles: views matched to the next "
+    "purchase (forward as-of), latencies grouped by view weekday, "
+    "exact lower p50/p90 picked by index from the sorted per-cohort "
+    "array. Latencies are INTEGER seconds, so the order statistics "
+    "are exact in both engines with zero float discipline. The "
+    "funnel-latency SLA report built from the as-of family",
+    ("timeseries", "percentile", "asof", "events"),
+)
+def conversion_latency_percentiles(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    j = asof_join(
+        views, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=[], direction="forward",
+    ).filter(F.col("ts_right").isNotNull())
+    conv = j.select(
+        F.dayofweek("ts").alias("view_dow"),
+        (
+            F.col("ts_right").cast("timestamp").cast("long")
+            - F.col("ts").cast("timestamp").cast("long")
+        ).alias("secs"),
+    )
+    arrs = conv.groupBy("view_dow").agg(
+        F.sort_array(F.collect_list("secs")).alias("a"),
+        F.count("*").alias("n"),
+    )
+    return arrs.select(
+        F.col("view_dow").cast("int").alias("view_dow"),
+        "n",
+        F.element_at("a", F.ceil(F.col("n") * 0.5).cast("int")).alias("p50_secs"),
+        F.element_at("a", F.ceil(F.col("n") * 0.9).cast("int")).alias("p90_secs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekday seasonality (integer-cent seasonal indices)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "seasonal_index_weekday_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow,
+             CAST(floor(round(sum(o_totalprice), 4) * 100 + 0.5) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(cents) AS BIGINT) AS dow_cents
+      FROM daily GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(dow_cents) AS BIGINT) AS all_cents,
+             CAST(sum(n_days) AS BIGINT) AS all_days
+      FROM g
+    )
+    SELECT CAST(dow AS INTEGER) AS dow, n_days,
+           dow_cents / 100.0 AS dow_revenue,
+           floor((dow_cents * 1.0 / n_days) / (all_cents * 1.0 / all_days)
+                 * 1000000 + 0.5) / 1000000.0 AS seasonal_index
+    FROM g CROSS JOIN tot
+    """,
+    "Weekday seasonality indices of revenue (mean daily revenue per "
+    "day-of-week over the global mean): daily sums convert to "
+    "integer cents first, so every downstream ratio derives from "
+    "integers and both engines agree exactly. The deseasonalization "
+    "input for the Holt/anomaly operators; two tiny aggregates past "
+    "the one fact-keyed rollup",
+    ("timeseries", "agg", "orders"),
+)
+def seasonal_index_weekday_revenue(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.to_date("o_orderdate").alias("day"),
+        F.dayofweek(F.to_date("o_orderdate")).alias("dow"),
+    ).agg(
+        F.floor(F.round(F.sum("o_totalprice"), 4) * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents")
+    )
+    g = daily.groupBy("dow").agg(
+        F.count("*").alias("n_days"), F.sum("cents").alias("dow_cents")
+    )
+    tot = g.agg(
+        F.sum("dow_cents").alias("all_cents"), F.sum("n_days").alias("all_days")
+    )
+    idx = (F.col("dow_cents") * F.lit(1.0) / F.col("n_days")) / (
+        F.col("all_cents") * F.lit(1.0) / F.col("all_days")
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        F.col("dow").cast("int").alias("dow"),
+        "n_days",
+        (F.col("dow_cents") / F.lit(100.0)).alias("dow_revenue"),
+        _r6(idx).alias("seasonal_index"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise correlation matrix (profiling)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "correlation_matrix_lineitem",
+    """
+    SELECT x, y, round(r, 4) AS corr FROM (
+      SELECT 'l_quantity' AS x, 'l_extendedprice' AS y,
+             corr(l_quantity, l_extendedprice) AS r FROM lineitem
+      UNION ALL
+      SELECT 'l_quantity', 'l_discount', corr(l_quantity, l_discount)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_quantity', 'l_tax', corr(l_quantity, l_tax) FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', 'l_discount',
+             corr(l_extendedprice, l_discount) FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', 'l_tax', corr(l_extendedprice, l_tax)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', 'l_tax', corr(l_discount, l_tax) FROM lineitem
+    )
+    """,
+    "Pairwise Pearson correlation matrix over the four lineitem "
+    "measures — the feature-redundancy screen of a profiling pass. "
+    "All six pairs compute in ONE scan via a single multi-aggregate "
+    "(Spark side), vs the oracle's six-scan UNION spelling; corr's "
+    "partial-state merge (co-moment form) is the same "
+    "order-tolerant-to-4dp contract the regression census already "
+    "established",
+    ("stats", "profiling", "agg", "lineitem"),
+)
+def correlation_matrix_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = [
+        ("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"),
+        ("l_quantity", "l_tax"),
+        ("l_extendedprice", "l_discount"),
+        ("l_extendedprice", "l_tax"),
+        ("l_discount", "l_tax"),
+    ]
+    wide = li.agg(
+        *[
+            F.round(F.corr(a, b), 4).alias(f"{a}|{b}")
+            for a, b in pairs
+        ]
+    )
+    stacked = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("x"),
+                        F.lit(b).alias("y"),
+                        F.col(f"`{a}|{b}`").alias("corr"),
+                    )
+                    for a, b in pairs
+                ]
+            )
+        ).alias("s")
+    )
+    return stacked.select("s.x", "s.y", "s.corr")
