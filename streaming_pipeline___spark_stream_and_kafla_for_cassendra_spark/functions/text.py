@@ -201,3 +201,55 @@ def pii_scrub(text: Column | str) -> Column:
     for pattern, token in PII_PATTERNS:
         c = F.regexp_replace(c, pattern, token)
     return c
+
+
+def compression_ratio(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document zlib compression ratio — the cheap
+    repetition/entropy proxy used by large-corpus quality filters
+    (highly repetitive or templated documents compress far below
+    typical prose; near-random text barely compresses).
+
+    One Arrow-batched ``mapInPandas`` pass (DEFLATE is not
+    expressible in Catalyst expressions), compression level pinned
+    for determinism. Zero shuffles: the ratio is a scan-local map at
+    any corpus size. Output: (id, n_chars, compressed_bytes, ratio).
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("n_chars", LongType()),
+            StructField("compressed_bytes", LongType()),
+            StructField("compression_ratio", DoubleType()),
+        ]
+    )
+
+    def fn(batches):
+        # imports inside the closure: pickled by value, so the worker
+        # needs no importable repo module (foreign-cwd safe)
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            texts = pdf[text_col].astype(str)
+            comp = [len(zlib.compress(t.encode("utf-8"), 6)) for t in texts]
+            n = texts.str.len().astype("int64")
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "n_chars": n,
+                    "compressed_bytes": pd.Series(comp, index=pdf.index, dtype="int64"),
+                    "compression_ratio": [
+                        round(c / max(int(l), 1), 6) for c, l in zip(comp, n)
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(fn, schema)

@@ -1433,3 +1433,92 @@ def correlation_matrix_lineitem(spark, sf_dir):
         ).alias("s")
     )
     return stacked.select("s.x", "s.y", "s.corr")
+
+
+# ---------------------------------------------------------------------------
+# SCD2 temporal (point-in-time) join
+# ---------------------------------------------------------------------------
+
+@_register(
+    "scd2_point_in_time_join",
+    """
+    WITH labeled AS (
+      SELECT o_custkey, o_totalprice,
+             CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01' THEN 2
+                  WHEN o_orderdate >= TIMESTAMP '1996-01-01' THEN 1
+                  ELSE 0 END AS v
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    )
+    SELECT c_mktsegment || '#v' || CAST(v AS VARCHAR) AS seg_version,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM labeled JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+    "Temporal (point-in-time) join against the SCD2 history lake: "
+    "three deterministic yearly versions of every customer are "
+    "upserted through Scd2Table (streaming/scd2.py — validity "
+    "intervals derived by the table, not by this query), then each "
+    "order joins the version VALID AT ITS ORDER DATE. The oracle "
+    "recomputes the truth declaratively from the version calendar, "
+    "so interval closure/chaining in the lake layout is what is "
+    "being checked. Equi-join on the key + interval predicate — one "
+    "shuffle, no range blowup",
+    ("scd2", "temporal-join", "lake", "orders", "customer"),
+)
+def scd2_point_in_time_join(spark, sf_dir):
+    import tempfile
+
+    from ..streaming.scd2 import Scd2Table
+
+    c = _t(spark, sf_dir, "customer")
+    table = Scd2Table(
+        path=tempfile.mkdtemp(prefix="scd2_pit_") + "/cust",
+        record_key="c_custkey",
+        precombine_field="pts",
+    )
+    for v, ts in enumerate(("1995-01-01", "1996-01-01", "1997-01-01")):
+        batch = c.select(
+            "c_custkey",
+            F.concat(F.col("c_mktsegment"), F.lit(f"#v{v}")).alias("seg_version"),
+            F.lit(ts).cast("timestamp").alias("pts"),
+        )
+        table.upsert_batch(batch, spark)
+    versions = table.read_history(spark).select(
+        "c_custkey", "seg_version", "_valid_from", "_valid_to"
+    )
+    o = _t(spark, sf_dir, "orders")
+    j = o.join(
+        versions,
+        (o["o_custkey"] == versions["c_custkey"])
+        & (F.col("_valid_from") <= o["o_orderdate"])
+        & (F.col("_valid_to").isNull() | (o["o_orderdate"] < F.col("_valid_to"))),
+    )
+    return j.groupBy("seg_version").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal (zlib proxy for repetition/entropy)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "compression_ratio_documents",
+    None,  # zlib's DEFLATE output is not SQL-expressible; rows-only check
+    "Compression-ratio quality signal: per-document "
+    "len(zlib(text))/len(text) via one Arrow-batched mapInPandas "
+    "pass — the Gopher/Dolma-style cheap proxy for boilerplate and "
+    "repetition (highly repetitive documents compress far below "
+    "typical prose). Deterministic (zlib level pinned), zero "
+    "shuffles; tested on constructed repetitive vs random text "
+    "rather than a SQL oracle since DEFLATE is not expressible "
+    "relationally",
+    ("text", "quality", "pandas_udf", "documents"),
+)
+def compression_ratio_documents(spark, sf_dir):
+    from ..functions.text import compression_ratio
+
+    d = _t(spark, sf_dir, "documents")
+    return compression_ratio(d, text_col="text", id_col="doc_id")

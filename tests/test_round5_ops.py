@@ -167,3 +167,33 @@ def test_bloom_file_index_point_lookup_skips_files_and_matches_full_scan(
     missing = bloom_lookup_read(spark, path, idx, "key", "u99999999")
     assert missing.count() == 0
     assert set(missing.columns) == {"id", "key"}
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal
+# ---------------------------------------------------------------------------
+
+def test_compression_ratio_separates_repetitive_from_random_text(spark):
+    import random as _r
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.functions.text import (
+        compression_ratio,
+    )
+
+    rng = _r.Random(3)
+    rand_text = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(8))
+        for _ in range(200)
+    )
+    rep_text = "the same boilerplate line repeats here " * 50
+    df = spark.createDataFrame(
+        [(1, rep_text), (2, rand_text)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    assert got[1]["compression_ratio"] < 0.1          # repetition crushes
+    assert got[2]["compression_ratio"] > 0.5          # random barely compresses
+    assert got[1]["n_chars"] == len(rep_text)
+    # deterministic across runs (pinned zlib level)
+    again = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    assert got[1]["compressed_bytes"] == again[1]["compressed_bytes"]
+    assert got[2]["compression_ratio"] == again[2]["compression_ratio"]

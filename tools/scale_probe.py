@@ -238,6 +238,62 @@ def main() -> None:
     )
     run("ewma_inrow_fold", grouped.select("u", fold.alias("ewma")))
 
+    # 13. interval × interval overlap join: 10M user-activity intervals
+    # (≤2 h wide) × 100k incident windows (≤1 h) over a 1-year span via
+    # the bucketized equi-join — the plan a bare theta join would turn
+    # into an O(|L|·|R|) nested loop
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    n_l = min(n // 5, 10_000_000)
+    year = 365 * 24 * 3600
+    l_start = F.lit(1704067200) + F.pmod(F.xxhash64("id"), year)
+    left_iv = spark.range(n_l).select(
+        F.col("id").alias("lid"),
+        F.timestamp_seconds(l_start).alias("ls"),
+        F.timestamp_seconds(
+            l_start + F.pmod(F.xxhash64("id", F.lit(1)), 7200)
+        ).alias("le"),
+    )
+    r_start = F.lit(1704067200) + F.pmod(F.xxhash64("id", F.lit(2)), year)
+    right_iv = spark.range(100_000).select(
+        F.col("id").alias("rid"),
+        F.timestamp_seconds(r_start).alias("rs"),
+        F.timestamp_seconds(
+            r_start + F.pmod(F.xxhash64("id", F.lit(3)), 3600)
+        ).alias("rv_end"),
+    )
+    run(
+        "interval_overlap_10m_x_100k",
+        interval_overlap_join(left_iv, right_iv, "ls", "le", "rs", "rv_end"),
+    )
+
+    # 14. bloom file index: build over 5M clustered string keys in 32
+    # files, then a point lookup that opens only bloom-matching files
+    import tempfile
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.scale import (
+        bloom_lookup_read,
+        build_bloom_file_index,
+    )
+
+    bdir = tempfile.mkdtemp(prefix="probe_bloom_")
+    n_keys = min(n // 10, 5_000_000)
+    spark.range(n_keys).select(
+        F.concat(F.lit("user_"), F.col("id")).alias("key"),
+        (F.col("id") % 97).alias("v"),
+    ).repartition(32, "key").write.mode("overwrite").parquet(bdir)
+    t0 = time.perf_counter()
+    bidx = build_bloom_file_index(spark, bdir, "key", bits=1 << 20).localCheckpoint()
+    timings["bloom_index_build_5m"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    hit = bloom_lookup_read(spark, bdir, bidx, "key", "user_12345", bits=1 << 20)
+    n_hit_files = len(hit.inputFiles())
+    assert hit.count() == 1
+    timings["bloom_point_lookup"] = round(time.perf_counter() - t0, 2)
+    timings["bloom_files_opened_of_32"] = n_hit_files
+
     print(
         json.dumps(
             {
