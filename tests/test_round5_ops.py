@@ -197,3 +197,50 @@ def test_compression_ratio_separates_repetitive_from_random_text(spark):
     again = {r["doc_id"]: r for r in compression_ratio(df).collect()}
     assert got[1]["compressed_bytes"] == again[1]["compressed_bytes"]
     assert got[2]["compression_ratio"] == again[2]["compression_ratio"]
+
+
+# ---------------------------------------------------------------------------
+# Sliding 7-day distinct: HLL sketch path vs exact rewrite
+# ---------------------------------------------------------------------------
+
+def test_sliding_hll_matches_exact_within_hll_error(spark):
+    import datetime as dt
+
+    # 40 days × up to 30k users/day with heavy cross-day overlap —
+    # enough cardinality that the sketch actually estimates
+    base = dt.date(2024, 1, 1)
+    df = spark.range(400_000).select(
+        F.date_add(F.lit(base), (F.col("id") % 40).cast("int")).alias("day"),
+        F.pmod(F.xxhash64("id"), F.lit(30_000)).alias("user_id"),
+    )
+    exact = (
+        df.distinct()
+        .join(
+            F.broadcast(
+                df.select("day").distinct().withColumnRenamed("day", "anchor")
+            ),
+            (F.col("anchor") >= F.col("day"))
+            & (F.col("anchor") <= F.date_add(F.col("day"), 6)),
+        )
+        .groupBy(F.col("anchor"))
+        .agg(F.countDistinct("user_id").alias("n"))
+    )
+    daily = df.groupBy("day").agg(F.expr("hll_sketch_agg(user_id, 12)").alias("sk"))
+    from pyspark.sql import Window as W
+
+    rolled = daily.select(
+        "day",
+        F.collect_list("sk")
+        .over(W.orderBy("day").rowsBetween(-6, W.currentRow))
+        .alias("sks"),
+    )
+    est = rolled.select(
+        "day",
+        F.expr(
+            "hll_sketch_estimate(aggregate(slice(sks, 2, size(sks) - 1), sks[0],"
+            " (a, x) -> hll_union(a, x)))"
+        ).alias("e"),
+    )
+    ex = {r["anchor"]: r["n"] for r in exact.collect()}
+    for r in est.collect():
+        assert abs(r["e"] - ex[r["day"]]) / ex[r["day"]] < 0.05
