@@ -1595,3 +1595,43 @@ def sliding_distinct_users_7d_hll(spark, sf_dir):
         ")"
     )
     return rolled.select("day", est.cast("long").alias("users_7d_est"))
+
+
+# ---------------------------------------------------------------------------
+# ALS collaborative filtering (iterative distributed factorization)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "als_recommend_parts",
+    None,  # iterative least-squares factors are not SQL-expressible
+    "ALS collaborative filtering over the customer × part purchase "
+    "matrix (operators/als.py): normal-equation terms assembled by a "
+    "position-exploded grouped sum (shuffle = #entities × k² rows, "
+    "no factor broadcast/collect), per-entity k×k solves in one "
+    "Arrow pass, deterministic init — then top-3 novel part "
+    "recommendations for a fixed user cohort. Convergence, planted- "
+    "structure recovery, bit-determinism, and novelty are pytest- "
+    "pinned; the registry run is the rows-only smoke of the same "
+    "pipeline",
+    ("ml", "als", "recommender", "iterative", "lineitem"),
+)
+def als_recommend_parts(spark, sf_dir):
+    from ..operators.als import als_recommend, als_train
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    ratings = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item_id"),
+        )
+        .agg(F.log1p(F.sum("l_quantity")).alias("rating"))
+    ).cache()
+    user_f, item_f = als_train(ratings, rank=8, iterations=2)
+    cohort = user_f.filter(F.col("user_id") % 300 == 0)
+    recs = als_recommend(
+        cohort, item_f, ratings.select("user_id", "item_id"), k=3
+    )
+    ratings.unpersist()
+    return recs

@@ -244,3 +244,63 @@ def test_sliding_hll_matches_exact_within_hll_error(spark):
     ex = {r["anchor"]: r["n"] for r in exact.collect()}
     for r in est.collect():
         assert abs(r["e"] - ex[r["day"]]) / ex[r["day"]] < 0.05
+
+
+# ---------------------------------------------------------------------------
+# ALS matrix factorization
+# ---------------------------------------------------------------------------
+
+def test_als_recovers_planted_low_rank_and_is_deterministic(spark):
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.als import (
+        als_recommend,
+        als_rmse,
+        als_train,
+    )
+
+    n_u, n_i, rank_true = 200, 80, 4
+    uf = spark.range(n_u).select(
+        F.col("id").alias("user_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(rank_true - 1)),
+            lambda j: F.pmod(F.xxhash64("id", j), F.lit(100)) / 50.0 - 1.0,
+        ).alias("tu"),
+    )
+    itf = spark.range(n_i).select(
+        F.col("id").alias("item_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(rank_true - 1)),
+            lambda j: F.pmod(F.xxhash64("id", j, F.lit(9)), F.lit(100)) / 50.0 - 1.0,
+        ).alias("ti"),
+    )
+    pairs = uf.crossJoin(itf).filter(
+        F.pmod(F.xxhash64("user_id", "item_id"), F.lit(10)) < 3
+    )
+    ratings = pairs.select(
+        "user_id",
+        "item_id",
+        F.aggregate(
+            F.zip_with("tu", "ti", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+        ).alias("rating"),
+    ).cache()
+
+    u1, i1 = als_train(ratings, rank=8, iterations=1)
+    u3, i3 = als_train(ratings, rank=8, iterations=3)
+    rmse1 = als_rmse(ratings, u1, i1)
+    rmse3 = als_rmse(ratings, u3, i3)
+    # more alternations strictly improve the planted-structure fit,
+    # and 3 iterations essentially recover the rank-4 matrix
+    assert rmse3 < rmse1
+    assert rmse3 < 0.05
+
+    # bit-deterministic retrain
+    u3b, _ = als_train(ratings, rank=8, iterations=3)
+    a = sorted((r["user_id"], tuple(r["factors"])) for r in u3.collect())
+    b = sorted((r["user_id"], tuple(r["factors"])) for r in u3b.collect())
+    assert a == b
+
+    recs = als_recommend(u3, i3, ratings.select("user_id", "item_id"), k=3)
+    got = recs.collect()
+    assert len(got) == n_u * 3
+    # recommendations never repeat an observed pair
+    seen = {(r["user_id"], r["item_id"]) for r in ratings.collect()}
+    assert all((r["user_id"], r["item_id"]) not in seen for r in got)
