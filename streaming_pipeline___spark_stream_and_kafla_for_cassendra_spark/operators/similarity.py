@@ -1036,3 +1036,64 @@ def pq_topk(
             "rank",
         )
     )
+
+
+def kmeans_assign(
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    train_sample: int = 2000,
+    seed: int = 13,
+) -> DataFrame:
+    """Spherical k-means clustering exposed as a first-class operator
+    (the same coarse quantizer the IVF index and SemDeDup use):
+    centroids train on a bounded sample driver-side (deterministic
+    seeded Lloyd), broadcast, and every vector is assigned to its
+    nearest centroid in one Arrow pass — no shuffle at all; the
+    assignment is a scan-local map at any corpus size.
+
+    Returns (id, cluster_id, centroid_sim). Downstream: cluster-size
+    audits, per-cluster sampling, IVF list construction, semantic
+    dedup grouping.
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    cent = _train_spherical_quantizer(candidates, vec_col, n_clusters, train_sample, seed)
+    b_cent = candidates.sparkSession.sparkContext.broadcast(cent)
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("cluster_id", LongType()),
+            StructField("centroid_sim", DoubleType()),
+        ]
+    )
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = b_cent.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+            sims = mat @ C.T
+            best = np.argmax(sims, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "cluster_id": best.astype("int64"),
+                    "centroid_sim": np.round(
+                        sims[np.arange(len(pdf)), best], 6
+                    ),
+                }
+            )
+
+    return candidates.select(id_col, vec_col).mapInPandas(assign, schema)

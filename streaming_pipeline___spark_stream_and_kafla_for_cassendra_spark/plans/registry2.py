@@ -1635,3 +1635,168 @@ def als_recommend_parts(spark, sf_dir):
     )
     ratings.unpersist()
     return recs
+
+
+# ---------------------------------------------------------------------------
+# Spherical k-means cluster audit
+# ---------------------------------------------------------------------------
+
+@_register(
+    "kmeans_embedding_clusters",
+    None,  # centroids come from seeded driver-side Lloyd; rows-only
+    "Spherical k-means over the embeddings (operators/similarity.py::"
+    "kmeans_assign — the IVF/SemDeDup coarse quantizer exposed as a "
+    "first-class clustering operator): bounded-sample seeded "
+    "training, broadcast centroids, zero-shuffle Arrow assignment; "
+    "this query audits the clustering (per-cluster size, mean/min "
+    "similarity to centroid, majority label). Assignment determinism "
+    "and recall of the underlying quantizer are pytest-pinned in the "
+    "IVF/semantic-dedup suites",
+    ("ml", "kmeans", "clustering", "embeddings"),
+)
+def kmeans_embedding_clusters(spark, sf_dir):
+    from ..operators.similarity import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = kmeans_assign(emb, n_clusters=16)
+    joined = assigned.join(emb.select("vec_id", "label"), "vec_id")
+    per_label = joined.groupBy("cluster_id", "label").agg(
+        F.count("*").alias("n")
+    )
+    top_label = per_label.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.col("n").desc(), F.col("label")
+            )
+        ),
+    ).filter(F.col("rn") == 1).select(
+        "cluster_id", F.col("label").alias("majority_label")
+    )
+    stats = joined.groupBy("cluster_id").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.avg("centroid_sim"), 4).alias("mean_centroid_sim"),
+        F.round(F.min("centroid_sim"), 4).alias("min_centroid_sim"),
+    )
+    return stats.join(top_label, "cluster_id")
+
+
+# ---------------------------------------------------------------------------
+# Key-space completeness audit (gap ranges)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "eventid_gap_ranges",
+    """
+    WITH k AS (SELECT DISTINCT event_id AS key FROM events
+               WHERE event_type = 'purchase'),
+    n AS (
+      SELECT key, lead(key) OVER (ORDER BY key) AS nxt FROM k
+    )
+    SELECT key + 1 AS gap_start, nxt - 1 AS gap_end,
+           CAST(nxt - key - 1 AS BIGINT) AS gap_len
+    FROM n WHERE nxt IS NOT NULL AND nxt - key > 1
+    """,
+    "Key-space completeness audit: contiguous missing-id ranges in "
+    "the purchase stream via one lead() pass over the distinct "
+    "sorted keys — the sequence-gap detector for CDC feeds (a gap "
+    "in a monotonically assigned key usually means dropped "
+    "changes). Scale note: the global-order window runs over "
+    "DISTINCT keys after a map-side-combined dedup; for a truly "
+    "dense 100 TB key space, range-partition the keys and lead() "
+    "within ranges, stitching boundaries with one extra pass over "
+    "#partitions rows",
+    ("window", "quality", "cdc", "events"),
+)
+def eventid_gap_ranges(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("key"))
+        .distinct()
+    )
+    nxt = F.lead("key").over(Window.orderBy("key"))
+    n = k.select("key", nxt.alias("nxt"))
+    return n.filter(
+        F.col("nxt").isNotNull() & (F.col("nxt") - F.col("key") > 1)
+    ).select(
+        (F.col("key") + 1).alias("gap_start"),
+        (F.col("nxt") - 1).alias("gap_end"),
+        (F.col("nxt") - F.col("key") - 1).alias("gap_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "theil_sen_trend_daily_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(epoch(date_trunc('day', o_orderdate)) / 86400 AS BIGINT)
+               AS d,
+             CAST(floor(round(sum(o_totalprice), 4) * 100 + 0.5) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ),
+    slopes AS (
+      SELECT (b.cents - a.cents) * 1.0 / ((b.d - a.d) * 100.0) AS slope
+      FROM daily a JOIN daily b ON b.d > a.d
+    ),
+    arr AS (
+      SELECT list(slope ORDER BY slope) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM slopes
+    )
+    SELECT n AS n_pairs,
+           floor(s[CAST(ceil(n * 0.5) AS BIGINT)] * 1000000 + 0.5)
+             / 1000000.0 AS theil_sen_slope,
+           floor(s[CAST(ceil(n * 0.05) AS BIGINT)] * 1000000 + 0.5)
+             / 1000000.0 AS slope_p05,
+           floor(s[CAST(ceil(n * 0.95) AS BIGINT)] * 1000000 + 0.5)
+             / 1000000.0 AS slope_p95
+    FROM arr
+    """,
+    "Theil–Sen robust trend of daily revenue: the median (and 5/95 "
+    "band) of all pairwise day-to-day slopes — outlier-resistant "
+    "where OLS is not. Daily revenue converts to integer cents, so "
+    "each of the ~n²/2 slopes is one exact integer ratio; the "
+    "pairwise self-join runs over the #days-sized rollup (150 days "
+    "→ 11k pairs) regardless of fact size, and the order statistic "
+    "comes from a sorted-array index, not a global sort of data",
+    ("timeseries", "stats", "robust", "orders"),
+)
+def theil_sen_trend_daily_revenue(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        (F.unix_timestamp(F.date_trunc("day", "o_orderdate")) / 86400)
+        .cast("long")
+        .alias("d")
+    ).agg(
+        F.floor(F.round(F.sum("o_totalprice"), 4) * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    slopes = a.join(b, F.col("b.d") > F.col("a.d")).select(
+        (
+            (F.col("b.cents") - F.col("a.cents"))
+            * F.lit(1.0)
+            / ((F.col("b.d") - F.col("a.d")) * F.lit(100.0))
+        ).alias("slope")
+    )
+    arr = slopes.agg(
+        F.sort_array(F.collect_list("slope")).alias("s"),
+        F.count("*").alias("n"),
+    )
+    pick = lambda p: _r6(  # noqa: E731
+        F.element_at("s", F.ceil(F.col("n") * p).cast("int"))
+    )
+    return arr.select(
+        F.col("n").alias("n_pairs"),
+        pick(0.5).alias("theil_sen_slope"),
+        pick(0.05).alias("slope_p05"),
+        pick(0.95).alias("slope_p95"),
+    )
