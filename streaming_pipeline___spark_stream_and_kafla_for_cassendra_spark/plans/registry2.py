@@ -1800,3 +1800,83 @@ def theil_sen_trend_daily_revenue(spark, sf_dir):
         pick(0.05).alias("slope_p05"),
         pick(0.95).alias("slope_p95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MATCH_RECOGNIZE-lite: sequential pattern counting via state-machine fold
+# ---------------------------------------------------------------------------
+
+@_register(
+    "match_recognize_funnel_users",
+    """
+    -- state machine as a RECURSIVE CTE (one step per event index,
+    -- all users advance as parallel rows) instead of list_reduce:
+    -- DuckDB 1.0.0 mis-evaluates this multi-reference CASE lambda
+    -- over full-table aggregated lists (the same fold on the same
+    -- list returns a different value inside the whole-table pipeline
+    -- than filtered to one key; the recursion matches a hand fold)
+    WITH RECURSIVE seq AS (
+      SELECT user_id,
+             list(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                       WHEN 'purchase' THEN 3 ELSE 0 END
+                  ORDER BY ts, event_id) AS codes
+      FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT user_id, 0 AS i, 0 AS acc, codes FROM seq
+      UNION ALL
+      SELECT user_id, i + 1,
+             CASE WHEN codes[i + 1] = 3 AND acc % 3 = 2
+                    THEN (acc // 3 + 1) * 3
+                  WHEN codes[i + 1] = 2 AND acc % 3 = 1
+                    THEN acc - (acc % 3) + 2
+                  WHEN codes[i + 1] = 1 AND acc % 3 = 0
+                    THEN acc - (acc % 3) + 1
+                  ELSE acc END,
+             codes
+      FROM r WHERE i < len(codes)
+    )
+    SELECT user_id, CAST(len(codes) AS BIGINT) AS n_events,
+           CAST(acc // 3 AS BIGINT) AS completed_funnels
+    FROM r WHERE i = len(codes)
+    """,
+    "MATCH_RECOGNIZE emulation (SQL:2016 row-pattern matching, which "
+    "Spark lacks): count non-overlapping view→click→purchase "
+    "sequences per user with skip-past-non-matching-rows semantics, "
+    "run as an integer-encoded state machine folded IN-ROW over each "
+    "user's time-ordered event codes (acc = state + 3·completions — "
+    "one exact integer fold, identical in both engines via a "
+    "prepended initial accumulator). One shuffle keyed on user; the "
+    "fold is scan-local; the CEP pattern layer for clickstreams",
+    ("cep", "match-recognize", "hof", "events"),
+)
+def match_recognize_funnel_users(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "purchase", 3)
+        .otherwise(0)
+    )
+    seq = e.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", code.alias("code")))
+            ),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+    acc = F.aggregate(
+        F.col("codes"),
+        F.lit(0),
+        lambda a, x: F.when((x == 3) & (a % 3 == 2), (F.floor(a / 3) + 1) * 3)
+        .when((x == 2) & (a % 3 == 1), a - (a % 3) + 2)
+        .when((x == 1) & (a % 3 == 0), a - (a % 3) + 1)
+        .otherwise(a)
+        .cast("int"),
+    )
+    return seq.select(
+        "user_id",
+        F.size("codes").cast("long").alias("n_events"),
+        F.floor(acc / 3).cast("long").alias("completed_funnels"),
+    )
