@@ -1880,3 +1880,113 @@ def match_recognize_funnel_users(spark, sf_dir):
         F.size("codes").cast("long").alias("n_events"),
         F.floor(acc / 3).cast("long").alias("completed_funnels"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto concentration curve (80/20 analysis)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "pareto_customers_revenue",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(floor(round(sum(o_totalprice), 4) * 100 + 0.5) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT o_custkey, cents,
+             row_number() OVER (ORDER BY cents DESC, o_custkey) AS rk,
+             sum(cents) OVER (ORDER BY cents DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(cents) OVER () AS tot,
+             count(*) OVER () AS n
+      FROM per_cust
+    )
+    SELECT CAST(rk AS BIGINT) AS rank,
+           o_custkey,
+           cents / 100.0 AS revenue,
+           floor(cum * 1.0 / tot * 1000000 + 0.5) / 1000000.0
+             AS cum_revenue_share,
+           floor(rk * 1.0 / n * 1000000 + 0.5) / 1000000.0
+             AS cum_customer_share,
+           (cum - cents) * 1.0 / tot < 0.8 AND cum * 1.0 / tot >= 0.8
+             AS crosses_80pct
+    FROM ranked
+    """,
+    "Pareto (80/20) revenue-concentration curve: customers ranked by "
+    "revenue (integer cents — every share derives from exact "
+    "integers), cumulative revenue share vs cumulative customer "
+    "share, and the exact customer where the curve crosses 80%. One "
+    "fact-keyed aggregate, then windows over the customer-sized "
+    "rollup; the concentration sibling of the per-segment Gini the "
+    "registry already ships",
+    ("window", "agg", "concentration", "orders"),
+)
+def pareto_customers_revenue(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.floor(F.round(F.sum("o_totalprice"), 4) * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents")
+    )
+    order_w = Window.orderBy(F.col("cents").desc(), F.col("o_custkey"))
+    run = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full = Window.partitionBy()
+    ranked = per_cust.select(
+        "o_custkey",
+        "cents",
+        F.row_number().over(order_w).alias("rk"),
+        F.sum("cents").over(run).alias("cum"),
+        F.sum("cents").over(full).alias("tot"),
+        F.count("*").over(full).alias("n"),
+    )
+    share = F.col("cum") * F.lit(1.0) / F.col("tot")
+    prev_share = (F.col("cum") - F.col("cents")) * F.lit(1.0) / F.col("tot")
+    return ranked.select(
+        F.col("rk").cast("long").alias("rank"),
+        "o_custkey",
+        (F.col("cents") / F.lit(100.0)).alias("revenue"),
+        _r6(share).alias("cum_revenue_share"),
+        _r6(F.col("rk") * F.lit(1.0) / F.col("n")).alias("cum_customer_share"),
+        ((prev_share < 0.8) & (share >= 0.8)).alias("crosses_80pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact distinct via mergeable bitmaps (Spark 3.5 bitmap functions)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "bitmap_distinct_users_by_type",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+    """,
+    "EXACT distinct counting through mergeable bitmap state (Spark "
+    "3.5 bitmap_bucket_number / bitmap_construct_agg / bitmap_or_agg "
+    "/ bitmap_count — the Snowflake/ClickHouse bitmap-index "
+    "pattern): per (type, bucket) bitmaps build with map-side "
+    "combine, OR-merge per type, and their popcounts sum to the "
+    "exact distinct. Unlike count(DISTINCT) this state is "
+    "re-aggregatable (store per-day bitmaps, OR them for any date "
+    "range) and unlike HLL it is exact; the oracle states the truth "
+    "relationally",
+    ("agg", "bitmap", "distinct", "events"),
+)
+def bitmap_distinct_users_by_type(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    per_bucket = e.groupBy(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"),
+        F.count("*").alias("n"),
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("distinct_users"),
+        F.sum("n").alias("n_events"),
+    )
