@@ -1038,6 +1038,10 @@ def clustering_coefficient_nations(spark, sf_dir):
             F.greatest(c["c_nationkey"], s["s_nationkey"]).alias("b"),
         )
         .distinct()
+        # the edge list is referenced 7× below (degree + three
+        # triangle roles + corner unions); checkpoint so the 4-table
+        # fact join runs ONCE, not per reference
+        .localCheckpoint(eager=False)
     )
     deg = (
         trade.select(F.col("a").alias("node"))
