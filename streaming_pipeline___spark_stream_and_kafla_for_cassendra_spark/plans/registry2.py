@@ -1994,3 +1994,38 @@ def bitmap_distinct_users_by_type(spark, sf_dir):
         F.sum(F.expr("bitmap_count(bm)")).alias("distinct_users"),
         F.sum("n").alias("n_events"),
     )
+
+
+@_register(
+    "bitmap_index_range_distinct",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_ids,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-21'
+    GROUP BY 1
+    """,
+    "Materialized bitmap index answering an exact distinct-users "
+    "range query (operators/bitmap_index.py::BitmapDistinctIndex): "
+    "per-(day, type, bucket) bitmaps build once, then the two-week "
+    "question OR-merges only the range's date partitions and "
+    "popcounts — the fact table is absent from the query plan. The "
+    "oracle recomputes the truth from raw rows; count(DISTINCT) "
+    "finally gets a mergeable, exact, re-aggregatable materialized "
+    "form",
+    ("bitmap", "index", "distinct", "mv", "events"),
+)
+def bitmap_index_range_distinct(spark, sf_dir):
+    import tempfile
+
+    from ..operators.bitmap_index import BitmapDistinctIndex
+
+    e = _t(spark, sf_dir, "events")
+    idx = BitmapDistinctIndex(path=tempfile.mkdtemp(prefix="bmidx_") + "/events")
+    idx.build(e)
+    return idx.distinct_over(spark, "2024-01-08", "2024-01-21").select(
+        "event_type",
+        F.col("distinct_ids").cast("long").alias("distinct_ids"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )

@@ -304,3 +304,79 @@ def test_als_recovers_planted_low_rank_and_is_deterministic(spark):
     # recommendations never repeat an observed pair
     seen = {(r["user_id"], r["item_id"]) for r in ratings.collect()}
     assert all((r["user_id"], r["item_id"]) not in seen for r in got)
+
+
+# ---------------------------------------------------------------------------
+# Materialized bitmap index (exact distinct over arbitrary date ranges)
+# ---------------------------------------------------------------------------
+
+def test_bitmap_index_range_queries_match_direct_distinct(spark, tmp_path):
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.bitmap_index import (
+        BitmapDistinctIndex,
+    )
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.sources.tables import (
+        load_table,
+    )
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    idx = BitmapDistinctIndex(path=str(tmp_path / "bmidx"))
+    idx.build(e)
+
+    import datetime as dt
+
+    lo, hi = dt.date(2024, 1, 5), dt.date(2024, 1, 12)
+    got = {
+        r["event_type"]: (r["distinct_ids"], r["n_rows"])
+        for r in idx.distinct_over(spark, lo, hi).collect()
+    }
+    direct = e.filter(
+        (F.to_date("ts") >= F.lit(str(lo))) & (F.to_date("ts") <= F.lit(str(hi)))
+    )
+    want = {
+        r["event_type"]: (r["d"], r["n"])
+        for r in direct.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+    # overall (key-free) merge also exact
+    overall = idx.distinct_over(spark, lo, hi, by_keys=False).collect()[0]
+    assert overall["distinct_ids"] == direct.select("user_id").distinct().count()
+
+    # partition pruning: the range predicate compiles to partition
+    # filters on the scan (only in-range index partitions are read)
+    pruned = idx.read(spark).filter(
+        (F.col("index_date") >= F.lit(str(lo)).cast("date"))
+        & (F.col("index_date") <= F.lit(str(hi)).cast("date"))
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "index_date" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+
+
+def test_bitmap_index_day_refresh_is_idempotent(spark, tmp_path):
+    import datetime as dt
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.bitmap_index import (
+        BitmapDistinctIndex,
+    )
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.sources.tables import (
+        load_table,
+    )
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    idx = BitmapDistinctIndex(path=str(tmp_path / "bmidx2"))
+    idx.build(e)
+    day = dt.date(2024, 1, 7)
+    before = sorted(
+        (r["event_type"], r["distinct_ids"])
+        for r in idx.distinct_over(spark, day, day).collect()
+    )
+    idx.refresh_day(e, spark, day)  # replay the same day
+    after = sorted(
+        (r["event_type"], r["distinct_ids"])
+        for r in idx.distinct_over(spark, day, day).collect()
+    )
+    assert before == after
