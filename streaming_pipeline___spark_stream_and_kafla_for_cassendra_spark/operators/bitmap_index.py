@@ -86,6 +86,72 @@ class BitmapDistinctIndex:
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
+    # -- incremental maintenance (streaming foreachBatch) --------------
+
+    def merge_batch(
+        self, batch: DataFrame, spark: SparkSession, batch_id: int | None = None
+    ) -> None:
+        """Fold one micro-batch into the stored index. Bitmap OR is
+        the mergeable operation, so per-batch bitmaps combine with
+        the stored ones exactly; only the days the batch touches are
+        rewritten, and a commit marker makes foreachBatch replays
+        no-ops (n_rows would otherwise double-count — OR itself is
+        idempotent, the ledger protects the row counter)."""
+        if batch_id is not None and self._committed(batch_id):
+            return
+        if len(batch.take(1)) == 0:
+            self._commit(batch_id)
+            return
+        incoming = batch.groupBy(
+            F.to_date(F.col(self.time_col)).alias("index_date"),
+            *self.keys,
+            F.expr(f"bitmap_bucket_number({self.id_col})").alias("bucket"),
+        ).agg(
+            F.expr(
+                f"bitmap_construct_agg(bitmap_bit_position({self.id_col}))"
+            ).alias("bm"),
+            F.count("*").alias("n_rows"),
+        )
+        from ..streaming.lake import path_has_data
+
+        if path_has_data(spark, self.path):
+            touched = [
+                r[0] for r in incoming.select("index_date").distinct().collect()
+            ]
+            existing = self.read(spark).filter(
+                F.col("index_date").isin(touched)
+            )
+            merged = existing.unionByName(incoming).groupBy(
+                "index_date", *self.keys, "bucket"
+            ).agg(
+                F.expr("bitmap_or_agg(bm)").alias("bm"),
+                F.sum("n_rows").alias("n_rows"),
+            )
+        else:
+            merged = incoming
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy("index_date").parquet(
+                self.path
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        self._commit(batch_id)
+
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self.path, "_bitmap_commits", str(batch_id))
+
+    def _committed(self, batch_id: int) -> bool:
+        return os.path.exists(self._marker(batch_id))
+
+    def _commit(self, batch_id: int | None) -> None:
+        if batch_id is None:
+            return
+        os.makedirs(os.path.dirname(self._marker(batch_id)), exist_ok=True)
+        with open(self._marker(batch_id), "w", encoding="utf-8"):
+            pass
+
     def distinct_over(
         self,
         spark: SparkSession,
@@ -110,3 +176,37 @@ class BitmapDistinctIndex:
             F.sum("n_rows").alias("n_rows"),
         )
         return agg
+
+
+def write_stream_to_bitmap_index(
+    df: DataFrame,
+    index: BitmapDistinctIndex,
+    checkpoint_root: str,
+    processing_time: str | None = "30 seconds",
+    available_now: bool = False,
+):
+    """Stream → incrementally-maintained bitmap index via foreachBatch
+    (same touched-partition + commit-ledger discipline as the rollup
+    sink). No watermark needed: state lives in the table, and a late
+    row ORs into its old day's bitmaps exactly like an on-time one."""
+    spark = df.sparkSession
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        index.merge_batch(batch, spark, batch_id=batch_id)
+
+    writer = (
+        df.writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation",
+            os.path.join(
+                checkpoint_root, f"bmidx-{os.path.basename(index.path)}"
+            ),
+        )
+        .outputMode("update")
+        .queryName(f"bmidx-{os.path.basename(index.path)}")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

@@ -380,3 +380,47 @@ def test_bitmap_index_day_refresh_is_idempotent(spark, tmp_path):
         for r in idx.distinct_over(spark, day, day).collect()
     )
     assert before == after
+
+
+def test_bitmap_index_streaming_maintenance_matches_batch_build(spark, tmp_path):
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.bitmap_index import (
+        BitmapDistinctIndex,
+        write_stream_to_bitmap_index,
+    )
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.sources.tables import (
+        load_events_stream,
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stream = load_events_stream(spark, sf)
+    idx = BitmapDistinctIndex(path=str(tmp_path / "bm_stream"))
+    q = write_stream_to_bitmap_index(
+        stream, idx, checkpoint_root=str(tmp_path / "ck"), available_now=True
+    )
+    assert q.awaitTermination(120)
+
+    e = load_table(spark, sf, "events")
+    batch_idx = BitmapDistinctIndex(path=str(tmp_path / "bm_batch"))
+    batch_idx.build(e)
+
+    import datetime as dt
+
+    lo, hi = dt.date(2024, 1, 1), dt.date(2024, 2, 28)
+    got = sorted(
+        (r["event_type"], r["distinct_ids"], r["n_rows"])
+        for r in idx.distinct_over(spark, lo, hi).collect()
+    )
+    want = sorted(
+        (r["event_type"], r["distinct_ids"], r["n_rows"])
+        for r in batch_idx.distinct_over(spark, lo, hi).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # replayed batch is a no-op (ledger): merge batch 0 again by hand
+    idx.merge_batch(e, spark, batch_id=0)
+    again = sorted(
+        (r["event_type"], r["distinct_ids"], r["n_rows"])
+        for r in idx.distinct_over(spark, lo, hi).collect()
+    )
+    assert again == got
