@@ -2029,3 +2029,81 @@ def bitmap_index_range_distinct(spark, sf_dir):
         F.col("distinct_ids").cast("long").alias("distinct_ids"),
         F.col("n_rows").cast("long").alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot lake time travel (MVCC manifests)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "snapshot_lake_time_travel",
+    """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(c_acctbal
+                     + CASE WHEN c_custkey % 3 = 0 THEN 1000 ELSE 0 END), 2)
+             AS total_bal
+    FROM customer GROUP BY 1
+    """,
+    "MVCC time travel through the snapshot lake (streaming/"
+    "snapshot_lake.py): three upsert commits build versions 1-3 "
+    "(base load, +1000 for custkey%3 keys, +5000 for custkey%5 "
+    "keys), then the query reads VERSION 2 — after the third commit "
+    "exists — and aggregates it. The oracle states version 2's truth "
+    "declaratively from the base table, so manifest isolation is "
+    "what is checked: a reader of v2 must see none of v3's files. "
+    "Immutable data files + atomic manifest rename = the "
+    "Delta/Iceberg commit model without the format jar",
+    ("lake", "mvcc", "time-travel", "customer"),
+)
+def snapshot_lake_time_travel(spark, sf_dir):
+    import tempfile
+
+    from ..streaming.snapshot_lake import SnapshotLakeTable
+
+    c = _t(spark, sf_dir, "customer")
+    t = SnapshotLakeTable(
+        path=tempfile.mkdtemp(prefix="snaplake_") + "/cust",
+        record_key="c_custkey",
+        precombine_field="pts",
+        partition_field="pdate",
+    )
+
+    def version(bal_expr, ts, pred=None):
+        df = c.select(
+            "c_custkey",
+            "c_mktsegment",
+            bal_expr.alias("bal"),
+            F.lit(ts).cast("timestamp").alias("pts"),
+            F.to_date(
+                F.when(F.col("c_custkey") % 2 == 0, F.lit("2024-06-01"))
+                .otherwise(F.lit("2024-06-02"))
+            ).alias("pdate"),
+        )
+        return df.filter(pred) if pred is not None else df
+
+    t.upsert_batch(version(F.col("c_acctbal"), "2024-06-01 00:00:00"), spark)
+    t.upsert_batch(
+        version(
+            F.col("c_acctbal") + 1000,
+            "2024-06-02 00:00:00",
+            pred=F.col("c_custkey") % 3 == 0,
+        ),
+        spark,
+    )
+    t.upsert_batch(
+        version(
+            F.col("c_acctbal") + 5000,
+            "2024-06-03 00:00:00",
+            pred=F.col("c_custkey") % 5 == 0,
+        ),
+        spark,
+    )
+    return (
+        t.read(spark, version=2)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("bal"), 2).alias("total_bal"),
+        )
+    )

@@ -1,0 +1,248 @@
+"""Snapshot-isolated upsert lake — manifest-based MVCC with time
+travel and vacuum (the Delta/Iceberg commit model, no format jar).
+
+``LakeTable`` reproduces Hudi-COW *results* but overwrites partition
+directories in place: readers racing a writer can see a partition
+mid-rewrite, and history is gone the moment it is written. This table
+fixes both with the same mechanism every production lake format uses:
+
+* **Immutable data files.** An upsert never modifies or deletes a
+  data file; it writes NEW files for the partitions it touches.
+* **Manifest commits.** Version N is a JSON manifest listing exactly
+  the files that make up the table at N (untouched partitions keep
+  their old files — file-level sharing across versions). Readers
+  resolve a manifest first, then read only its files: a reader can
+  NEVER observe a half-committed state, because the manifest appears
+  atomically.
+* **Atomic publish + optimistic concurrency.** The manifest is
+  staged under a temp name and renamed into place (rename is the
+  atomic primitive on HDFS/posix; on S3 swap in a conditional PUT).
+  A writer records the version it based its merge on and refuses to
+  publish if someone else committed meanwhile (classic OCC — retry
+  by re-merging on the new base).
+* **Time travel.** ``read(spark, version=k)`` reconstructs any
+  retained version from its manifest.
+* **Vacuum.** Files referenced by NO retained manifest are deleted;
+  everything a retained version needs stays. Equivalent of Delta
+  VACUUM / Hudi cleaner (KEEP_LATEST_FILE_VERSIONS, MSP:275-278).
+
+Scale: an upsert reads + rewrites only touched partitions' live
+files; manifests are metadata-sized (file lists); vacuum is a pure
+metadata diff plus unreferenced-file deletes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed since this merge's base version."""
+
+
+@dataclass
+class SnapshotLakeTable:
+    path: str
+    record_key: str = "id"
+    precombine_field: str = "processing_timestamp"
+    partition_field: str = "processing_date"
+
+    # -- layout --------------------------------------------------------
+
+    @property
+    def _data_dir(self) -> str:
+        return os.path.join(self.path, "data")
+
+    @property
+    def _manifest_dir(self) -> str:
+        return os.path.join(self.path, "_manifests")
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._manifest_dir, f"v{version:08d}.json")
+
+    # -- manifest I/O --------------------------------------------------
+
+    def latest_version(self) -> int:
+        """Highest committed version, 0 if the table is empty. The
+        manifest listing IS the commit log — no separate pointer file
+        to race on."""
+        if not os.path.isdir(self._manifest_dir):
+            return 0
+        versions = [
+            int(name[1:-5])
+            for name in os.listdir(self._manifest_dir)
+            if name.startswith("v") and name.endswith(".json")
+        ]
+        return max(versions, default=0)
+
+    def _read_manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version), encoding="utf-8") as f:
+            return json.load(f)
+
+    def _live_files(self, version: int) -> dict[str, list[str]]:
+        """partition value -> file list at ``version``."""
+        if version == 0:
+            return {}
+        return self._read_manifest(version)["files"]
+
+    def _publish(self, base_version: int, files: dict[str, list[str]], op: str) -> int:
+        """Atomically commit ``files`` as version base+1; refuse if a
+        different writer got there first (optimistic concurrency)."""
+        os.makedirs(self._manifest_dir, exist_ok=True)
+        new_version = base_version + 1
+        payload = {
+            "version": new_version,
+            "base": base_version,
+            "op": op,
+            "committed_at": time.time(),
+            "files": files,
+        }
+        tmp = os.path.join(
+            self._manifest_dir, f".tmp-{uuid.uuid4().hex}.json"
+        )
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(payload, f)
+        if self.latest_version() != base_version:
+            os.remove(tmp)
+            raise ConcurrentCommitError(
+                f"base version {base_version} is stale; "
+                f"latest is {self.latest_version()}"
+            )
+        target = self._manifest_path(new_version)
+        try:
+            os.rename(tmp, target)  # atomic on posix/HDFS
+        except FileExistsError:  # pragma: no cover - racing writer won
+            os.remove(tmp)
+            raise ConcurrentCommitError(f"version {new_version} already exists")
+        return new_version
+
+    # -- reads ---------------------------------------------------------
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        v = self.latest_version() if version is None else version
+        files = [f for fl in self._live_files(v).values() for f in fl]
+        if not files:
+            raise ValueError(f"version {v} of {self.path} has no data")
+        return spark.read.parquet(*files)
+
+    # -- upsert (file-immutable COW) ----------------------------------
+
+    def upsert_batch(self, batch: DataFrame, spark: SparkSession) -> int:
+        """Merge a batch (precombine latest-wins per key within a
+        partition, like ``LakeTable``) and commit a new version.
+        Returns the committed version number."""
+        if len(batch.take(1)) == 0:
+            return self.latest_version()
+        base = self.latest_version()
+        live = self._live_files(base)
+
+        w = Window.partitionBy(self.record_key).orderBy(
+            F.col(self.precombine_field).desc()
+        )
+        incoming = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        touched = [
+            str(r[0])
+            for r in incoming.select(self.partition_field).distinct().collect()
+        ]
+        old_files = [f for p in touched for f in live.get(p, [])]
+        if old_files:
+            existing = spark.read.parquet(*old_files)
+            merged = (
+                existing.unionByName(incoming, allowMissingColumns=True)
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            merged = incoming
+
+        # write new immutable files per touched partition
+        new_files: dict[str, list[str]] = dict(live)
+        for p in touched:
+            part_dir = os.path.join(
+                self._data_dir, f"{self.partition_field}={p}", uuid.uuid4().hex
+            )
+            (
+                merged.filter(F.col(self.partition_field) == F.lit(p))
+                .write.mode("overwrite")
+                .parquet(part_dir)
+            )
+            part_files = [
+                os.path.join(part_dir, n)
+                for n in os.listdir(part_dir)
+                if n.endswith(".parquet")
+            ]
+            new_files[p] = part_files
+        return self._publish(base, new_files, op="upsert")
+
+    # -- maintenance ---------------------------------------------------
+
+    def vacuum(self, keep_last: int = 2) -> list[str]:
+        """Delete data files referenced by NONE of the newest
+        ``keep_last`` manifests (older manifests are dropped too).
+        Returns the deleted file paths. Readers of retained versions
+        are unaffected — their whole file closure is kept."""
+        latest = self.latest_version()
+        if latest == 0:
+            return []
+        retained = range(max(1, latest - keep_last + 1), latest + 1)
+        keep: set[str] = set()
+        for v in retained:
+            for fl in self._live_files(v).values():
+                keep.update(fl)
+        deleted = []
+        for root, _dirs, names in os.walk(self._data_dir):
+            for n in names:
+                p = os.path.join(root, n)
+                if n.endswith(".parquet") and p not in keep:
+                    os.remove(p)
+                    deleted.append(p)
+        for v in range(1, min(retained)):
+            mp = self._manifest_path(v)
+            if os.path.exists(mp):
+                os.remove(mp)
+        return deleted
+
+
+def write_stream_to_snapshot_lake(
+    df: DataFrame,
+    table: SnapshotLakeTable,
+    checkpoint_root: str,
+    available_now: bool = False,
+    processing_time: str | None = "2 minutes",
+):
+    """Stream → snapshot lake via foreachBatch; every micro-batch is
+    one atomic manifest commit, so readers see batch boundaries, never
+    partial batches."""
+    spark = df.sparkSession
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        table.upsert_batch(batch, spark)
+
+    writer = (
+        df.writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation",
+            os.path.join(
+                checkpoint_root, f"snap-{os.path.basename(table.path)}"
+            ),
+        )
+        .outputMode("append")
+        .queryName(f"snap-{os.path.basename(table.path)}")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
