@@ -424,3 +424,52 @@ def test_bitmap_index_streaming_maintenance_matches_batch_build(spark, tmp_path)
         for r in idx.distinct_over(spark, lo, hi).collect()
     )
     assert again == got
+
+
+# ---------------------------------------------------------------------------
+# Cost-based optimizer: ANALYZE statistics drive the join strategy
+# ---------------------------------------------------------------------------
+
+def test_analyze_statistics_enable_broadcast_decision(spark, tmp_path):
+    """CBO integration: without stats Spark falls back to file-size
+    estimates; with ANALYZE'd row/size stats a genuinely-small table
+    joins as BroadcastHashJoin under a threshold that its raw file
+    size alone would not clear. Statistics are the 100 TB lever that
+    keeps dim-fact joins broadcast when directory sizes mislead."""
+    db = "cbo_test_db"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    spark.sql(
+        f"CREATE DATABASE {db} LOCATION '{tmp_path / 'warehouse'}'"
+    )
+    try:
+        spark.range(200).selectExpr(
+            "id AS k", "concat('dim_', id) AS name"
+        ).write.saveAsTable(f"{db}.dim")
+        spark.range(200_000).selectExpr(
+            "id % 200 AS k", "id AS v"
+        ).write.saveAsTable(f"{db}.fact")
+
+        spark.sql(f"ANALYZE TABLE {db}.dim COMPUTE STATISTICS")
+        spark.sql(f"ANALYZE TABLE {db}.fact COMPUTE STATISTICS")
+
+        stats = spark.sql(f"DESCRIBE EXTENDED {db}.dim").collect()
+        stat_row = [r for r in stats if r["col_name"] == "Statistics"]
+        assert stat_row and "rows" in stat_row[0]["data_type"]
+
+        joined = spark.sql(
+            f"SELECT /*+ BROADCAST(d) */ count(*) FROM {db}.fact f "
+            f"JOIN {db}.dim d ON f.k = d.k"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+        # and WITHOUT any hint, the analyzed 200-row dim still
+        # broadcasts because its stats-based size is tiny
+        no_hint = spark.sql(
+            f"SELECT count(*) FROM {db}.fact f JOIN {db}.dim d ON f.k = d.k"
+        )
+        plan2 = no_hint._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan2
+        assert no_hint.first()[0] == 200_000
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
