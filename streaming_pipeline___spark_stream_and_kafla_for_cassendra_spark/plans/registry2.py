@@ -2107,3 +2107,168 @@ def snapshot_lake_time_travel(spark, sf_dir):
             F.round(F.sum("bal"), 2).alias("total_bal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit (FK orphan report)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "referential_integrity_report",
+    """
+    SELECT 'lineitem.l_orderkey -> orders' AS relationship,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS child_rows,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS orphans
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'lineitem.l_partkey -> part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    """,
+    "Referential-integrity audit across the star schema's four FK "
+    "relationships: child row counts plus orphan counts (children "
+    "whose parent key is missing) via left-anti joins — the "
+    "governance check a CDC pipeline runs after every backfill, "
+    "since dropped parent changes materialize as orphans. Each "
+    "relationship is one anti-join with the parent's KEY COLUMN "
+    "only on the build side (broadcast for dims); one scan per "
+    "table side, no row data shuffled",
+    ("quality", "governance", "join", "anti"),
+)
+def referential_integrity_report(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part")
+    n = _t(spark, sf_dir, "nation")
+
+    def audit(rel, child, child_key, parent, parent_key):
+        orphans = child.select(child_key).join(
+            parent.select(parent_key),
+            child[child_key] == parent[parent_key],
+            "left_anti",
+        )
+        return (
+            child.agg(F.count("*").alias("child_rows"))
+            .crossJoin(orphans.agg(F.count("*").alias("orphans")))
+            .select(
+                F.lit(rel).alias("relationship"), "child_rows", "orphans"
+            )
+        )
+
+    return (
+        audit("lineitem.l_orderkey -> orders", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(
+            audit("orders.o_custkey -> customer", o, "o_custkey", c, "c_custkey")
+        )
+        .unionByName(
+            audit("lineitem.l_partkey -> part", li, "l_partkey", p, "p_partkey")
+        )
+        .unionByName(
+            audit(
+                "customer.c_nationkey -> nation", c, "c_nationkey", n, "n_nationkey"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder integer allocation (exact proportional rationing)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "largest_remainder_allocation",
+    """
+    WITH seg AS (
+      SELECT c_mktsegment,
+             CAST(floor(round(sum(o_totalprice), 4) * 100 + 0.5) AS BIGINT)
+               AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS tot FROM seg),
+    q AS (
+      SELECT c_mktsegment, cents,
+             (cents * 10000) // tot AS floor_units,
+             (cents * 10000) % tot AS remainder
+      FROM seg CROSS JOIN tot
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (ORDER BY remainder DESC, c_mktsegment)
+               AS rem_rank,
+             CAST(10000 - sum(floor_units) OVER () AS BIGINT) AS leftover
+      FROM q
+    )
+    SELECT c_mktsegment,
+           cents / 100.0 AS revenue,
+           CAST(floor_units + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS allocated_units
+    FROM ranked
+    """,
+    "Largest-remainder (Hamilton) integer allocation: 10,000 budget "
+    "units split across market segments proportional to revenue, with "
+    "floors first and the leftover units granted to the largest "
+    "remainders (deterministic tie → segment name) so the allocation "
+    "sums EXACTLY to the budget — the standard rationing/seat-"
+    "apportionment algorithm, done entirely in integer arithmetic "
+    "(revenue in cents, quotas as integer div/mod) so both engines "
+    "agree bit-for-bit. One aggregate + one segment-sized window",
+    ("agg", "window", "finance", "orders", "customer"),
+)
+def largest_remainder_allocation(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    seg = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.floor(F.round(F.sum("o_totalprice"), 4) * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    tot = seg.agg(F.sum("cents").alias("tot"))
+    q = seg.crossJoin(F.broadcast(tot)).select(
+        "c_mktsegment",
+        "cents",
+        # div() is exact BIGINT division — floor(a*b/c) on doubles can
+        # land on the wrong side of an integer boundary
+        F.expr("div(cents * 10000, tot)").cast("long").alias("floor_units"),
+        ((F.col("cents") * 10000) % F.col("tot")).alias("remainder"),
+    )
+    ranked = q.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("remainder").desc(), F.col("c_mktsegment")))
+        .alias("rem_rank"),
+        (F.lit(10000) - F.sum("floor_units").over(Window.partitionBy())).alias(
+            "leftover"
+        ),
+    )
+    return ranked.select(
+        "c_mktsegment",
+        (F.col("cents") / F.lit(100.0)).alias("revenue"),
+        (
+            F.col("floor_units")
+            + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("allocated_units"),
+    )
