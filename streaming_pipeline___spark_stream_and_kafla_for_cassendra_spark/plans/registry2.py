@@ -2272,3 +2272,243 @@ def largest_remainder_allocation(spark, sf_dir):
         .cast("long")
         .alias("allocated_units"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexicon sentiment scoring (EDBT'16 Spark sentiment pipeline shape)
+# ---------------------------------------------------------------------------
+
+_SENTIMENT_LEXICON = {
+    "good": 3, "great": 4, "excellent": 5, "best": 4, "fine": 2,
+    "special": 2, "regular": 1, "even": 1,
+    "bad": -3, "slow": -2, "unusual": -1, "final": -1, "close": -1,
+    "furious": -4, "ironic": -2, "dogged": -2, "bold": 1, "quick": 2,
+}
+
+
+def _sentiment_oracle() -> str:
+    cases = " ".join(
+        f"WHEN '{w}' THEN {s}" for w, s in _SENTIMENT_LEXICON.items()
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             CASE w {cases} ELSE 0 END AS s,
+             CASE WHEN (CASE w {cases} ELSE 0 END) <> 0 THEN 1 ELSE 0 END
+               AS hit
+      FROM toks
+    )
+    SELECT doc_id, lang,
+           CAST(sum(s) AS BIGINT) AS sentiment_sum,
+           CAST(sum(hit) AS BIGINT) AS n_scored_tokens,
+           CASE WHEN sum(s) > 0 THEN 'positive'
+                WHEN sum(s) < 0 THEN 'negative'
+                ELSE 'neutral' END AS polarity
+    FROM scored GROUP BY 1, 2
+    """
+
+
+@_register(
+    "sentiment_lexicon_documents",
+    _sentiment_oracle(),
+    "Lexicon-based sentiment scoring (the large-scale Spark "
+    "sentiment-pipeline shape, EDBT'16): tokens map through an "
+    "embedded signed lexicon via a scan-local CASE (the lexicon "
+    "compiles into the expression — zero joins, zero shuffles before "
+    "the per-doc aggregate), summing to a per-document polarity. "
+    "Integer scores → bit-exact cross-engine. Swap the embedded "
+    "lexicon for a broadcast map at real vocabulary sizes — the plan "
+    "shape is unchanged",
+    ("text", "nlp", "sentiment", "documents"),
+)
+def sentiment_lexicon_documents(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("w"),
+    )
+    score = F.lit(0)
+    for w, s in _SENTIMENT_LEXICON.items():
+        score = F.when(F.col("w") == w, s).otherwise(score)
+    scored = toks.select(
+        "doc_id", "lang", score.alias("s"), (score != 0).cast("int").alias("hit")
+    )
+    agg = scored.groupBy("doc_id", "lang").agg(
+        F.sum("s").alias("sentiment_sum"),
+        F.sum("hit").alias("n_scored_tokens"),
+    )
+    return agg.select(
+        "doc_id",
+        "lang",
+        "sentiment_sum",
+        "n_scored_tokens",
+        F.when(F.col("sentiment_sum") > 0, "positive")
+        .when(F.col("sentiment_sum") < 0, "negative")
+        .otherwise("neutral")
+        .alias("polarity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-normalized subsequence similarity search (UCR-style, EDBT'19 shape)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "ts_subsequence_match_hourly",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             CAST(floor(round(sum(value), 4) * 100 + 0.5) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT list(cents ORDER BY h) AS arr,
+             list(h ORDER BY h) AS hs
+      FROM hourly
+    ),
+    znq AS (
+      SELECT arr, hs, len(arr) AS n,
+             list_transform(range(1, 25), i -> arr[i] * 1.0) AS q
+      FROM s
+    ),
+    qstats AS (
+      SELECT arr, hs, n, q,
+             list_reduce(q, (a, x) -> a + x) / 24 AS qmu,
+             sqrt(list_reduce(list_transform(q, x -> x * x), (a, x) -> a + x)
+                  / 24
+                  - (list_reduce(q, (a, x) -> a + x) / 24)
+                    * (list_reduce(q, (a, x) -> a + x) / 24) + 1e-12) AS qsd
+      FROM znq
+    ),
+    cand AS (
+      SELECT hs[st] AS window_start, st, arr, n, q, qmu, qsd
+      FROM qstats, (SELECT unnest(range(25, (SELECT n FROM znq) - 22)) AS st)
+    ),
+    wstats AS (
+      SELECT window_start, st, arr, q, qmu, qsd,
+             list_transform(range(0, 24), j -> arr[st + j] * 1.0) AS w
+      FROM cand
+    ),
+    wz AS (
+      SELECT window_start, st, q, qmu, qsd, w,
+             list_reduce(w, (a, x) -> a + x) / 24 AS wmu,
+             sqrt(list_reduce(list_transform(w, x -> x * x), (a, x) -> a + x)
+                  / 24
+                  - (list_reduce(w, (a, x) -> a + x) / 24)
+                    * (list_reduce(w, (a, x) -> a + x) / 24) + 1e-12) AS wsd
+      FROM wstats
+    ),
+    dist AS (
+      SELECT window_start,
+             floor(
+               list_reduce(
+                 list_transform(range(0, 24),
+                   j -> ((w[j + 1] - wmu) / wsd - (q[j + 1] - qmu) / qsd)
+                        * ((w[j + 1] - wmu) / wsd - (q[j + 1] - qmu) / qsd)),
+                 (a, x) -> a + x) * 10000 + 0.5) / 10000.0 AS zdist
+      FROM wz
+    )
+    SELECT window_start, zdist,
+           CAST(row_number() OVER (ORDER BY zdist, window_start) AS INTEGER)
+             AS rank
+    FROM dist
+    QUALIFY rank <= 10
+    """,
+    "Z-normalized subsequence similarity search over the hourly "
+    "revenue-proxy series (UCR-suite / streaming-similarity shape, "
+    "EDBT'19): the first 24 hours form the query pattern; every "
+    "later 24-hour window z-normalizes and scores by squared "
+    "Euclidean distance; top-10 closest windows returned. Hourly "
+    "sums convert to integer cents, every mean/σ/distance is one "
+    "deterministic expression over them, and the whole search runs "
+    "as index folds over the series array — at 100 TB the series "
+    "per key is bounded, and per-key searches parallelize across "
+    "the keyed partitioning",
+    ("timeseries", "similarity", "hof", "events"),
+)
+def ts_subsequence_match_hourly(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.floor(F.round(F.sum("value"), 4) * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents")
+    )
+    s = hourly.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("h", "cents"))),
+            lambda x: x["cents"],
+        ).alias("arr"),
+        F.array_sort(F.collect_list("h")).alias("hs"),
+    )
+    arr = F.col("arr")
+    n = F.size(arr)
+    m = 24
+
+    def mean_of(vec):
+        return F.aggregate(vec, F.lit(0.0), lambda a, x: a + x) / m
+
+    def sd_of(vec, mu):
+        sq = F.aggregate(
+            F.transform(vec, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+        return F.sqrt(sq / m - mu * mu + F.lit(1e-12))
+
+    q = F.transform(F.sequence(F.lit(1), F.lit(m)), lambda i: F.element_at(arr, i) * 1.0)
+    base = s.select(
+        arr.alias("arr"),
+        F.col("hs").alias("hs"),
+        n.alias("n"),
+        q.alias("q"),
+    ).select(
+        "*",
+        mean_of(F.col("q")).alias("qmu"),
+    ).select("*", sd_of(F.col("q"), F.col("qmu")).alias("qsd"))
+    cand = base.select(
+        "*", F.explode(F.sequence(F.lit(m + 1), F.col("n") - m + 1)).alias("st")
+    )
+    w = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.element_at(F.col("arr"), F.col("st") + j) * 1.0,
+    )
+    cand = cand.select(
+        F.element_at("hs", F.col("st")).alias("window_start"),
+        "q", "qmu", "qsd", w.alias("w"),
+    ).select("*", mean_of(F.col("w")).alias("wmu")).select(
+        "*", sd_of(F.col("w"), F.col("wmu")).alias("wsd")
+    )
+    zd = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: (
+                (F.element_at(F.col("w"), j + 1) - F.col("wmu")) / F.col("wsd")
+                - (F.element_at(F.col("q"), j + 1) - F.col("qmu")) / F.col("qsd")
+            )
+            * (
+                (F.element_at(F.col("w"), j + 1) - F.col("wmu")) / F.col("wsd")
+                - (F.element_at(F.col("q"), j + 1) - F.col("qmu")) / F.col("qsd")
+            ),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    dist = cand.select(
+        "window_start",
+        (F.floor(zd * 10000 + F.lit(0.5)) / F.lit(10000.0)).alias("zdist"),
+    )
+    return dist.select(
+        "window_start",
+        "zdist",
+        F.row_number()
+        .over(Window.orderBy("zdist", "window_start"))
+        .cast("int")
+        .alias("rank"),
+    ).filter(F.col("rank") <= 10)
