@@ -90,6 +90,9 @@ HEADLINE = [
     "mv_rewrite_daily_value_stats",
     "hybrid_search_rrf",
     "weighted_median_price_by_brand",
+    "bitmap_index_range_distinct",
+    "match_recognize_funnel_users",
+    "ts_subsequence_match_hourly",
 ]
 
 
