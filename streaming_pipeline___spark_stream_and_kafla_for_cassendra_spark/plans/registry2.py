@@ -2512,3 +2512,123 @@ def ts_subsequence_match_hourly(spark, sf_dir):
         .cast("int")
         .alias("rank"),
     ).filter(F.col("rank") <= 10)
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap CI (scalable statistical inference)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "bootstrap_ci_mean_price",
+    """
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    resampled AS (
+      SELECT r, cents,
+             (CAST(('0x' || substr(md5('boot-v1' || CAST(r AS VARCHAR) || ':'
+                     || CAST(l_orderkey AS VARCHAR) || ':'
+                     || CAST(l_linenumber AS VARCHAR)), 1, 8)) AS UBIGINT)
+              + 1) / 4294967296.0 AS u
+      FROM base, (SELECT unnest(range(1, 101)) AS r)
+    ),
+    mult AS (
+      SELECT r, cents,
+             CASE WHEN u <= 0.36787944117144233 THEN 0
+                  WHEN u <= 0.7357588823428847 THEN 1
+                  WHEN u <= 0.919698602928606 THEN 2
+                  ELSE 3 END AS m
+      FROM resampled
+    ),
+    per_resample AS (
+      SELECT r, CAST(sum(cents * m) AS BIGINT) AS sc,
+             CAST(sum(m) AS BIGINT) AS n
+      FROM mult GROUP BY r HAVING sum(m) > 0
+    ),
+    arr AS (
+      SELECT list(sc * 1.0 / (100.0 * n) ORDER BY sc * 1.0 / (100.0 * n)) AS a,
+             CAST(count(*) AS BIGINT) AS b
+      FROM per_resample
+    ),
+    point AS (
+      SELECT CAST(sum(cents) AS BIGINT) AS tot,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM base
+    )
+    SELECT b AS n_resamples,
+           floor(tot * 1.0 / (100.0 * cnt) * 1000000 + 0.5) / 1000000.0
+             AS point_mean,
+           floor(a[3] * 1000000 + 0.5) / 1000000.0 AS ci_lo,
+           floor(a[98] * 1000000 + 0.5) / 1000000.0 AS ci_hi
+    FROM arr CROSS JOIN point
+    """,
+    "Poisson bootstrap 95% CI for the mean extended price — THE "
+    "scalable bootstrap: instead of resampling n rows with "
+    "replacement (which needs global coordination), every row draws "
+    "an independent multiplicity per resample from a truncated "
+    "Poisson(1) (P=e⁻¹ ladder), so 100 resamples are one ×100 "
+    "map-side explode feeding a 100-group partial-aggregated sum — "
+    "shuffle carries 100 rows per partition, never data. "
+    "Multiplicities come from salted md5 uniforms (deterministic "
+    "across runs AND engines, same discipline as priority "
+    "sampling); prices are integer cents, so every resample mean is "
+    "an exact integer ratio and the CI bounds are order statistics "
+    "of identical doubles",
+    ("stats", "bootstrap", "sampling", "lineitem"),
+)
+def bootstrap_ci_mean_price(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    resampled = li.select(
+        "cents",
+        F.explode(F.sequence(F.lit(1), F.lit(100))).alias("r"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    key = F.concat(
+        F.lit("boot-v1"),
+        F.col("r").cast("string"),
+        F.lit(":"),
+        F.col("l_orderkey").cast("string"),
+        F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(key.cast("binary")), 1, 8), 16, 10).cast("long")
+        + 1
+    ) / F.lit(4294967296.0)
+    m = (
+        F.when(u <= 0.36787944117144233, 0)
+        .when(u <= 0.7357588823428847, 1)
+        .when(u <= 0.919698602928606, 2)
+        .otherwise(3)
+    )
+    per = (
+        resampled.select("r", "cents", m.alias("m"))
+        .groupBy("r")
+        .agg(F.sum(F.col("cents") * F.col("m")).alias("sc"), F.sum("m").alias("n"))
+        .filter(F.col("n") > 0)
+    )
+    mean_r = F.col("sc") * F.lit(1.0) / (F.lit(100.0) * F.col("n"))
+    arr = per.select(mean_r.alias("mr")).agg(
+        F.sort_array(F.collect_list("mr")).alias("a"),
+        F.count("*").alias("b"),
+    )
+    point = li.agg(
+        F.sum("cents").alias("tot"), F.count("*").alias("cnt")
+    )
+    return arr.crossJoin(F.broadcast(point)).select(
+        F.col("b").alias("n_resamples"),
+        _r6(F.col("tot") * F.lit(1.0) / (F.lit(100.0) * F.col("cnt"))).alias(
+            "point_mean"
+        ),
+        _r6(F.element_at("a", 3)).alias("ci_lo"),
+        _r6(F.element_at("a", 98)).alias("ci_hi"),
+    )
