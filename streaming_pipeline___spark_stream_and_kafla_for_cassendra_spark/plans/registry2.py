@@ -2632,3 +2632,144 @@ def bootstrap_ci_mean_price(spark, sf_dir):
         _r6(F.element_at("a", 3)).alias("ci_lo"),
         _r6(F.element_at("a", 98)).alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan–Meier survival estimator (time-to-purchase with censoring)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "kaplan_meier_time_to_purchase",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_ev,
+             max(ts) AS t_last
+      FROM events GROUP BY user_id
+    ),
+    subjects AS (
+      SELECT user_id,
+             CASE WHEN t_ev IS NOT NULL AND t_ev >= t0
+                  THEN CAST(date_diff('hour', t0, t_ev) AS BIGINT)
+                  ELSE CAST(date_diff('hour', t0, t_last) AS BIGINT)
+             END AS dur_h,
+             CASE WHEN t_ev IS NOT NULL AND t_ev >= t0 THEN 1 ELSE 0 END
+               AS observed
+      FROM per_user WHERE t0 IS NOT NULL
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM subjects),
+    at_t AS (
+      SELECT dur_h AS t,
+             CAST(sum(observed) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS leaving
+      FROM subjects GROUP BY 1
+    ),
+    risk AS (
+      SELECT t, d,
+             n - coalesce(sum(leaving) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM at_t CROSS JOIN tot
+    ),
+    ev AS (SELECT t, d, n_risk FROM risk WHERE d > 0),
+    arrs AS (
+      SELECT list(t ORDER BY t) AS ts_,
+             list(d ORDER BY t) AS ds,
+             list(n_risk ORDER BY t) AS ns,
+             CAST(count(*) AS BIGINT) AS k
+      FROM ev
+    )
+    SELECT unnest(list_transform(range(1, k + 1), i -> ts_[i])) AS t_hours,
+           unnest(list_transform(range(1, k + 1), i -> ns[i])) AS n_risk,
+           unnest(list_transform(range(1, k + 1), i -> ds[i])) AS n_events,
+           unnest(list_transform(range(1, k + 1),
+             i -> floor(exp(list_reduce(
+                    list_transform(range(1, i + 1),
+                      j -> ln(1.0 - ds[j] * 1.0 / ns[j])),
+                    (a, x) -> a + x)) * 1000000 + 0.5) / 1000000.0))
+             AS survival
+    FROM arrs
+    """,
+    "Kaplan–Meier survival curve for time-to-purchase with RIGHT "
+    "CENSORING (users who never purchase contribute risk time up to "
+    "their last activity — dropping them would bias conversion "
+    "optimistically): per-user durations from one aggregate, risk "
+    "sets from integer cumulative counts over the hours-sized event "
+    "grid, and S(t) = Π(1 − dᵢ/nᵢ) evaluated as left-to-right "
+    "ln-folds over the sorted event times so both engines multiply "
+    "identical exact ratios in identical order. The duration rollup "
+    "is the only fact-sized shuffle",
+    ("survival", "stats", "timeseries", "events"),
+)
+def kaplan_meier_time_to_purchase(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_ev"
+        ),
+        F.max("ts").alias("t_last"),
+    )
+    observed = F.col("t_ev").isNotNull() & (F.col("t_ev") >= F.col("t0"))
+    # date_diff('hour') counts HOUR-BOUNDARY crossings, not elapsed
+    # hours: floor each endpoint to its hour first, then subtract
+    hours = lambda a, b: (  # noqa: E731
+        F.floor(F.col(b).cast("timestamp").cast("long") / 3600)
+        - F.floor(F.col(a).cast("timestamp").cast("long") / 3600)
+    ).cast("long")
+    subjects = per_user.filter(F.col("t0").isNotNull()).select(
+        F.when(observed, hours("t0", "t_ev"))
+        .otherwise(hours("t0", "t_last"))
+        .alias("dur_h"),
+        observed.cast("int").alias("observed"),
+    )
+    tot = subjects.agg(F.count("*").alias("n"))
+    at_t = subjects.groupBy(F.col("dur_h").alias("t")).agg(
+        F.sum("observed").alias("d"), F.count("*").alias("leaving")
+    )
+    prior = (
+        Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = at_t.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        (
+            F.col("n")
+            - F.coalesce(F.sum("leaving").over(prior), F.lit(0))
+        ).alias("n_risk"),
+    )
+    ev = risk.filter(F.col("d") > 0)
+    arrs = ev.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("t", "d", "n_risk"))),
+            lambda s: s["t"],
+        ).alias("ts_"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("t", "d", "n_risk"))),
+            lambda s: s["d"],
+        ).alias("ds"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("t", "d", "n_risk"))),
+            lambda s: s["n_risk"],
+        ).alias("ns"),
+        F.count("*").alias("k"),
+    )
+    idx = F.explode(F.sequence(F.lit(1), F.col("k").cast("int"))).alias("i")
+    rows = arrs.select("ts_", "ds", "ns", idx)
+    lnterm = lambda j: F.log(  # noqa: E731
+        1.0 - F.element_at(F.col("ds"), j) * F.lit(1.0) / F.element_at(F.col("ns"), j)
+    )
+    surv = F.exp(
+        F.aggregate(
+            F.transform(F.sequence(F.lit(1), F.col("i")), lnterm),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    return rows.select(
+        F.element_at("ts_", F.col("i")).alias("t_hours"),
+        F.element_at("ns", F.col("i")).alias("n_risk"),
+        F.element_at("ds", F.col("i")).alias("n_events"),
+        _r6(surv).alias("survival"),
+    )
