@@ -2773,3 +2773,185 @@ def kaplan_meier_time_to_purchase(spark, sf_dir):
         F.element_at("ds", F.col("i")).alias("n_events"),
         _r6(surv).alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ML evaluation: ROC-AUC via rank statistics (Mann–Whitney)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "auc_chars_predict_english",
+    """
+    WITH scored AS (
+      SELECT n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    ranked AS (
+      SELECT y,
+             avg(rn) OVER (PARTITION BY score) AS tie_rank
+      FROM (
+        SELECT score, y,
+               row_number() OVER (ORDER BY score) * 1.0 AS rn
+        FROM scored
+      )
+    ),
+    agg AS (
+      SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(count(*) - sum(y) AS BIGINT) AS n_neg,
+             sum(CASE WHEN y = 1 THEN tie_rank ELSE 0 END) AS r_pos
+      FROM ranked
+    )
+    SELECT n_pos, n_neg,
+           floor((r_pos - n_pos * (n_pos + 1.0) / 2)
+                 / (n_pos * 1.0 * n_neg) * 1000000 + 0.5) / 1000000.0 AS auc
+    FROM agg
+    """,
+    "ROC-AUC of document length predicting lang='en', computed as "
+    "the Mann–Whitney rank-sum statistic: AUC = (R₊ − n₊(n₊+1)/2) / "
+    "(n₊ n₋), with tied scores taking average ranks. Ranks are "
+    "integers (ties → .5 halves — exactly representable), so the "
+    "statistic is bit-deterministic; no threshold sweep or curve "
+    "materialization. This is the scalable AUC: one sort-rank "
+    "window over (score)-grouped data + one aggregate, no O(n²) "
+    "pair comparisons",
+    ("ml", "evaluation", "auc", "stats", "documents"),
+)
+def auc_chars_predict_english(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        F.col("n_chars").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    rn = F.row_number().over(Window.orderBy("score")) * F.lit(1.0)
+    ranked = scored.select("score", "y", rn.alias("rn")).select(
+        "y", F.avg("rn").over(Window.partitionBy("score")).alias("tie_rank")
+    )
+    agg = ranked.agg(
+        F.sum("y").alias("n_pos"),
+        (F.count("*") - F.sum("y")).alias("n_neg"),
+        F.sum(F.when(F.col("y") == 1, F.col("tie_rank")).otherwise(0.0)).alias(
+            "r_pos"
+        ),
+    )
+    auc = (
+        F.col("r_pos") - F.col("n_pos") * (F.col("n_pos") + F.lit(1.0)) / 2
+    ) / (F.col("n_pos") * F.lit(1.0) * F.col("n_neg"))
+    return agg.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        _r6(auc).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ML evaluation: classifier confusion metrics (language ID vs labels)
+# ---------------------------------------------------------------------------
+
+def _langid_metrics_oracle() -> str:
+    from .registry import _langid_oracle
+
+    return f"""
+    WITH preds AS ({_langid_oracle()}),
+    cells AS (
+      SELECT labeled_lang, guessed_lang, CAST(count(*) AS BIGINT) AS n
+      FROM preds GROUP BY 1, 2
+    ),
+    langs AS (SELECT DISTINCT labeled_lang AS lang FROM cells),
+    m AS (
+      SELECT lang,
+             coalesce((SELECT sum(n) FROM cells
+                       WHERE labeled_lang = lang AND guessed_lang = lang), 0)
+               AS tp,
+             coalesce((SELECT sum(n) FROM cells
+                       WHERE guessed_lang = lang AND labeled_lang <> lang), 0)
+               AS fp,
+             coalesce((SELECT sum(n) FROM cells
+                       WHERE labeled_lang = lang AND guessed_lang <> lang), 0)
+               AS fn
+      FROM langs
+    )
+    SELECT lang, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           floor(CASE WHEN tp + fp = 0 THEN 0.0
+                      ELSE tp * 1.0 / (tp + fp) END * 1000000 + 0.5)
+             / 1000000.0 AS precision_,
+           floor(CASE WHEN tp + fn = 0 THEN 0.0
+                      ELSE tp * 1.0 / (tp + fn) END * 1000000 + 0.5)
+             / 1000000.0 AS recall_,
+           floor(CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+                      ELSE 2.0 * tp / (2 * tp + fp + fn) END * 1000000 + 0.5)
+             / 1000000.0 AS f1
+    FROM m
+    """
+
+
+@_register(
+    "langid_confusion_metrics",
+    _langid_metrics_oracle(),
+    "Classifier evaluation closing the language-ID loop: the "
+    "engine's heuristic language detector scored against the labeled "
+    "lang column — per-language TP/FP/FN and precision/recall/F1 "
+    "from the confusion cells. The oracle re-derives the SAME "
+    "detector from the shared stopword tables (so predictions are "
+    "engine-identical) and recomputes the metrics relationally; all "
+    "floats derive from integer counts. One prediction scan + a "
+    "cells-sized aggregate",
+    ("ml", "evaluation", "langid", "text", "documents"),
+)
+def langid_confusion_metrics(spark, sf_dir):
+    from ..functions.text import lang_id_heuristic
+
+    d = _t(spark, sf_dir, "documents")
+    preds = d.select(
+        F.col("lang").alias("labeled_lang"),
+        lang_id_heuristic(F.col("text")).alias("guessed_lang"),
+    )
+    cells = preds.groupBy("labeled_lang", "guessed_lang").agg(
+        F.count("*").alias("n")
+    )
+    langs = cells.select(F.col("labeled_lang").alias("lang")).distinct()
+    tp = cells.filter(F.col("labeled_lang") == F.col("guessed_lang")).select(
+        F.col("labeled_lang").alias("lang"), F.col("n").alias("tp")
+    )
+    fp = (
+        cells.filter(F.col("labeled_lang") != F.col("guessed_lang"))
+        .groupBy(F.col("guessed_lang").alias("lang"))
+        .agg(F.sum("n").alias("fp"))
+    )
+    fn = (
+        cells.filter(F.col("labeled_lang") != F.col("guessed_lang"))
+        .groupBy(F.col("labeled_lang").alias("lang"))
+        .agg(F.sum("n").alias("fn"))
+    )
+    m = (
+        langs.join(tp, "lang", "left")
+        .join(fp, "lang", "left")
+        .join(fn, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            F.coalesce("fp", F.lit(0)).alias("fp"),
+            F.coalesce("fn", F.lit(0)).alias("fn"),
+        )
+    )
+    prec = F.when(F.col("tp") + F.col("fp") == 0, F.lit(0.0)).otherwise(
+        F.col("tp") * F.lit(1.0) / (F.col("tp") + F.col("fp"))
+    )
+    rec = F.when(F.col("tp") + F.col("fn") == 0, F.lit(0.0)).otherwise(
+        F.col("tp") * F.lit(1.0) / (F.col("tp") + F.col("fn"))
+    )
+    f1 = F.when(
+        2 * F.col("tp") + F.col("fp") + F.col("fn") == 0, F.lit(0.0)
+    ).otherwise(
+        F.lit(2.0) * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn"))
+    )
+    return m.select(
+        "lang",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        _r6(prec).alias("precision_"),
+        _r6(rec).alias("recall_"),
+        _r6(f1).alias("f1"),
+    )
