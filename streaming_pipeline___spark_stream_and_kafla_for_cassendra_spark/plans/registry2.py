@@ -2955,3 +2955,79 @@ def langid_confusion_metrics(spark, sf_dir):
         _r6(rec).alias("recall_"),
         _r6(f1).alias("f1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data profiling: string pattern census (shape discovery)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "string_pattern_profile",
+    """
+    WITH shapes AS (
+      SELECT 'c_name' AS column_name,
+             regexp_replace(regexp_replace(regexp_replace(
+               c_name, '[0-9]', '9', 'g'), '[a-z]', 'a', 'g'),
+               '[A-Z]', 'A', 'g') AS pattern
+      FROM customer
+      UNION ALL
+      SELECT 'p_brand',
+             regexp_replace(regexp_replace(regexp_replace(
+               p_brand, '[0-9]', '9', 'g'), '[a-z]', 'a', 'g'),
+               '[A-Z]', 'A', 'g')
+      FROM part
+      UNION ALL
+      SELECT 'o_orderpriority',
+             regexp_replace(regexp_replace(regexp_replace(
+               o_orderpriority, '[0-9]', '9', 'g'), '[a-z]', 'a', 'g'),
+               '[A-Z]', 'A', 'g')
+      FROM orders
+    ),
+    counted AS (
+      SELECT column_name, pattern, CAST(count(*) AS BIGINT) AS n
+      FROM shapes GROUP BY 1, 2
+    )
+    SELECT column_name, pattern, n,
+           CAST(rank_ AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY column_name
+               ORDER BY n DESC, pattern) AS rank_
+      FROM counted
+    ) WHERE rank_ <= 5
+    """,
+    "String shape profiling (the pattern-discovery pass of a data "
+    "profiler): every value maps to its character-class skeleton "
+    "(digits→9, lower→a, upper→A — scan-local regexp chain, zero "
+    "shuffles before the census), then the top-5 shapes per column "
+    "expose format drift — a new pattern in a column that had one "
+    "shape is how malformed upstream feeds surface. Census "
+    "cardinality is #shapes, not #rows",
+    ("profiling", "quality", "strings", "customer", "part", "orders"),
+)
+def string_pattern_profile(spark, sf_dir):
+    def shape(col):
+        c = F.regexp_replace(col, "[0-9]", "9")
+        c = F.regexp_replace(c, "[a-z]", "a")
+        return F.regexp_replace(c, "[A-Z]", "A")
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.lit("c_name").alias("column_name"), shape(F.col("c_name")).alias("pattern")
+    )
+    p = _t(spark, sf_dir, "part").select(
+        F.lit("p_brand").alias("column_name"), shape(F.col("p_brand")).alias("pattern")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.lit("o_orderpriority").alias("column_name"),
+        shape(F.col("o_orderpriority")).alias("pattern"),
+    )
+    counted = c.unionByName(p).unionByName(o).groupBy(
+        "column_name", "pattern"
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("column_name").orderBy(
+        F.col("n").desc(), F.col("pattern")
+    )
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("column_name", "pattern", "n", F.col("rank").cast("int").alias("rank"))
+    )
