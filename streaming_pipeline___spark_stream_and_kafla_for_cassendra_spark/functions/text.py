@@ -253,3 +253,66 @@ def compression_ratio(df, text_col: str = "text", id_col: str = "doc_id"):
             )
 
     return df.select(id_col, text_col).mapInPandas(fn, schema)
+
+
+# ---------------------------------------------------------------------------
+# Markup stripping (web-corpus cleaning)
+# ---------------------------------------------------------------------------
+
+# Ordered strip chain. Block elements whose CONTENT must go too
+# (script/style) come first, then comments, then any remaining tag.
+# (?s) lets .*? cross newlines; both Java regex (Spark) and RE2
+# (DuckDB) support it, so one pattern list serves both engines.
+MARKUP_PATTERNS: tuple[str, ...] = (
+    r"(?s)<script[^>]*>.*?</script>",
+    r"(?s)<style[^>]*>.*?</style>",
+    r"(?s)<!--.*?-->",
+    r"<[^>]+>",
+)
+
+# Entity decode map — &amp; LAST so freshly-decoded ampersands cannot
+# re-trigger earlier entities ("&amp;lt;" decodes to "&lt;" the
+# string, not "<").
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def strip_markup(text: Column | str) -> Column:
+    """HTML/markup removal for web-scraped corpora: drop script/style
+    blocks with their content, strip comments and tags, decode the
+    common entities, collapse whitespace.
+
+    Pure `regexp_replace`/`replace` chain — scan-local Catalyst
+    codegen, zero shuffle at any corpus size (the CCNet/RefinedWeb
+    extraction stage re-expressed as columnar expressions).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    for pattern in MARKUP_PATTERNS:
+        c = F.regexp_replace(c, pattern, " ")
+    for entity, repl in HTML_ENTITIES:
+        c = F.replace(c, F.lit(entity), F.lit(repl))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def flesch_columns(text: Column | str) -> tuple[Column, Column, Column]:
+    """(n_words, n_sentences, n_syllables) for Flesch readability.
+
+    Words = alphabetic runs; sentences = terminal-punctuation runs
+    (min 1); syllables = vowel-group runs (the standard cheap proxy).
+    All three are regexp_extract_all counts — identical semantics in
+    DuckDB, so readability scores are oracle-checkable bit-exact.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    low = F.lower(c)
+    n_words = F.size(F.regexp_extract_all(low, F.lit(r"[a-z]+"), F.lit(0)))
+    n_sentences = F.greatest(
+        F.size(F.regexp_extract_all(c, F.lit(r"[.!?]+"), F.lit(0))), F.lit(1)
+    )
+    n_syllables = F.size(F.regexp_extract_all(low, F.lit(r"[aeiouy]+"), F.lit(0)))
+    return n_words, n_sentences, n_syllables

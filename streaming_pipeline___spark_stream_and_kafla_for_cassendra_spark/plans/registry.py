@@ -8994,6 +8994,7 @@ def streaming_join_view_orders(spark, sf_dir):
 # accessors' first call; the import sits here so every helper above is
 # already defined when registry2 pulls them in).
 from . import registry2  # noqa: E402,F401  isort:skip
+from . import registry3  # noqa: E402,F401  isort:skip
 
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)

@@ -1,0 +1,334 @@
+"""Round-2 (cont.) registry additions — spatial bucketed joins,
+two-sample inference, readability scoring, and web-markup cleaning.
+
+Same contract as ``registry.py``: DataFrame builder + DuckDB oracle,
+column names/types aligned, floats pinned by identical expression
+order over exact integers. Imported at the bottom of ``registry.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    HTML_ENTITIES,
+    MARKUP_PATTERNS,
+    flesch_columns,
+    strip_markup,
+)
+from .registry import _register, _t
+
+
+def _r6(col):
+    return F.floor(col * 1000000 + F.lit(0.5)) / F.lit(1000000.0)
+
+
+# ---------------------------------------------------------------------------
+# Spatial: grid-bucketed radius self-join
+# ---------------------------------------------------------------------------
+
+_SPATIAL_R = 1500  # radius AND grid cell size, integer units
+_SPATIAL_R2 = _SPATIAL_R * _SPATIAL_R
+
+
+@_register(
+    "spatial_radius_join_customers",
+    f"""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             (c_custkey * c_custkey * 7919 + c_custkey * 48271) % 100000 AS x,
+             (c_custkey * c_custkey * 104729 + c_custkey * 69621) % 100000 AS y
+      FROM customer
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST((a.x - b.x) * (a.x - b.x)
+              + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist_sq
+    FROM pts a JOIN pts b ON a.id < b.id
+    WHERE (a.x - b.x) * (a.x - b.x)
+        + (a.y - b.y) * (a.y - b.y) <= {_SPATIAL_R2}
+    """,
+    "Spatial radius self-join WITHOUT a cross product: points land in "
+    f"an r={_SPATIAL_R} grid, the left side fans out to its 3x3 "
+    "neighbor cells, and candidates meet in ONE hash equi-join on the "
+    "cell key; each qualifying pair is emitted exactly once (the "
+    "right row's home cell is unique) so no post-join distinct is "
+    "needed. The oracle states the O(n^2) truth. Coordinates are "
+    "synthesized deterministically (LCG-style integer mix) so both "
+    "engines see identical points; distance compares are pure integer "
+    "arithmetic. At 100 TB the plan is a scan + one shuffle sized by "
+    "9x the points, never points^2.",
+    ("spatial", "join", "scale"),
+)
+def spatial_radius_join_customers(spark, sf_dir):
+    pts = (
+        _t(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("id"),
+            (
+                (F.col("c_custkey") * F.col("c_custkey") * 7919
+                 + F.col("c_custkey") * 48271) % 100000
+            ).alias("x"),
+            (
+                (F.col("c_custkey") * F.col("c_custkey") * 104729
+                 + F.col("c_custkey") * 69621) % 100000
+            ).alias("y"),
+        )
+    )
+    r = F.lit(_SPATIAL_R)
+    home = pts.withColumn("cx", (F.col("x") / r).cast("long")).withColumn(
+        "cy", (F.col("y") / r).cast("long")
+    )
+    # left side fans out to the 3x3 neighborhood; right side stays in
+    # its home cell -> every close pair shares exactly one (cell) key
+    probe = (
+        home.withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+            (F.col("cx") + F.col("dx")).alias("jcx"),
+            (F.col("cy") + F.col("dy")).alias("jcy"),
+        )
+    )
+    build = home.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("cx").alias("jcx"),
+        F.col("cy").alias("jcy"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        probe.join(build, ["jcx", "jcy"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(d2 <= F.lit(_SPATIAL_R2))
+        .select("id_a", "id_b", d2.cast("long").alias("dist_sq"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Welch two-sample t-test per event type vs the 'view' control
+# ---------------------------------------------------------------------------
+
+@_register(
+    "welch_ttest_value_by_type",
+    """
+    WITH s AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS s1,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)
+                      * CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS s2
+      FROM events
+      WHERE value IS NOT NULL
+      GROUP BY 1
+    ),
+    m AS (
+      SELECT event_type, n, s1, s2,
+             s1 / n AS mu,
+             (s2 - s1 * (s1 / n)) / (n - 1) AS var
+      FROM s WHERE n > 1
+    )
+    SELECT t.event_type AS event_type,
+           CAST(t.n AS BIGINT) AS n_obs,
+           CAST(c.n AS BIGINT) AS n_ctrl,
+           floor((t.mu - c.mu) * 1000000 + 0.5) / 1000000.0 AS mean_diff_cents,
+           floor((t.mu - c.mu) / sqrt(t.var / t.n + c.var / c.n)
+                 * 1000000 + 0.5) / 1000000.0 AS t_stat,
+           floor((t.var / t.n + c.var / c.n) * (t.var / t.n + c.var / c.n)
+                 / ((t.var / t.n) * (t.var / t.n) / (t.n - 1)
+                    + (c.var / c.n) * (c.var / c.n) / (c.n - 1))
+                 * 10000 + 0.5) / 10000.0 AS welch_df
+    FROM m t JOIN m c ON c.event_type = 'view'
+    WHERE t.event_type <> 'view'
+    """,
+    "Welch two-sample t-test (unequal variances) of each event type's "
+    "value against the 'view' control: mean, variance, t statistic "
+    "and Welch-Satterthwaite df — all derived from EXACT integer-cent "
+    "sums (n, sum, sum-of-squares) collected in ONE map-side-combined "
+    "scan, then a broadcast of the types-sized stats table against "
+    "its control row. Cross-engine bit-equality holds because every "
+    "double is produced by the same IEEE expression over the same "
+    "integers. (Note: sum-of-squares in BIGINT is exact to ~2^63; at "
+    "larger scales the same plan runs on DECIMAL(38,0).)",
+    ("stats", "agg", "events"),
+)
+def welch_ttest_value_by_type(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = F.floor(F.col("value") * 100).cast("long")
+    s = (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(cents).alias("s1"),
+            F.sum(cents * cents).alias("s2"),
+        )
+        .filter(F.col("n") > 1)
+        .withColumn("mu", F.col("s1") / F.col("n"))
+        .withColumn(
+            "var",
+            (F.col("s2") - F.col("s1") * (F.col("s1") / F.col("n")))
+            / (F.col("n") - 1),
+        )
+    )
+    t = s.filter(F.col("event_type") != "view")
+    c = s.filter(F.col("event_type") == "view").select(
+        F.col("n").alias("cn"), F.col("mu").alias("cmu"), F.col("var").alias("cvar")
+    )
+    se2 = F.col("var") / F.col("n") + F.col("cvar") / F.col("cn")
+    df_num = se2 * se2
+    df_den = (F.col("var") / F.col("n")) * (F.col("var") / F.col("n")) / (
+        F.col("n") - 1
+    ) + (F.col("cvar") / F.col("cn")) * (F.col("cvar") / F.col("cn")) / (
+        F.col("cn") - 1
+    )
+    return (
+        t.crossJoin(F.broadcast(c))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_obs"),
+            F.col("cn").cast("long").alias("n_ctrl"),
+            _r6(F.col("mu") - F.col("cmu")).alias("mean_diff_cents"),
+            _r6((F.col("mu") - F.col("cmu")) / F.sqrt(se2)).alias("t_stat"),
+            (F.floor(df_num / df_den * 10000 + F.lit(0.5)) / F.lit(10000.0)).alias(
+                "welch_df"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flesch readability per document
+# ---------------------------------------------------------------------------
+
+@_register(
+    "readability_flesch_documents",
+    """
+    WITH c AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS INTEGER)
+               AS n_words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS INTEGER)
+               AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS INTEGER)
+               AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CASE WHEN n_words > 0 THEN
+             floor((206.835 - 1.015 * (n_words / n_sentences)
+                            - 84.6 * (n_syllables / n_words))
+                   * 10000 + 0.5) / 10000.0
+           END AS flesch,
+           CASE WHEN n_words > 0 THEN
+             floor((0.39 * (n_words / n_sentences)
+                    + 11.8 * (n_syllables / n_words) - 15.59)
+                   * 10000 + 0.5) / 10000.0
+           END AS grade_level
+    FROM c
+    """,
+    "Flesch reading-ease + Flesch-Kincaid grade level per document: "
+    "word/sentence/vowel-group counts from three regexp_extract_all "
+    "passes (scan-local codegen, zero shuffle), scores as pure IEEE "
+    "arithmetic over those integers — the classic readability quality "
+    "gate for pre-training corpora, bit-exact against the oracle.",
+    ("text-quality", "documents"),
+)
+def readability_flesch_documents(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    w, s, sy = flesch_columns("text")
+    base = d.select(
+        "doc_id",
+        w.alias("n_words"),
+        s.alias("n_sentences"),
+        sy.alias("n_syllables"),
+    )
+    wps = F.col("n_words") / F.col("n_sentences")
+    spw = F.col("n_syllables") / F.col("n_words")
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)  # noqa: E731
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.when(
+            F.col("n_words") > 0,
+            r4(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw),
+        ).alias("flesch"),
+        F.when(
+            F.col("n_words") > 0,
+            r4(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)),
+        ).alias("grade_level"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HTML/markup stripping round-trip
+# ---------------------------------------------------------------------------
+
+def _strip_markup_sql(expr: str) -> str:
+    """DuckDB twin of strip_markup, generated from the SAME pattern
+    tables so the two engines cannot drift."""
+    out = expr
+    for pattern in MARKUP_PATTERNS:
+        p = pattern.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', ' ', 'g')"
+    for entity, repl in HTML_ENTITIES:
+        e = entity.replace("'", "''")
+        r = repl.replace("'", "''")
+        out = f"replace({out}, '{e}', '{r}')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
+_HTML_WRAP_SQL = (
+    "'<html><body onload=\"x()\"><h1>Doc ' || CAST(doc_id AS VARCHAR) || "
+    "'</h1><script type=\"text/javascript\">var x = 1 < 2;</script>"
+    "<style>p { color: red; }</style><p class=\"body\">' || text || "
+    "'</p><!-- trailing comment --><div>&amp; &lt;escaped&gt; "
+    "&quot;quoted&quot; &#39;tick&#39;&nbsp;end</div></body></html>'"
+)
+
+
+@_register(
+    "html_strip_documents",
+    f"""
+    SELECT doc_id,
+           CAST(length(clean) AS INTEGER) AS clean_len,
+           md5(clean) AS clean_hash,
+           substr(clean, 1, 32) AS head
+    FROM (
+      SELECT doc_id, {_strip_markup_sql(_HTML_WRAP_SQL)} AS clean
+      FROM documents
+    )
+    """,
+    "Web-corpus markup removal: documents are wrapped in a "
+    "deterministic HTML shell (tags, a script block whose CONTENT "
+    "must vanish, a style block, comments, entities), then cleaned by "
+    "the strip_markup chain — script/style+content removal, comment "
+    "and tag stripping, entity decode, whitespace collapse — entirely "
+    "as scan-local regexp codegen. The oracle replays the identical "
+    "pattern tables (generated from the same constants), verifying "
+    "byte-equality via md5.",
+    ("text-cleaning", "documents"),
+)
+def html_strip_documents(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><body onload="x()"><h1>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('</h1><script type="text/javascript">var x = 1 < 2;</script>'),
+        F.lit('<style>p { color: red; }</style><p class="body">'),
+        F.col("text"),
+        F.lit("</p><!-- trailing comment --><div>&amp; &lt;escaped&gt; "),
+        F.lit("&quot;quoted&quot; &#39;tick&#39;&nbsp;end</div></body></html>"),
+    )
+    clean = strip_markup(html)
+    return d.select(
+        "doc_id",
+        F.length(clean).alias("clean_len"),
+        F.md5(clean.cast("binary")).alias("clean_hash"),
+        F.substring(clean, 1, 32).alias("head"),
+    )
