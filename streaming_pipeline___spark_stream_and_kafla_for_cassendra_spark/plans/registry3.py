@@ -332,3 +332,70 @@ def html_strip_documents(spark, sf_dir):
         F.md5(clean.cast("binary")).alias("clean_hash"),
         F.substring(clean, 1, 32).alias("head"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming as-of enrichment (persistent latest-state store)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "streaming_asof_enrich_purchases",
+    """
+    SELECT p.event_id AS purchase_id,
+           p.user_id  AS user_id,
+           p.ts       AS purchase_ts,
+           v.ts       AS view_ts,
+           v.event_id AS view_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    "Streaming as-of enrichment — the per-fact 'latest prior state "
+    "row' join Spark's stream-stream join cannot express (max-over-"
+    "matches is not append-safe): purchases and views flow as ONE "
+    "tagged-union stream through foreachBatch; each batch as-of joins "
+    "its facts against (compacted latest-state ∪ batch views) and "
+    "folds new state, with batch-id idempotent writes + commit "
+    "ledger. The availableNow run equals the DuckDB ASOF LEFT JOIN "
+    "truth exactly; multi-batch ordered replay is covered in "
+    "tests/test_streaming_asof.py",
+    ("streaming", "asof", "join", "stateful"),
+)
+def streaming_asof_enrich_purchases(spark, sf_dir):
+    import os as _os
+    import tempfile
+
+    from ..sources.tables import load_events_stream
+    from ..streaming.asof import AsofEnrichView, write_streams_to_asof_enrich
+
+    stream = load_events_stream(spark, sf_dir)
+    facts = stream.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    updates = stream.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    base = tempfile.mkdtemp(prefix="asof_enrich_")
+    view = AsofEnrichView(
+        path=_os.path.join(base, "v"),
+        on=("user_id",),
+        left_ts="ts",
+        right_ts="ts",
+    )
+    q = write_streams_to_asof_enrich(
+        facts,
+        updates,
+        view,
+        checkpoint_root=_os.path.join(base, "ck"),
+        available_now=True,
+    )
+    from .registry import _await_stream
+
+    _await_stream(q, 300)
+    return view.read(spark).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("ts_right").alias("view_ts"),
+        F.col("event_id_right").alias("view_id"),
+    )
