@@ -399,3 +399,215 @@ def streaming_asof_enrich_purchases(spark, sf_dir):
         F.col("ts_right").alias("view_ts"),
         F.col("event_id_right").alias("view_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced A/B estimate
+# ---------------------------------------------------------------------------
+
+@_register(
+    "cuped_adjusted_ab_events",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7')
+                  THEN 'A' ELSE 'B' END AS grp,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                           THEN CAST(floor(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                           THEN CAST(floor(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS y
+      FROM events
+      WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM u
+    ),
+    t AS (
+      SELECT n, sx / n AS mean_x_all,
+             (sxy - sx * (sy / n)) / (sxx - sx * (sx / n)) AS theta
+      FROM g
+    ),
+    p AS (
+      SELECT grp,
+             CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(x) AS BIGINT) AS sx_g,
+             CAST(sum(y) AS BIGINT) AS sy_g,
+             CAST(sum(x * x) AS BIGINT) AS sxx_g,
+             CAST(sum(x * y) AS BIGINT) AS sxy_g,
+             CAST(sum(y * y) AS BIGINT) AS syy_g
+      FROM u GROUP BY 1
+    )
+    SELECT grp,
+           n_g AS n_users,
+           floor((sy_g / n_g) * 10000 + 0.5) / 10000.0 AS mean_y_cents,
+           floor(((sy_g / n_g) - theta * ((sx_g / n_g) - mean_x_all))
+                 * 10000 + 0.5) / 10000.0 AS mean_y_adj_cents,
+           floor(theta * 1000000 + 0.5) / 1000000.0 AS theta,
+           floor((1 - (((syy_g - sy_g * (sy_g / n_g)) / (n_g - 1))
+                       - 2 * theta * ((sxy_g - sx_g * (sy_g / n_g)) / (n_g - 1))
+                       + theta * theta * ((sxx_g - sx_g * (sx_g / n_g)) / (n_g - 1)))
+                     / ((syy_g - sy_g * (sy_g / n_g)) / (n_g - 1)))
+                 * 1000000 + 0.5) / 1000000.0 AS var_reduction
+    FROM p CROSS JOIN t
+    ORDER BY grp
+    """,
+    "CUPED variance reduction for A/B experiments (Deng et al., "
+    "WSDM'13): users hash-split 50/50 by md5, pre-period value sum is "
+    "the covariate, theta = cov(x,y)/var(x) fitted on ALL users from "
+    "EXACT integer-cent moment sums (one users-sized aggregate), and "
+    "each arm reports raw vs CUPED-adjusted post-period means plus "
+    "the achieved variance-reduction ratio. Two shuffles total (user "
+    "rollup, then a 2-group moment aggregate); the theta row "
+    "broadcasts back. Every double comes from the same IEEE "
+    "expression over the same integers on both engines.",
+    ("stats", "ab-testing", "events"),
+)
+def cuped_adjusted_ab_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = F.floor(F.col("value") * 100).cast("long")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    grp = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 1).isin(
+            *"01234567"
+        ),
+        "A",
+    ).otherwise("B")
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.first(grp).alias("grp"),
+            F.sum(F.when(F.col("ts") < cut, cents).otherwise(F.lit(0))).alias("x"),
+            F.sum(F.when(F.col("ts") >= cut, cents).otherwise(F.lit(0))).alias("y"),
+        )
+    )
+    g = u.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    ).select(
+        (F.col("sx") / F.col("n")).alias("mean_x_all"),
+        (
+            (F.col("sxy") - F.col("sx") * (F.col("sy") / F.col("n")))
+            / (F.col("sxx") - F.col("sx") * (F.col("sx") / F.col("n")))
+        ).alias("theta"),
+    )
+    p = u.groupBy("grp").agg(
+        F.count("*").alias("n_g"),
+        F.sum("x").alias("sx_g"),
+        F.sum("y").alias("sy_g"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx_g"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy_g"),
+        F.sum(F.col("y") * F.col("y")).alias("syy_g"),
+    )
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)  # noqa: E731
+    mean_y = F.col("sy_g") / F.col("n_g")
+    mean_x = F.col("sx_g") / F.col("n_g")
+    var_y = (F.col("syy_g") - F.col("sy_g") * (F.col("sy_g") / F.col("n_g"))) / (
+        F.col("n_g") - 1
+    )
+    cov_g = (F.col("sxy_g") - F.col("sx_g") * (F.col("sy_g") / F.col("n_g"))) / (
+        F.col("n_g") - 1
+    )
+    var_x = (F.col("sxx_g") - F.col("sx_g") * (F.col("sx_g") / F.col("n_g"))) / (
+        F.col("n_g") - 1
+    )
+    th = F.col("theta")
+    var_adj = var_y - 2 * th * cov_g + th * th * var_x
+    return (
+        p.crossJoin(F.broadcast(g))
+        .select(
+            "grp",
+            F.col("n_g").alias("n_users"),
+            r4(mean_y).alias("mean_y_cents"),
+            r4(mean_y - th * (mean_x - F.col("mean_x_all"))).alias(
+                "mean_y_adj_cents"
+            ),
+            _r6(th).alias("theta"),
+            _r6(F.lit(1) - var_adj / var_y).alias("var_reduction"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-vocabulary rate vs the corpus top-1000 vocabulary
+# ---------------------------------------------------------------------------
+
+@_register(
+    "oov_rate_documents",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))
+             AS token
+      FROM documents
+    ),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, row_number() OVER (ORDER BY count(*) DESC, token ASC) AS rk
+        FROM tok GROUP BY token
+      ) WHERE rk <= 1000
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE v.token IS NULL) AS BIGINT) AS n_oov,
+           floor(count(*) FILTER (WHERE v.token IS NULL) / count(*)
+                 * 1000000 + 0.5) / 1000000.0 AS oov_rate
+    FROM tok t LEFT JOIN vocab v USING (token)
+    GROUP BY t.doc_id
+    """,
+    "Out-of-vocabulary rate per document against the corpus's own "
+    "top-1000 token vocabulary (count-desc, token-asc deterministic "
+    "tie order) — the tokenizer-coverage / domain-shift signal used "
+    "to gate pre-training shards. Plan: one token-count aggregate "
+    "sized by the vocabulary, broadcast back over the exploded scan, "
+    "one per-doc re-aggregate. The token stream shuffles at most "
+    "once; the vocab table is KB-sized at any corpus size.",
+    ("text-quality", "documents", "vocab"),
+)
+def oov_rate_documents(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda t: t != "",
+            )
+        ).alias("token"),
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 1000)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    joined = tok.join(F.broadcast(vocab), "token", "left")
+    n_oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            n_oov.alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            _r6(F.col("n_oov") / F.col("n_tokens")).alias("oov_rate"),
+        )
+    )
