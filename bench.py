@@ -93,6 +93,13 @@ HEADLINE = [
     "bitmap_index_range_distinct",
     "match_recognize_funnel_users",
     "ts_subsequence_match_hourly",
+    "spatial_radius_join_customers",
+    "welch_ttest_value_by_type",
+    "cuped_adjusted_ab_events",
+    "readability_flesch_documents",
+    "html_strip_documents",
+    "oov_rate_documents",
+    "streaming_asof_enrich_purchases",
 ]
 
 

@@ -42,3 +42,40 @@ def validate(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
             "violation_ratio"
         ),
     )
+
+
+def enforce(
+    df: DataFrame, rules: dict[str, Column]
+) -> tuple[DataFrame, DataFrame]:
+    """Write-time constraint enforcement (Delta CHECK-constraint /
+    Hudi pre-commit-validator analogue): split ``df`` into
+    ``(clean, quarantine)`` against ``rules`` (name → boolean Column
+    that is True when the row VIOLATES the rule).
+
+    ONE shared projection computes the array of violated rule names;
+    both returned frames are filters over it, so Spark evaluates the
+    predicates once per row and the split never re-scans the source.
+    ``quarantine`` carries the full original row plus ``_violated``
+    (the rule names that fired) — the dead-letter payload a re-ingest
+    pipeline needs. ``clean`` has the source schema exactly.
+
+    Scale: scan-local expressions, zero shuffle; quarantine writes are
+    sized by the violation rate, not the table.
+    """
+    if not rules:
+        raise ValueError("enforce() needs at least one rule")
+    tagged = df.withColumn(
+        "_violated",
+        F.filter(
+            F.array(
+                *[
+                    F.when(cond, F.lit(name)).otherwise(F.lit(None))
+                    for name, cond in rules.items()
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    clean = tagged.filter(F.size("_violated") == 0).drop("_violated")
+    quarantine = tagged.filter(F.size("_violated") > 0)
+    return clean, quarantine

@@ -611,3 +611,44 @@ def oov_rate_documents(spark, sf_dir):
             _r6(F.col("n_oov") / F.col("n_tokens")).alias("oov_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Write-time contract enforcement: quarantined rows + fired rules
+# ---------------------------------------------------------------------------
+
+@_register(
+    "contract_quarantine_events",
+    """
+    SELECT event_id,
+           array_to_string(
+             list_filter(
+               [CASE WHEN value IS NULL OR value < 1 THEN 'value_min' END,
+                CASE WHEN event_type = 'error' THEN 'no_errors' END],
+               x -> x IS NOT NULL),
+             '|') AS violated
+    FROM events
+    WHERE (value IS NULL OR value < 1) OR event_type = 'error'
+    """,
+    "Write-time constraint enforcement (Delta CHECK / Hudi pre-commit "
+    "validator analogue): enforce() splits the batch into clean vs "
+    "quarantine with ONE shared scan-local projection of fired-rule "
+    "names — this query returns the dead-letter side (row id + which "
+    "rules fired, pipe-joined in declaration order). Zero shuffle; "
+    "quarantine volume scales with the violation rate, not the table.",
+    ("quality", "contract", "events"),
+)
+def contract_quarantine_events(spark, sf_dir):
+    from ..operators.quality import enforce
+
+    e = _t(spark, sf_dir, "events")
+    _clean, quarantine = enforce(
+        e,
+        {
+            "value_min": F.col("value").isNull() | (F.col("value") < 1),
+            "no_errors": F.col("event_type") == "error",
+        },
+    )
+    return quarantine.select(
+        "event_id", F.array_join("_violated", "|").alias("violated")
+    )

@@ -473,3 +473,47 @@ def test_analyze_statistics_enable_broadcast_decision(spark, tmp_path):
         assert no_hint.first()[0] == 200_000
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_enforce_splits_clean_and_quarantine(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.quality import (
+        enforce,
+    )
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.streaming.lake import (
+        LakeTable,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a@x.com", 10.0, "2024-01-01"),
+            (2, None, 5.0, "2024-01-01"),      # null email
+            (3, "c@x.com", -2.0, "2024-01-02"),  # negative amount
+            (4, None, -1.0, "2024-01-02"),       # both
+        ],
+        "id bigint, email string, amount double, processing_date string",
+    )
+    clean, quarantine = enforce(
+        df,
+        {
+            "email_not_null": F.col("email").isNull(),
+            "amount_non_negative": F.col("amount") < 0,
+        },
+    )
+    assert sorted(r.id for r in clean.collect()) == [1]
+    q = {r.id: sorted(r._violated) for r in quarantine.collect()}
+    assert q == {
+        2: ["email_not_null"],
+        3: ["amount_non_negative"],
+        4: ["amount_non_negative", "email_not_null"],
+    }
+    # clean keeps the source schema exactly -> upserts into the lake
+    assert clean.columns == df.columns
+    lake = LakeTable(path=str(tmp_path / "t"), record_key="id",
+                     precombine_field="amount")
+    lake.upsert_batch(clean.withColumn("amount", F.col("amount")), spark)
+    assert lake.read(spark).count() == 1
+    # quarantine is the dead-letter payload: full row + fired rules
+    quarantine.write.mode("overwrite").parquet(str(tmp_path / "dlq"))
+    assert spark.read.parquet(str(tmp_path / "dlq")).count() == 3
