@@ -652,3 +652,265 @@ def contract_quarantine_events(spark, sf_dir):
     return quarantine.select(
         "event_id", F.array_join("_violated", "|").alias("violated")
     )
+
+
+# ---------------------------------------------------------------------------
+# STL-lite seasonal decomposition of daily revenue
+# ---------------------------------------------------------------------------
+
+@_register(
+    "stl_decompose_daily_revenue",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY 1
+    ),
+    ma AS (
+      SELECT day, rev,
+             CAST(sum(rev) OVER w AS BIGINT) AS sum7,
+             CAST(count(*) OVER w AS BIGINT) AS cnt7,
+             CAST((CAST(day AS DATE) - DATE '1992-01-01') % 7 AS INTEGER) AS wd
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT *, CASE WHEN cnt7 = 7 THEN 7 * rev - sum7 END AS detr_s
+      FROM ma
+    ),
+    seas AS (
+      SELECT wd,
+             CAST(sum(detr_s) AS BIGINT) / count(detr_s) AS seasonal_s
+      FROM det WHERE detr_s IS NOT NULL GROUP BY wd
+    )
+    SELECT d.day AS day,
+           d.rev AS rev_cents,
+           CASE WHEN d.cnt7 = 7 THEN
+             floor(d.sum7 / 7 * 10000 + 0.5) / 10000.0 END AS trend,
+           floor(s.seasonal_s / 7 * 10000 + 0.5) / 10000.0 AS seasonal,
+           CASE WHEN d.detr_s IS NOT NULL THEN
+             floor((d.detr_s - s.seasonal_s) / 7 * 10000 + 0.5) / 10000.0
+           END AS resid
+    FROM det d JOIN seas s USING (wd)
+    """,
+    "STL-lite seasonal decomposition of the daily revenue series: "
+    "trend = centered 7-row moving average, weekly seasonal = per-"
+    "weekday mean of the detrended series, residual = remainder — "
+    "computed entirely from EXACT integers (detrended values scaled "
+    "by 7 stay integral: 7*rev - sum7), so every emitted double is "
+    "one pinned IEEE expression on both engines. Plan: one fact-keyed "
+    "rollup to a days-sized series; the centered-MA window, weekday "
+    "aggregate (7 rows) and joins all run on days, never facts.",
+    ("timeseries", "stl", "orders"),
+)
+def stl_decompose_daily_revenue(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(cents).alias("rev")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    ma = daily.select(
+        "day",
+        "rev",
+        F.sum("rev").over(w).alias("sum7"),
+        F.count("*").over(w).alias("cnt7"),
+        (F.datediff(F.col("day"), F.lit("1992-01-01").cast("date")) % 7)
+        .cast("int")
+        .alias("wd"),
+    )
+    det = ma.withColumn(
+        "detr_s", F.when(F.col("cnt7") == 7, 7 * F.col("rev") - F.col("sum7"))
+    )
+    seas = (
+        det.filter(F.col("detr_s").isNotNull())
+        .groupBy("wd")
+        .agg(
+            (F.sum("detr_s") / F.count("detr_s")).alias("seasonal_s"),
+        )
+    )
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)  # noqa: E731
+    return det.join(F.broadcast(seas), "wd").select(
+        "day",
+        F.col("rev").alias("rev_cents"),
+        F.when(F.col("cnt7") == 7, r4(F.col("sum7") / 7)).alias("trend"),
+        r4(F.col("seasonal_s") / 7).alias("seasonal"),
+        F.when(
+            F.col("detr_s").isNotNull(),
+            r4((F.col("detr_s") - F.col("seasonal_s")) / 7),
+        ).alias("resid"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test: time-to-purchase, cohort A vs B
+# ---------------------------------------------------------------------------
+
+@_register(
+    "logrank_time_to_purchase_ab",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7')
+                  THEN 'A' ELSE 'B' END AS grp,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_ev,
+             max(ts) AS t_last
+      FROM events GROUP BY 1, 2
+    ),
+    subjects AS (
+      SELECT grp,
+             CASE WHEN t_ev IS NOT NULL AND t_ev >= t0
+                  THEN floor(epoch(t_ev) / 3600) - floor(epoch(t0) / 3600)
+                  ELSE floor(epoch(t_last) / 3600) - floor(epoch(t0) / 3600)
+             END AS dur_h,
+             CASE WHEN t_ev IS NOT NULL AND t_ev >= t0 THEN 1 ELSE 0 END
+               AS observed
+      FROM per_user WHERE t0 IS NOT NULL
+    ),
+    n_by AS (
+      SELECT CAST(count(*) FILTER (WHERE grp = 'A') AS BIGINT) AS na,
+             CAST(count(*) FILTER (WHERE grp = 'B') AS BIGINT) AS nb
+      FROM subjects
+    ),
+    at_t AS (
+      SELECT dur_h AS t,
+             CAST(sum(CASE WHEN grp = 'A' THEN observed ELSE 0 END) AS BIGINT) AS d1,
+             CAST(sum(CASE WHEN grp = 'B' THEN observed ELSE 0 END) AS BIGINT) AS d2,
+             CAST(count(*) FILTER (WHERE grp = 'A') AS BIGINT) AS l1,
+             CAST(count(*) FILTER (WHERE grp = 'B') AS BIGINT) AS l2
+      FROM subjects GROUP BY 1
+    ),
+    risk AS (
+      SELECT t, d1, d2,
+             na - coalesce(sum(l1) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1t,
+             nb - coalesce(sum(l2) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n2t
+      FROM at_t CROSS JOIN n_by
+    ),
+    terms AS (
+      SELECT t, d1,
+             (d1 + d2) * (n1t / (n1t + n2t)) AS term_e,
+             CASE WHEN (n1t + n2t) > 1 THEN
+               (d1 + d2) * (n1t / (n1t + n2t)) * (1 - n1t / (n1t + n2t))
+               * (((n1t + n2t) - (d1 + d2)) / ((n1t + n2t) - 1))
+             ELSE 0.0 END AS term_v
+      FROM risk WHERE d1 + d2 > 0
+    ),
+    arrs AS (
+      SELECT CAST(sum(d1) AS BIGINT) AS o1,
+             list_reduce(list_prepend(0.0, list(term_e ORDER BY t)),
+                         (a, x) -> a + x) AS e1,
+             list_reduce(list_prepend(0.0, list(term_v ORDER BY t)),
+                         (a, x) -> a + x) AS v
+      FROM terms
+    )
+    SELECT na AS n_a, nb AS n_b, o1 AS observed_a,
+           floor(e1 * 10000 + 0.5) / 10000.0 AS expected_a,
+           floor((o1 - e1) * (o1 - e1) / v * 1000000 + 0.5) / 1000000.0
+             AS chi2
+    FROM arrs CROSS JOIN n_by
+    """,
+    "Log-rank (Mantel–Cox) test comparing time-to-purchase survival "
+    "between the md5 A/B user cohorts, right-censored like the "
+    "Kaplan–Meier query: per pooled event time the hypergeometric "
+    "expectation d_t·n1t/nt and variance accumulate via LEFT-TO-RIGHT "
+    "folds over the time-sorted term arrays, so both engines add the "
+    "same exact-integer-derived doubles in the same order (the "
+    "repo-standard determinism discipline for order-sensitive float "
+    "sums). Only the per-user rollup touches facts; risk sets, terms "
+    "and the fold are all hours-sized.",
+    ("survival", "stats", "ab-testing", "events"),
+)
+def logrank_time_to_purchase_ab(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    grp = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 1).isin(
+            *"01234567"
+        ),
+        "A",
+    ).otherwise("B")
+    per_user = e.groupBy("user_id").agg(
+        F.first(grp).alias("grp"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_ev"),
+        F.max("ts").alias("t_last"),
+    )
+    observed = F.col("t_ev").isNotNull() & (F.col("t_ev") >= F.col("t0"))
+    hours = lambda a, b: (  # noqa: E731
+        F.floor(F.col(b).cast("timestamp").cast("long") / 3600)
+        - F.floor(F.col(a).cast("timestamp").cast("long") / 3600)
+    ).cast("long")
+    subjects = per_user.filter(F.col("t0").isNotNull()).select(
+        "grp",
+        F.when(observed, hours("t0", "t_ev"))
+        .otherwise(hours("t0", "t_last"))
+        .alias("dur_h"),
+        observed.cast("int").alias("observed"),
+    )
+    n_by = subjects.agg(
+        F.sum(F.when(F.col("grp") == "A", 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("grp") == "B", 1).otherwise(0)).alias("nb"),
+    )
+    at_t = subjects.groupBy(F.col("dur_h").alias("t")).agg(
+        F.sum(F.when(F.col("grp") == "A", F.col("observed")).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("grp") == "B", F.col("observed")).otherwise(0)).alias("d2"),
+        F.sum(F.when(F.col("grp") == "A", 1).otherwise(0)).alias("l1"),
+        F.sum(F.when(F.col("grp") == "B", 1).otherwise(0)).alias("l2"),
+    )
+    prior = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = at_t.crossJoin(F.broadcast(n_by)).select(
+        "t",
+        "d1",
+        "d2",
+        (F.col("na") - F.coalesce(F.sum("l1").over(prior), F.lit(0))).alias("n1t"),
+        (F.col("nb") - F.coalesce(F.sum("l2").over(prior), F.lit(0))).alias("n2t"),
+    )
+    nt = F.col("n1t") + F.col("n2t")
+    dt = F.col("d1") + F.col("d2")
+    share = F.col("n1t") / nt
+    terms = risk.filter(dt > 0).select(
+        "t",
+        "d1",
+        (dt * share).alias("term_e"),
+        F.when(
+            nt > 1,
+            dt * share * (1 - share) * ((nt - dt) / (nt - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("term_v"),
+    )
+    folded = terms.agg(
+        F.sum("d1").alias("o1"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("t"), F.col("term_e").alias("v")))
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["v"],
+        ).alias("e1"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("t"), F.col("term_v").alias("v")))
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["v"],
+        ).alias("v"),
+    )
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)  # noqa: E731
+    return folded.crossJoin(F.broadcast(n_by)).select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("o1").cast("long").alias("observed_a"),
+        r4(F.col("e1")).alias("expected_a"),
+        _r6((F.col("o1") - F.col("e1")) * (F.col("o1") - F.col("e1")) / F.col("v")).alias(
+            "chi2"
+        ),
+    )
