@@ -914,3 +914,98 @@ def logrank_time_to_purchase_ab(spark, sf_dir):
             "chi2"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Array set-operations census (head vs tail token windows)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "array_set_ops_census",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    ab AS (
+      SELECT doc_id,
+             list_slice(toks, 1, 12) AS a,
+             list_slice(toks, greatest(len(toks) - 11, 1), len(toks)) AS b
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(a) AS INTEGER)                                AS n_head,
+           CAST(len(list_distinct(a)) AS INTEGER)                 AS n_head_distinct,
+           CAST(len(list_distinct(list_concat(a, b))) AS INTEGER) AS n_union,
+           CAST(len(list_distinct(list_filter(a, x -> list_contains(b, x))))
+                AS INTEGER)                                       AS n_intersect,
+           CAST(len(list_distinct(list_filter(a, x -> NOT list_contains(b, x))))
+                AS INTEGER)                                       AS n_except
+    FROM ab
+    """,
+    "Array set-operation census: head vs tail 12-token windows per "
+    "document pushed through array_union / array_intersect / "
+    "array_except / array_distinct / slice — all scan-local Catalyst "
+    "HOFs (zero shuffle), emitted as cardinalities so the oracle is "
+    "order-insensitive (both engines dedup, only sizes compare).",
+    ("functions", "arrays", "documents"),
+)
+def array_set_ops_census(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    base = d.select("doc_id", toks.alias("toks"))
+    a = F.slice(F.col("toks"), 1, 12)
+    b_start = F.greatest(F.size("toks") - 11, F.lit(1))
+    b = F.slice(F.col("toks"), b_start, F.lit(12))
+    ab = base.select("doc_id", a.alias("a"), b.alias("b"))
+    return ab.select(
+        "doc_id",
+        F.size("a").alias("n_head"),
+        F.size(F.array_distinct("a")).alias("n_head_distinct"),
+        F.size(F.array_union("a", "b")).alias("n_union"),
+        F.size(F.array_intersect("a", "b")).alias("n_intersect"),
+        F.size(F.array_except("a", "b")).alias("n_except"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date functions census #2 (calendar navigation family)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "date_functions_census2",
+    """
+    SELECT CAST(quarter(d) AS INTEGER)        AS qtr,
+           CAST(weekofyear(d) AS INTEGER)     AS iso_week,
+           CAST(dayofyear(d) AS INTEGER)      AS doy,
+           last_day(d)                        AS month_end,
+           CAST(d + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+           CAST(count(*) AS BIGINT)           AS n_orders
+    FROM (SELECT CAST(o_orderdate AS DATE) AS d FROM orders)
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+    "Calendar-navigation function census over order dates: quarter, "
+    "ISO week, day-of-year, last_day (month end), add_months with "
+    "end-of-month clamping (Jan 31 + 1m = Feb 28 on BOTH engines, "
+    "probed) — grouped so the result is dates-sized. Scan-local "
+    "expressions; the aggregate is the only exchange.",
+    ("functions", "dates", "orders"),
+)
+def date_functions_census2(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        o.select(
+            F.quarter(d).alias("qtr"),
+            F.weekofyear(d).alias("iso_week"),
+            F.dayofyear(d).alias("doy"),
+            F.last_day(d).alias("month_end"),
+            F.add_months(d, 3).alias("plus_3m"),
+        )
+        .groupBy("qtr", "iso_week", "doy", "month_end", "plus_3m")
+        .agg(F.count("*").alias("n_orders"))
+    )

@@ -142,3 +142,64 @@ def evolve_payload_schema(
     """Declared schema ∪ whatever the topic actually carries now."""
     observed = observed_payload_schema(raw_payloads, json_col, sample)
     return merge_struct_types(declared, observed)
+
+
+def _reader_can_read(reader: StructType, writer: StructType) -> list[str]:
+    """Reasons ``reader`` CANNOT read data written under ``writer``
+    (empty list = compatible). Schema-registry semantics for a
+    nullable-columns world:
+
+    * a reader field absent from the writer is fine only if nullable
+      (it fills with nulls);
+    * a writer field absent from the reader is fine (projection drops
+      it);
+    * shared fields must be identical or widenable writer→reader
+      (int → bigint → double); narrowing or type flips are breaks;
+    * nested structs recurse.
+    """
+    problems: list[str] = []
+
+    def walk(r: StructType, w: StructType, prefix: str) -> None:
+        w_by = {f.name: f for f in w.fields}
+        for rf in r.fields:
+            path = f"{prefix}{rf.name}"
+            wf = w_by.get(rf.name)
+            if wf is None:
+                if not rf.nullable:
+                    problems.append(f"{path}: required by reader, absent in writer")
+                continue
+            rt, wt = rf.dataType, wf.dataType
+            if isinstance(rt, StructType) and isinstance(wt, StructType):
+                walk(rt, wt, f"{path}.")
+            elif rt == wt:
+                pass
+            elif (
+                wt in _WIDENING_ORDER
+                and rt in _WIDENING_ORDER
+                and _WIDENING_ORDER.index(wt) <= _WIDENING_ORDER.index(rt)
+            ):
+                pass  # writer narrower than reader: widening read is safe
+            else:
+                problems.append(f"{path}: writer {wt.simpleString()} "
+                                f"!= reader {rt.simpleString()}")
+
+    walk(reader, writer, "")
+    return problems
+
+
+def compatibility(old: StructType, new: StructType) -> str:
+    """Classify an evolution step with Confluent-schema-registry
+    semantics: BACKWARD (new readers read old data), FORWARD (old
+    readers read new data), FULL (both), NONE (neither). CDC
+    pipelines that replay history need at least BACKWARD; pipelines
+    with lagging consumers need FORWARD. Pure driver-side metadata —
+    never touches data."""
+    backward = not _reader_can_read(new, old)
+    forward = not _reader_can_read(old, new)
+    if backward and forward:
+        return "FULL"
+    if backward:
+        return "BACKWARD"
+    if forward:
+        return "FORWARD"
+    return "NONE"

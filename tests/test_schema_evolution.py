@@ -109,3 +109,53 @@ def test_cdc_decode_picks_up_evolved_payload(spark):
     decoded = decode_cdc(raw, schema)
     got = {r.id: r.badge_id for r in decoded.select("id", "badge_id").collect()}
     assert got == {1: None, 2: "B-77"}
+
+
+def test_compatibility_classification():
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.sources.evolution import (
+        compatibility,
+    )
+
+    base = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("name", StringType(), True),
+        ]
+    )
+    # add a nullable column: new reads old (null-fill) AND old reads new
+    # (projection) -> FULL
+    added = StructType(
+        base.fields + [StructField("email", StringType(), True)]
+    )
+    assert compatibility(base, added) == "FULL"
+    # add a REQUIRED column: new reader cannot read old data -> FORWARD only
+    added_req = StructType(
+        base.fields + [StructField("tenant", StringType(), False)]
+    )
+    assert compatibility(base, added_req) == "FORWARD"
+    # widen int->long: new reader reads old (widening) -> BACKWARD;
+    # old reader (int) cannot read new long data
+    narrow = StructType(
+        [StructField("id", LongType(), False), StructField("n", IntegerType(), True)]
+    )
+    widened = StructType(
+        [StructField("id", LongType(), False), StructField("n", LongType(), True)]
+    )
+    assert compatibility(narrow, widened) == "BACKWARD"
+    # type flip: NONE
+    flipped = StructType(
+        [StructField("id", LongType(), False), StructField("n", StringType(), True)]
+    )
+    assert compatibility(narrow, flipped) == "NONE"
+    # dropping a column: the NEW reader projects old data fine, but the
+    # old reader still requires id -> BACKWARD only
+    dropped = StructType([StructField("name", StringType(), True)])
+    assert compatibility(base, dropped) == "BACKWARD"
