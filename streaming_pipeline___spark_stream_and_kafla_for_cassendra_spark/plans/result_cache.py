@@ -1,0 +1,86 @@
+"""Plan-fingerprint result cache (Snowflake-style result reuse).
+
+Dashboards and scheduled reports re-run identical queries against
+unchanged inputs; re-executing a 100 TB scan to reproduce a KB-sized
+result is pure waste. This cache keys a DataFrame's RESULT by
+
+    md5( canonicalized-plan semantic hash
+       + sorted (input file path, mtime_ns, size) list )
+
+so a hit requires BOTH the same logical plan (Spark's
+``semanticHash`` — alias/column-order insensitive) and bit-identical
+input files. Any upstream rewrite (compaction, upsert, late data)
+changes an mtime and silently misses to a fresh compute — correctness
+never depends on TTLs or manual invalidation.
+
+Storage follows the repo's lake discipline: each entry writes its
+parquet under ``<root>/<key>/data`` then publishes with a marker file
+LAST, so a crashed writer can never serve a partial result; replays
+overwrite the same entry idempotently.
+
+Scale: the fingerprint is driver-side metadata (file listing, no data
+scan). Entries are result-sized, not input-sized. On object storage
+the listing comes from the lake manifest instead of ``os.stat`` —
+same contract, swap the stat source.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class ResultCache:
+    path: str
+
+    def _entry(self, key: str) -> str:
+        return os.path.join(self.path, key)
+
+    def _marker(self, key: str) -> str:
+        return os.path.join(self._entry(key), "_committed")
+
+    @staticmethod
+    def fingerprint(df: DataFrame) -> str:
+        h = hashlib.md5()
+        h.update(str(df.semanticHash()).encode())
+        files = []
+        for uri in df.inputFiles():
+            p = uri[len("file:"):] if uri.startswith("file:") else uri
+            try:
+                st = os.stat(p)
+                files.append((p, st.st_mtime_ns, st.st_size))
+            except OSError:
+                files.append((p, -1, -1))
+        for rec in sorted(files):
+            h.update(repr(rec).encode())
+        return h.hexdigest()
+
+    def lookup(self, spark: SparkSession, key: str) -> DataFrame | None:
+        if os.path.exists(self._marker(key)):
+            return spark.read.parquet(os.path.join(self._entry(key), "data"))
+        return None
+
+    def get_or_compute(self, df: DataFrame) -> tuple[DataFrame, bool]:
+        """Return ``(result, was_hit)``; on a miss, materializes ``df``
+        into the cache and serves the cached copy (so downstream reads
+        never re-trigger the source scan either way)."""
+        spark = df.sparkSession
+        key = self.fingerprint(df)
+        hit = self.lookup(spark, key)
+        if hit is not None:
+            return hit, True
+        data_dir = os.path.join(self._entry(key), "data")
+        df.write.mode("overwrite").parquet(data_dir)
+        with open(self._marker(key), "w", encoding="utf-8"):
+            pass
+        return spark.read.parquet(data_dir), False
+
+    def clear(self) -> None:
+        import shutil
+
+        if os.path.isdir(self.path):
+            shutil.rmtree(self.path)

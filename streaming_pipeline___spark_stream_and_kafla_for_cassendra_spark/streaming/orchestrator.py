@@ -101,6 +101,10 @@ class MetricsListener:
                 state_rows = sum(
                     s.numRowsTotal for s in (p.stateOperators or [])
                 )
+                late_dropped = sum(
+                    getattr(s, "numRowsDroppedByWatermark", 0) or 0
+                    for s in (p.stateOperators or [])
+                )
                 observed = {}
                 try:
                     for obs_name, row in (p.observedMetrics or {}).items():
@@ -114,6 +118,7 @@ class MetricsListener:
                         "input_rows_per_second": p.inputRowsPerSecond,
                         "batch_duration_ms": p.batchDuration,
                         "state_rows": state_rows,
+                        "late_rows_dropped": late_dropped,
                         "observed": observed,
                     }
                 )

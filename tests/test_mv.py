@@ -109,3 +109,47 @@ def test_answered_request_same_schema_as_fallback(spark, events, summary):
         req,
     )
     assert hit.columns == miss.columns
+
+
+def test_result_cache_hits_and_invalidates(spark, tmp_path):
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.plans.result_cache import (
+        ResultCache,
+    )
+
+    src = str(tmp_path / "src")
+    spark.range(1000).withColumn("v", F.col("id") % 7).write.parquet(src)
+    cache = ResultCache(path=str(tmp_path / "rc"))
+
+    def q():
+        return (
+            spark.read.parquet(src)
+            .groupBy("v")
+            .agg(F.count("*").alias("n"), F.sum("id").alias("s"))
+        )
+
+    r1, hit1 = cache.get_or_compute(q())
+    assert not hit1
+    r2, hit2 = cache.get_or_compute(q())
+    assert hit2
+    # the hit is served from the cache directory, not the source
+    assert all("/rc/" in f for f in r2.inputFiles())
+    assert sorted(map(tuple, r1.collect())) == sorted(map(tuple, r2.collect()))
+    # alias-insensitive: a semantically-equal plan still hits
+    r3, hit3 = cache.get_or_compute(
+        spark.read.parquet(src).groupBy("v")
+        .agg(F.count("*").alias("n"), F.sum("id").alias("s"))
+    )
+    assert hit3
+    # rewriting the input (new mtime/size) MUST miss and recompute
+    time.sleep(0.05)
+    spark.range(1100).withColumn("v", F.col("id") % 7).write.mode(
+        "overwrite"
+    ).parquet(src)
+    r4, hit4 = cache.get_or_compute(q())
+    assert not hit4
+    assert sum(r.n for r in r4.collect()) == 1100

@@ -714,3 +714,79 @@ def test_chained_streaming_window_aggregations(spark, tmp_path):
         ("2024-01-01 10:00:00", 6, 3),
         ("2024-01-01 10:15:00", 1, 1),
     }
+
+
+def test_watermark_drops_late_rows_and_listener_reports_them(spark, tmp_path):
+    """T3 end-to-end: a row arriving beyond the watermark horizon is
+    DROPPED from the windowed aggregate, and the progress listener
+    surfaces numRowsDroppedByWatermark for the audit trail."""
+    import time as _time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.streaming.orchestrator import (
+        MetricsListener,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write(i, rows):
+        p = src / f"{i}.parquet"
+        pd.DataFrame(rows).to_parquet(
+            p, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        t = _time.time() + i * 10
+        import os as _os
+
+        _os.utime(p, (t, t))
+
+    ts = lambda h, m=0: pd.Timestamp(2024, 1, 1, h, m)  # noqa: E731
+    # batch 0: window 09:00 rows; batch 1 advances event time to 13:00
+    # (watermark 12:00 applies from batch 2 on); batch 2 runs under
+    # that watermark, so its commit EVICTS + emits the 09:00 window;
+    # batch 3's 09:45 row then hits evicted state beyond the horizon
+    # - the definition of a late row - and must be dropped, not merged
+    write(0, {"ts": [ts(9, 5), ts(9, 10)], "v": [1, 2]})
+    write(1, {"ts": [ts(13, 0)], "v": [10]})
+    write(2, {"ts": [ts(13, 5)], "v": [20]})
+    write(3, {"ts": [ts(9, 45)], "v": [100]})
+
+    listener = MetricsListener().attach(spark)
+    try:
+        stream = (
+            spark.readStream.schema("ts timestamp, v bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.sum("v").alias("total"))
+            .select(F.col("window.start").alias("ws"), "total")
+        )
+        name = "late_audit_sink"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        rows = {r.ws.hour: r.total for r in spark.table(name).collect()}
+        # the 09:00 window finalized WITHOUT the late 100
+        assert rows.get(9) == 3
+        # listener events are delivered asynchronously - poll briefly
+        dropped = 0
+        for _ in range(40):
+            dropped = sum(
+                p["late_rows_dropped"] for p in listener.progress(name)
+            )
+            if dropped >= 1:
+                break
+            _time.sleep(0.25)
+        assert dropped >= 1
+    finally:
+        listener.detach(spark)
