@@ -100,6 +100,14 @@ HEADLINE = [
     "html_strip_documents",
     "oov_rate_documents",
     "streaming_asof_enrich_purchases",
+    "mann_kendall_trend_daily",
+    "behavior_entropy_users",
+    "kl_divergence_source_unigrams",
+    "audience_overlap_event_types",
+    "fellegi_sunter_linkage_scores",
+    "label_propagation_nations",
+    "vocab_growth_heaps_documents",
+    "attribution_position_based",
 ]
 
 

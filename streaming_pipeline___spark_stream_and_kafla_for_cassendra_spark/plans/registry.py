@@ -8995,6 +8995,8 @@ def streaming_join_view_orders(spark, sf_dir):
 # already defined when registry2 pulls them in).
 from . import registry2  # noqa: E402,F401  isort:skip
 from . import registry3  # noqa: E402,F401  isort:skip
+from . import registry4  # noqa: E402,F401  isort:skip
+from . import registry5  # noqa: E402,F401  isort:skip
 
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
