@@ -108,6 +108,8 @@ HEADLINE = [
     "label_propagation_nations",
     "vocab_growth_heaps_documents",
     "attribution_position_based",
+    "reco_precision_at_k",
+    "reconciliation_orders_lineitems",
 ]
 
 

@@ -8997,6 +8997,7 @@ from . import registry2  # noqa: E402,F401  isort:skip
 from . import registry3  # noqa: E402,F401  isort:skip
 from . import registry4  # noqa: E402,F401  isort:skip
 from . import registry5  # noqa: E402,F401  isort:skip
+from . import registry6  # noqa: E402,F401  isort:skip
 
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
