@@ -8998,6 +8998,7 @@ from . import registry3  # noqa: E402,F401  isort:skip
 from . import registry4  # noqa: E402,F401  isort:skip
 from . import registry5  # noqa: E402,F401  isort:skip
 from . import registry6  # noqa: E402,F401  isort:skip
+from . import registry7  # noqa: E402,F401  isort:skip
 
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
