@@ -123,8 +123,8 @@ def label_propagation_nations(spark, sf_dir):
     for _ in range(_LPA_ROUNDS):
         votes = (
             sym.join(
-                labels.select(
-                    F.col("node").alias("v"), F.col("label")
+                F.broadcast(
+                    labels.select(F.col("node").alias("v"), F.col("label"))
                 ),
                 "v",
             )
