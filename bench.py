@@ -110,6 +110,8 @@ HEADLINE = [
     "attribution_position_based",
     "reco_precision_at_k",
     "reconciliation_orders_lineitems",
+    "leaderboard_churn_monthly_parts",
+    "kendall_tau_daily_metrics",
 ]
 
 
