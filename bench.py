@@ -112,6 +112,7 @@ HEADLINE = [
     "reconciliation_orders_lineitems",
     "leaderboard_churn_monthly_parts",
     "kendall_tau_daily_metrics",
+    "dau_mau_stickiness",
 ]
 
 
