@@ -152,3 +152,77 @@ def test_mase_and_fano_positive(spark):
     assert m["mae_naive1_cents"] > 0 and m["mase"] > 0
     for r in _run(spark, "fano_burstiness_by_type"):
         assert r["mean_per_hour"] > 0 and r["fano"] >= 0
+
+
+def test_kendall_tau_bounds_and_pair_count(spark):
+    (r,) = _run(spark, "kendall_tau_daily_metrics")
+    assert -1.0 <= r["tau_b"] <= 1.0
+    assert r["concordant"] + r["discordant"] <= r["n_pairs"]
+
+
+def test_g_test_nonnegative(spark):
+    (r,) = _run(spark, "g_test_type_daypart")
+    assert r["g_stat"] >= 0.0 and r["n_cells"] <= 20
+
+
+def test_js_divergence_bounded_by_one_bit(spark):
+    for r in _run(spark, "js_divergence_source_unigrams"):
+        assert 0.0 <= r["js_bits"] <= 1.0 + 1e-9
+
+
+def test_shrinkage_pulls_toward_pool(spark):
+    rows = _run(spark, "shrunken_return_rates_parts")
+    assert rows
+    # pooled rate is a weighted mean of raw rates; shrinkage moves
+    # every estimate strictly toward it (never past it)
+    tot_x = sum(r["x"] for r in rows)
+    tot_n = sum(r["n"] for r in rows)
+    p0 = tot_x / tot_n
+    for r in rows:
+        lo, hi = sorted((r["raw_rate"], p0))
+        assert lo - 1e-6 <= r["shrunk_rate"] <= hi + 1e-6
+
+
+def test_trimmed_mean_within_group_range(spark):
+    rows = _run(spark, "trimmed_mean_price_by_priority")
+    for r in rows:
+        assert r["n_kept"] <= r["n_total"]
+        # two-sided 5% trim keeps at least 90% of the group
+        assert r["n_kept"] >= 0.9 * r["n_total"] - 2
+        assert r["trimmed_mean_cents"] > 0
+
+
+def test_mrr_consistent_with_hits(spark):
+    (r,) = _run(spark, "reco_mrr_at_k")
+    assert 0.0 <= r["mrr"] <= 1.0
+    assert r["hits_at_1"] <= r["hits_at_k"] <= r["n_eval_parts"]
+    if r["n_eval_parts"]:
+        assert r["mrr"] >= r["hits_at_1"] / r["n_eval_parts"] - 1e-6
+
+
+def test_lift_table_conservation(spark):
+    rows = sorted(_run(spark, "lift_table_documents"), key=lambda r: r["decile"])
+    assert len(rows) == 10
+    assert abs(rows[-1]["cum_gain"] - 1.0) < 1e-6
+    # equal-count deciles within integer rounding
+    sizes = [r["n_docs"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_mix_shift_effects_sum_to_delta(spark):
+    rows = _run(spark, "mix_shift_decomposition_segments")
+    assert rows
+    # Σ(rate_effect + mix_effect) equals the overall AOV delta
+    # reconstructed from the same shares/AOVs (rounding-tolerant)
+    delta = sum(
+        r["share_cur"] * r["aov_cur_cents"] - r["share_prev"] * r["aov_prev_cents"]
+        for r in rows
+    )
+    effects = sum(r["rate_effect_cents"] + r["mix_effect_cents"] for r in rows)
+    assert abs(delta - effects) < 1.0  # cents-scale tolerance from rounding
+
+
+def test_dau_mau_ratio_bounds(spark):
+    for r in _run(spark, "dau_mau_stickiness"):
+        assert 0 < r["dau"] <= r["mau"]
+        assert 0.0 < r["stickiness"] <= 1.0
