@@ -118,15 +118,22 @@ def reco_mrr_at_k(spark, sf_dir):
         .agg(F.count("*").alias("w"))
     )
     wrk = Window.partitionBy("p").orderBy(F.desc("w"), F.asc("q"))
+    # recs/actual each feed multiple consumers below; localCheckpoint
+    # keeps the order-keyed pair builds from re-running per consumer
     recs = (
         co.withColumn("rk", F.row_number().over(wrk))
         .filter(F.col("rk") <= _RECO_K)
         .select("p", "q", "rk")
+        .localCheckpoint(eager=False)
     )
     ea = test.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
     eb = test.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("q"))
     actual = (
-        ea.join(eb, "o").filter(F.col("p") != F.col("q")).select("p", "q").distinct()
+        ea.join(eb, "o")
+        .filter(F.col("p") != F.col("q"))
+        .select("p", "q")
+        .distinct()
+        .localCheckpoint(eager=False)
     )
     evald = actual.select("p").distinct().join(recs.select("p").distinct(), "p")
     first_hit = (
