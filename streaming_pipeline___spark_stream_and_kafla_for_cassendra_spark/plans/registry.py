@@ -9002,6 +9002,7 @@ from . import registry7  # noqa: E402,F401  isort:skip
 from . import registry8  # noqa: E402,F401  isort:skip
 from . import registry9  # noqa: E402,F401  isort:skip
 from . import registry10  # noqa: E402,F401  isort:skip
+from . import registry11  # noqa: E402,F401  isort:skip
 
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
