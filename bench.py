@@ -113,6 +113,8 @@ HEADLINE = [
     "leaderboard_churn_monthly_parts",
     "kendall_tau_daily_metrics",
     "dau_mau_stickiness",
+    "ngram_containment_pairs",
+    "page_hinkley_drift_daily",
 ]
 
 

@@ -9003,6 +9003,7 @@ from . import registry8  # noqa: E402,F401  isort:skip
 from . import registry9  # noqa: E402,F401  isort:skip
 from . import registry10  # noqa: E402,F401  isort:skip
 from . import registry11  # noqa: E402,F401  isort:skip
+from . import registry12  # noqa: E402,F401  isort:skip
 
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
