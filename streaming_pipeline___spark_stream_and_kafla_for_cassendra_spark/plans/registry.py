@@ -9004,6 +9004,7 @@ from . import registry9  # noqa: E402,F401  isort:skip
 from . import registry10  # noqa: E402,F401  isort:skip
 from . import registry11  # noqa: E402,F401  isort:skip
 from . import registry12  # noqa: E402,F401  isort:skip
+from . import registry13  # noqa: E402,F401  isort:skip
 
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
