@@ -158,22 +158,56 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    payload = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
         "metric": "headline_query_wall_seconds",
         "value": total,
         "unit": "sec",
         "runs_per_query": 2,
         "aggregation": "min",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
     if errors:
-        payload["errors"] = errors
+        full["errors"] = errors
+    # The driver tail-captures only ~2 KB of stdout; a 90-query map on
+    # one line overflows that and the round's bench signal is lost
+    # (BENCH_r02.json recorded "parsed": null). So: persist the full
+    # per-query payload to a file, echo the map EARLY in small chunks,
+    # and make the LAST stdout line a compact summary the tail capture
+    # can always recover.
+    report_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL_LATEST.json"
+    )
+    try:
+        with open(report_path, "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    items = sorted(timings.items())
+    for i in range(0, len(items), 10):
+        print("per-query:", json.dumps(dict(items[i : i + 10])))
+    summary = {
+        "metric": "headline_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "runs_per_query": 2,
+        "aggregation": "min",
+        # brief schema compliance without tail overflow: only the 10
+        # slowest queries inline; the full map is in queries_file
+        "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10]),
+        "queries_file": "BENCH_LOCAL_LATEST.json",
+    }
     # stop any stream a failed builder left behind BEFORE spark.stop()
     # kills it mid-batch (that race prints a JVM interrupt stack trace)
     for s in spark.streams.active:
         s.stop()
-    print(json.dumps(payload))
+    sys.stdout.flush()
+    print(json.dumps(summary))
+    sys.stdout.flush()
     spark.stop()
 
 

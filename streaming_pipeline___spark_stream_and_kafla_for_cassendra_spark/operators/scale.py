@@ -184,6 +184,97 @@ def dense_ids(
     return with_pid.mapInPandas(assign, schema=out_schema)
 
 
+def prefix_sums(
+    df: DataFrame,
+    order_cols: list[str] | tuple[str, ...],
+    value_cols: list[str] | tuple[str, ...],
+    num_partitions: int | None = None,
+    prefix: str = "cum_",
+) -> DataFrame:
+    """Distributed running totals: for every row, the INCLUSIVE
+    cumulative sum of each ``value_cols`` entry over all rows at or
+    before it in ``order_cols`` order — WITHOUT the single-partition
+    sort that ``sum() OVER (ORDER BY ...)`` plans.
+
+    Same three-step shape as :func:`dense_ids`:
+
+    1. ``repartitionByRange`` + ``sortWithinPartitions`` establishes
+       the global order across partitions;
+    2. one counting pass aggregates PER-PARTITION sums (a
+       #partitions-row collect) → exclusive prefix offsets on the
+       driver — bounded by partition count, never by data;
+    3. an Arrow-batched ``mapInPandas`` adds ``offset[pid] +
+       local-cumsum`` in one pass, no further shuffle.
+
+    ``order_cols`` must be a unique key (ties may straddle range
+    partition boundaries). Cross-run determinism is guaranteed for
+    integral / exactly-representable values; float value columns
+    inherit the usual reassociation caveat. Integral input columns
+    produce ``long`` running totals, everything else ``double``."""
+    if not order_cols:
+        raise ValueError("prefix_sums requires at least one order column")
+    if not value_cols:
+        raise ValueError("prefix_sums requires at least one value column")
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    rp = df.repartitionByRange(
+        *([num_partitions] if num_partitions else []), *order_cols
+    ).sortWithinPartitions(*order_cols)
+    # pin the sampled range boundaries: the frame is evaluated twice
+    # (per-partition sums, then the cumsum pass) — see dense_ids
+    rp = rp.localCheckpoint(eager=False)
+    with_pid = rp.withColumn("_pid", F.spark_partition_id())
+    vcols = list(value_cols)
+    integral = {
+        c: isinstance(df.schema[c].dataType,
+                      (ByteType, ShortType, IntegerType, LongType))
+        for c in vcols
+    }
+    part_rows = (
+        with_pid.groupBy("_pid")
+        .agg(*[F.sum(c).alias(c) for c in vcols])
+        .collect()
+    )
+    sums = {r["_pid"]: [r[c] or 0 for c in vcols] for r in part_rows}
+    offsets: dict[int, list] = {}
+    acc = [0] * len(vcols)
+    for pid in sorted(sums):
+        offsets[pid] = list(acc)
+        acc = [a + s for a, s in zip(acc, sums[pid])]
+    bc = df.sparkSession.sparkContext.broadcast(offsets)
+
+    out_schema = with_pid.drop("_pid").schema
+    for c in vcols:
+        out_schema = out_schema.add(
+            prefix + c, "long" if integral[c] else "double", True
+        )
+
+    def add_cums(batches):
+        # defined inside so it pickles by value (worker cwd-safe)
+        carry: dict[int, list] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            base = carry.setdefault(pid, list(bc.value[pid]))
+            out = pdf.drop(columns=["_pid"])
+            for i, c in enumerate(vcols):
+                vals = out[c].fillna(0)
+                if integral[c]:
+                    vals = vals.astype("int64")
+                cs = vals.cumsum() + base[i]
+                out[prefix + c] = cs
+                base[i] = cs.iloc[-1]
+            yield out
+
+    return with_pid.mapInPandas(add_cums, schema=out_schema)
+
+
 def collect_file_stats(
     spark: SparkSession, path: str, cols: list[str]
 ) -> DataFrame:

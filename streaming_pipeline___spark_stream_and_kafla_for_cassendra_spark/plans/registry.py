@@ -1453,11 +1453,77 @@ def ann_topk_filtered(spark, sf_dir):
     return brute_force_topk(cands, queries_df, k=5)
 
 
+def _ann_lsh_oracle(n_bands: int = 8, band_bits: int = 8, dim: int = 64,
+                    seed: int = 42, k: int = 5) -> str:
+    """Bit-faithful DuckDB twin of :func:`lsh_topk` via constant
+    replication (the minhash-oracle technique): the seeded numpy
+    hyperplanes are materialized as full-precision SQL literals
+    (``repr(float)`` round-trips float64 exactly), so both engines
+    bucket against IDENTICAL planes; signs, band buckets, the
+    bucket equi-join, and the cosine re-rank are then re-derived
+    relationally. The only cross-engine freedom is summation order
+    inside a 64-term dot product — a sign can differ only if
+    |dot| ≲ 1e-13, vanishingly unlikely for unit-scale data."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bands * band_bits, dim))
+    rows = ",\n      ".join(
+        "({}, [{}])".format(
+            p, ", ".join(repr(float(v)) for v in planes[p])
+        )
+        for p in range(planes.shape[0])
+    )
+    return f"""
+    WITH planes AS (
+      SELECT * FROM (VALUES
+      {rows}
+      ) AS p(pid, w)
+    ),
+    e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    sig AS (
+      SELECT e.vec_id,
+             CAST(p.pid // {band_bits} AS INTEGER) AS band,
+             SUM(CASE WHEN list_dot_product(e.emb, p.w) > 0
+                      THEN CAST(1 AS BIGINT) << (p.pid % {band_bits})
+                      ELSE 0 END) AS bucket
+      FROM e CROSS JOIN planes p
+      GROUP BY e.vec_id, p.pid // {band_bits}
+    ),
+    pairs AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM sig q JOIN sig c ON q.band = c.band AND q.bucket = c.bucket
+      WHERE q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+    ),
+    scored AS (
+      SELECT p.query_id, p.neighbor_id,
+             list_cosine_similarity(a.emb, b.emb) AS sim
+      FROM pairs p
+      JOIN e a ON a.vec_id = p.query_id
+      JOIN e b ON b.vec_id = p.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(sim, 4) AS cosine_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id)
+                AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= {k}
+    """
+
+
 @_register(
     "ann_topk_lsh",
-    None,  # approximate; recall vs brute force asserted in tests
+    _ann_lsh_oracle(),
     "Similarity search scale path: random-hyperplane LSH bucketing + "
-    "exact re-rank within buckets (approximate top-5)",
+    "exact re-rank within buckets (approximate top-5). Oracle-checked "
+    "bit-exactly: the seeded hyperplanes are replicated into the "
+    "DuckDB twin as full-precision literals (same technique as the "
+    "uint64-emulated minhash oracle), so bucketing, candidate "
+    "generation and re-rank must agree row-for-row",
     ("similarity", "ann", "lsh", "embeddings"),
 )
 def ann_topk_lsh(spark, sf_dir):
@@ -1661,10 +1727,24 @@ def multimodal_image_features(spark, sf_dir):
 
 @_register(
     "streaming_hourly_events",
-    None,  # genuinely streaming: watermark + availableNow + memory sink
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR
+             AS window_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS event_count,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
     "Real Structured Streaming run: parquet file stream → watermarked "
     "1-hour tumbling agg → memory sink, trigger(availableNow) — the A1 "
-    "pipeline with the reference's missing watermark fixed (T3)",
+    "pipeline with the reference's missing watermark fixed (T3). "
+    "Oracle-checked: the source is ONE parquet file, so availableNow "
+    "processes exactly one data micro-batch in which the watermark is "
+    "still epoch-zero (nothing can be late-dropped), and complete-mode "
+    "output must therefore equal DuckDB's one-shot batch aggregate — "
+    "the same kappa-parity argument as streaming_rollup_events",
     ("streaming", "agg", "timewindow"),
 )
 def streaming_hourly_events(spark, sf_dir):
@@ -1708,12 +1788,15 @@ def streaming_hourly_events(spark, sf_dir):
 
 @_register(
     "streaming_dedup_events",
-    None,  # genuinely streaming: stateful dedup, arrival-order dependent state
+    "SELECT DISTINCT user_id FROM events",
     "Real Structured Streaming stateful dedup (T8): parquet file "
     "stream → watermark → dropDuplicatesWithinWatermark on user_id → "
     "memory sink via availableNow; emits each user's first arrival, "
     "state bounded by the watermark horizon instead of growing "
-    "forever",
+    "forever. Oracle-checked: with a single-file source, availableNow "
+    "runs one data micro-batch, so no key's state can expire "
+    "mid-stream and re-emit — each user_id appears exactly once, i.e. "
+    "the batch DISTINCT",
     ("streaming", "dedup", "stateful"),
 )
 def streaming_dedup_events(spark, sf_dir):
@@ -1741,12 +1824,42 @@ def streaming_dedup_events(spark, sf_dir):
 
 @_register(
     "streaming_debounce_events",
-    None,  # genuinely streaming: stateful recurrence on last-EMITTED time
+    """
+    WITH RECURSIVE emits AS (
+      SELECT user_id, min(ts) AS ts FROM events GROUP BY user_id
+      UNION ALL
+      SELECT e.user_id,
+             (SELECT min(x.ts) FROM events x
+              WHERE x.user_id = e.user_id
+                AND x.ts >= e.ts + INTERVAL 6 HOUR) AS ts
+      FROM emits e
+      WHERE (SELECT min(x.ts) FROM events x
+             WHERE x.user_id = e.user_id
+               AND x.ts >= e.ts + INTERVAL 6 HOUR) IS NOT NULL
+    ),
+    seq AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM emits
+    )
+    SELECT s.user_id AS key, s.ts AS ts,
+           coalesce(ev.value, 0.0) AS value,
+           CAST((SELECT count(*) FROM events x
+                 WHERE x.user_id = s.user_id
+                   AND x.ts > s.prev_ts AND x.ts < s.ts) AS BIGINT)
+             AS suppressed_since_last
+    FROM seq s JOIN events ev ON ev.user_id = s.user_id AND ev.ts = s.ts
+    """,
     "Real Structured Streaming custom stateful op: per-user "
     "event-time debounce (applyInPandasWithState) over the events "
     "file stream — emits each user's first event then absorbs "
     "repeats inside a 6-hour cooldown, carrying the suppression "
-    "count; the rate-limit/alerting primitive",
+    "count; the rate-limit/alerting primitive. Oracle-checked: the "
+    "single-file availableNow run sorts each user's rows by event "
+    "time (no duplicate (user_id, ts) in the fixture), so the emit "
+    "chain is the greedy recurrence the DuckDB recursive CTE walks — "
+    "anchor = first event, step = earliest event ≥ last emit + 6 h; "
+    "suppressed = events strictly between consecutive emits",
     ("streaming", "stateful", "debounce"),
 )
 def streaming_debounce_events(spark, sf_dir):
@@ -8058,20 +8171,26 @@ def mixture_temperature_weights(spark, sf_dir):
     "deal 7→0), the classic greedy balancer that keeps per-shard "
     "token totals within one max-doc of each other — vs naive "
     "round-robin which systematically overloads shard 0. Output is "
-    "the per-shard manifest (doc/token totals). The global "
-    "row_number is the oracle-parity formulation; at corpus scale "
-    "swap it for operators/scale.py::dense_ids (same ordering "
-    "contract, no single-task sort) and the shard arithmetic is "
-    "unchanged",
+    "the per-shard manifest (doc/token totals). The oracle states "
+    "the rank with a global row_number; the ENGINE ranks with "
+    "operators/scale.py::dense_ids — range-partitioned parallel "
+    "sort + partition-offset ids, same total order, no single-task "
+    "sort in the plan — and the shard arithmetic is unchanged",
     ("sampling", "sharding", "documents"),
 )
 def shard_manifest_documents(spark, sf_dir):
+    from ..operators.scale import dense_ids
+
     d = _t(spark, sf_dir, "documents")
     sized = d.select(
         "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
     )
-    w = Window.orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
-    ranked = sized.withColumn("r", F.row_number().over(w) - 1)
+    # dense_ids orders ascending; negate to rank token-count DESC,
+    # doc_id ASC — (n_tokens, doc_id) is unique so ids are stable
+    ranked = dense_ids(
+        sized.withColumn("_neg", -F.col("n_tokens")), "_neg", "doc_id",
+        id_col="r",
+    ).drop("_neg")
     shard = F.when(
         (F.col("r") / 8).cast("long") % 2 == 0, F.col("r") % 8
     ).otherwise(7 - (F.col("r") % 8))
@@ -8405,18 +8524,44 @@ def holt_forecast_users(spark, sf_dir):
     """,
     "Weight-of-evidence / information-value feature binning (the "
     "credit-scoring & feature-selection primitive): deterministic "
-    "decile bins over price (ntile with a total tie order), per-bin "
-    "bad-rate odds vs the corpus, ln-odds WOE and IV contribution. "
-    "One window pass + one tiny aggregate; the binned target join "
-    "is a broadcast of 2 totals",
+    "decile bins over price (ntile semantics with a total tie "
+    "order), per-bin bad-rate odds vs the corpus, ln-odds WOE and "
+    "IV contribution. The ENGINE computes the bins via scale.py::"
+    "dense_ids (range-partitioned parallel sort, partition-offset "
+    "ranks) + ntile's bin-size arithmetic — no single-partition "
+    "window; the oracle states the same bins with ntile. The "
+    "binned target join is a broadcast of 2 totals",
     ("feature", "binning", "agg", "lineitem"),
 )
 def woe_price_bins_lineitem(spark, sf_dir):
+    from ..operators.scale import dense_ids
+
     li = _t(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-    binned = li.select(
+    # ntile(10) over a total order WITHOUT the single-partition sort:
+    # dense_ids gives the 0-based global rank r via range-partitioned
+    # parallel sort; ntile's bin-size rule is then pure arithmetic —
+    # the first (N mod 10) bins hold ceil(N/10) rows, the rest
+    # floor(N/10) — so the bins bit-match DuckDB's ntile.
+    proj = li.select(
         (F.col("l_returnflag") == "R").alias("bad"),
-        F.ntile(10).over(w).alias("bin"),
+        "l_extendedprice", "l_orderkey", "l_linenumber",
+    )
+    ranked = dense_ids(
+        proj, "l_extendedprice", "l_orderkey", "l_linenumber", id_col="r"
+    )
+    tot_n = proj.agg(F.count("*").alias("n_total"))
+    base = F.floor(F.col("n_total") / 10)
+    rem = F.col("n_total") % 10
+    big = base + 1  # rows per bin in the first `rem` bins
+    bin_col = F.when(
+        F.col("r") < rem * big, F.floor(F.col("r") / big) + 1
+    ).otherwise(
+        rem
+        + F.floor((F.col("r") - rem * big) / F.greatest(base, F.lit(1)))
+        + 1
+    )
+    binned = ranked.crossJoin(F.broadcast(tot_n)).select(
+        "bad", bin_col.cast("int").alias("bin")
     )
     per_bin = binned.groupBy("bin").agg(
         F.count("*").alias("n"),
@@ -9005,6 +9150,7 @@ from . import registry10  # noqa: E402,F401  isort:skip
 from . import registry11  # noqa: E402,F401  isort:skip
 from . import registry12  # noqa: E402,F401  isort:skip
 from . import registry13  # noqa: E402,F401  isort:skip
+from . import registry14  # noqa: E402,F401  isort:skip
 from . import registry14  # noqa: E402,F401  isort:skip
 
 # ---------------------------------------------------------------------------

@@ -1,13 +1,23 @@
-"""Round-2 (cont.) registry additions — inequality / market-
-concentration indices.
+"""Round-3 registry additions, batch 1 — driver-visible recall
+floors for the approximate ANN tiers whose k-means training makes an
+exact cross-engine twin impractical (VERDICT r2 item #3).
 
 Same contract as ``registry.py``. Imported at the bottom of
 ``registry.py``.
+
+The floor queries compute recall@5 of the approximate tier against
+the in-repo exact baseline (``brute_force_topk``) entirely in Spark
+with the production seeds, and emit ONE row whose ``floor_met``
+column the DuckDB oracle pins to TRUE: if a regression drops recall
+below the pinned floor, the Spark side emits FALSE and the driver
+row goes red. Floors are set from measured fixture recall with
+margin (IVF 0.64@sf0.01 → floor 0.5; PQ 0.44@sf0.01 → floor 0.3 —
+the fixture embeddings are near-orthogonal, so absolute recall is
+structurally low; a broken implementation scores ≈ k/n ≈ 0.001).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .registry import _register, _t
@@ -17,8 +27,102 @@ def _r6(col):
     return F.floor(col * 1000000 + F.lit(0.5)) / F.lit(1000000.0)
 
 
+def _recall_floor_frame(spark, sf_dir, approx_builder, floor: float, k: int = 5):
+    """One-row frame (n_queries, k, recall_floor, floor_met): recall@k
+    of ``approx_builder`` vs the exact brute-force baseline. All
+    joins are on (query_id, neighbor_id) key pairs — the truth set is
+    q×k rows, so every aggregate here is tiny."""
+    from ..operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    truth = brute_force_topk(emb, queries_df, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = approx_builder(emb, queries_df).select("query_id", "neighbor_id")
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    n_hit = (
+        truth.join(approx, ["query_id", "neighbor_id"])
+        .agg(F.count("*").alias("n_hit"))
+    )
+    n_q = queries_df.agg(F.count("*").alias("n_queries"))
+    return (
+        n_q.crossJoin(n_truth)
+        .crossJoin(n_hit)
+        .select(
+            F.col("n_queries").cast("long").alias("n_queries"),
+            F.lit(k).cast("int").alias("k"),
+            F.lit(floor).cast("double").alias("recall_floor"),
+            (
+                F.col("n_hit").cast("double")
+                / F.col("n_truth").cast("double")
+                >= F.lit(floor)
+            ).alias("floor_met"),
+        )
+    )
+
+
+@_register(
+    "ann_ivf_recall_floor",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(5 AS INTEGER) AS k,
+           CAST(0.5 AS DOUBLE) AS recall_floor,
+           TRUE AS floor_met
+    FROM embeddings WHERE vec_id % 100 = 0
+    """,
+    "Driver-visible quality gate for the IVF ANN tier: recall@5 of "
+    "ivf_topk(n_lists=16, n_probe=4) vs the exact brute-force top-5, "
+    "computed in-Spark with the production seed, must clear the "
+    "pinned 0.5 floor (measured 0.64 on the near-orthogonal sf0.01 "
+    "fixture; a broken index scores ~0.001). The oracle pins the "
+    "expectation — k-means training makes an exact twin impractical, "
+    "so the FLOOR is the cross-engine contract",
+    ("similarity", "ann", "ivf", "evaluation", "embeddings"),
+)
+def ann_ivf_recall_floor(spark, sf_dir):
+    from ..operators.similarity import ivf_topk
+
+    return _recall_floor_frame(
+        spark,
+        sf_dir,
+        lambda emb, q: ivf_topk(emb, q, k=5, n_lists=16, n_probe=4),
+        floor=0.5,
+    )
+
+
+@_register(
+    "ann_pq_recall_floor",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(5 AS INTEGER) AS k,
+           CAST(0.3 AS DOUBLE) AS recall_floor,
+           TRUE AS floor_met
+    FROM embeddings WHERE vec_id % 100 = 0
+    """,
+    "Driver-visible quality gate for the product-quantization ANN "
+    "tier: recall@5 of pq_topk(m=8, n_codes=32) vs exact brute force "
+    "must clear the pinned 0.3 floor (measured 0.44 on the near-"
+    "orthogonal sf0.01 fixture, where ADC distortion dominates; a "
+    "broken codebook scores ~0.001). Oracle pins the expectation — "
+    "codebook training makes an exact twin impractical",
+    ("similarity", "ann", "pq", "evaluation", "embeddings"),
+)
+def ann_pq_recall_floor(spark, sf_dir):
+    from ..operators.similarity import pq_topk
+
+    return _recall_floor_frame(
+        spark,
+        sf_dir,
+        lambda emb, q: pq_topk(emb, q, k=5, m=8, n_codes=32),
+        floor=0.3,
+    )
+
+
 # ---------------------------------------------------------------------------
-# Between-group Theil inequality index across market segments
+# Between-group Theil inequality across market segments
+# (tests/test_round7_ops.py::test_theil_and_hhi_bounds and the
+# COVERAGE.md rows shipped in round 2; the registry entries land here)
 # ---------------------------------------------------------------------------
 
 @_register(
@@ -26,163 +130,151 @@ def _r6(col):
     """
     WITH seg AS (
       SELECT c.c_mktsegment AS segment,
-             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_g,
              CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
-               AS y
+               AS y_g
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY 1
     ),
-    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(y) AS BIGINT) AS yt
-            FROM seg),
+    tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+                   CAST(sum(y_g) AS BIGINT) AS y FROM seg),
     terms AS (
-      SELECT segment, n, y,
-             (y / CAST(t.yt AS DOUBLE))
-               * ln((y / CAST(t.yt AS DOUBLE)) / (n / CAST(t.nt AS DOUBLE)))
-               AS term,
-             y / CAST(t.yt AS DOUBLE) AS rev_share,
-             n / CAST(t.nt AS DOUBLE) AS pop_share
-      FROM seg CROSS JOIN tot t
-    )
-    SELECT CAST(count(*) AS INTEGER) AS n_segments,
-           floor(list_reduce(list_prepend(0.0, list(term ORDER BY segment)),
-                             (a, x) -> a + x) * 1000000000 + 0.5)
-             / 1000000000.0 AS theil_between,
-           floor(max(rev_share) * 1000000 + 0.5) / 1000000.0
-             AS max_rev_share,
-           floor(max(pop_share) * 1000000 + 0.5) / 1000000.0
-             AS max_pop_share
-    FROM terms
+      SELECT s.segment,
+             (s.y_g / CAST(t.y AS DOUBLE))
+               * ln((s.y_g / CAST(t.y AS DOUBLE))
+                    / (s.n_g / CAST(t.n AS DOUBLE))) AS term
+      FROM seg s CROSS JOIN tot t
+    ),
+    f AS (SELECT list_reduce(list_prepend(0.0,
+                   list(term ORDER BY segment)), (a, x) -> a + x) AS tb
+          FROM terms)
+    SELECT CAST((SELECT count(*) FROM seg) AS BIGINT) AS n_segments,
+           floor(tb * 1000000 + 0.5) / 1000000.0 AS theil_between
+    FROM f
     """,
-    "Between-group Theil inequality index across market segments: "
-    "T_b = Σ s_g·ln(s_g/p_g) with s_g the segment's revenue share "
-    "and p_g its order share — zero when revenue is distributed "
-    "proportionally to activity, growing as segments capture "
-    "disproportionate value; the decomposable-inequality companion "
-    "to the Gini/Pareto operators (Theil splits exactly into "
-    "between+within; this is the between layer). Segment terms fold "
-    "in segment order; one fact-sized rollup, then 5-row arithmetic.",
-    ("stats", "inequality", "orders"),
+    "Between-group Theil-T inequality of order value across customer "
+    "market segments: Σ s_g·ln(s_g/p_g) where s_g is the segment's "
+    "integer-cent value share and p_g its population share — a KL "
+    "divergence, hence nonnegative, and the decomposable complement "
+    "to Gini. Segment sums are exact cents; the 5-term fold is "
+    "segment-ordered (array_sort + F.aggregate ≡ DuckDB list_reduce) "
+    "so both engines add in the same order. One fact rollup + 5-row "
+    "arithmetic",
+    ("stats", "inequality", "orders", "customer"),
 )
 def theil_between_segments(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    c = _t(spark, sf_dir, "customer")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
     seg = (
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"))
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("y"),
-        )
+        .agg(F.count("*").alias("n_g"), F.sum(cents).alias("y_g"))
     )
-    tot = seg.agg(F.sum("n").alias("nt"), F.sum("y").alias("yt"))
-    s = F.col("y") / F.col("yt").cast("double")
-    p = F.col("n") / F.col("nt").cast("double")
-    terms = seg.crossJoin(F.broadcast(tot)).select(
-        "segment",
-        (s * F.log(s / p)).alias("term"),
-        s.alias("rev_share"),
-        p.alias("pop_share"),
+    tot = seg.agg(F.sum("n_g").alias("n"), F.sum("y_g").alias("y"))
+    s_share = F.col("y_g") / F.col("y").cast("double")
+    p_share = F.col("n_g") / F.col("n").cast("double")
+    terms = seg.crossJoin(F.broadcast(tot)).withColumn(
+        "term", s_share * F.log(s_share / p_share)
     )
-    r9 = lambda c_: F.floor(c_ * 1000000000 + F.lit(0.5)) / F.lit(  # noqa: E731
-        1000000000.0
+    n_segments = seg.agg(F.count("*").alias("n_segments"))
+    folded = terms.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("segment"), F.col("term").alias("v"))
+                )
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["v"],
+        ).alias("tb")
     )
-    return terms.agg(
-        F.count("*").cast("int").alias("n_segments"),
-        r9(
-            F.aggregate(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(F.col("segment"), F.col("term").alias("v"))
-                    )
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x["v"],
-            )
-        ).alias("theil_between"),
-        _r6(F.max("rev_share")).alias("max_rev_share"),
-        _r6(F.max("pop_share")).alias("max_pop_share"),
+    return folded.crossJoin(F.broadcast(n_segments)).select(
+        F.col("n_segments").cast("long").alias("n_segments"),
+        _r6(F.col("tb")).alias("theil_between"),
     )
 
-
-# ---------------------------------------------------------------------------
-# Herfindahl–Hirschman supplier concentration per nation
-# ---------------------------------------------------------------------------
 
 @_register(
     "hhi_supplier_concentration",
     """
     WITH rev AS (
-      SELECT s.s_nationkey AS nation, l.l_suppkey AS supp,
+      SELECT s.s_nationkey AS nationkey, l.l_suppkey AS suppkey,
              CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
                   AS BIGINT) AS y
       FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
       GROUP BY 1, 2
     ),
-    tot AS (
-      SELECT nation, CAST(sum(y) AS BIGINT) AS yt,
-             CAST(count(*) AS BIGINT) AS n_supp
-      FROM rev GROUP BY 1
-    ),
+    tot AS (SELECT nationkey, CAST(sum(y) AS BIGINT) AS yt,
+                   CAST(count(*) AS BIGINT) AS ns
+            FROM rev GROUP BY 1),
     terms AS (
-      SELECT r.nation, r.supp, t.n_supp,
+      SELECT r.nationkey, r.suppkey,
              (r.y / CAST(t.yt AS DOUBLE)) * (r.y / CAST(t.yt AS DOUBLE))
-               AS sq
-      FROM rev r JOIN tot t USING (nation)
+               AS term
+      FROM rev r JOIN tot t USING (nationkey)
+    ),
+    f AS (
+      SELECT nationkey,
+             list_reduce(list_prepend(0.0, list(term ORDER BY suppkey)),
+                         (a, x) -> a + x) AS hhi
+      FROM terms GROUP BY nationkey
     )
-    SELECT CAST(nation AS INTEGER) AS nation,
-           CAST(max(n_supp) AS BIGINT) AS n_suppliers,
-           floor(list_reduce(list_prepend(0.0, list(sq ORDER BY supp)),
-                             (a, x) -> a + x) * 1000000 + 0.5) / 1000000.0
-             AS hhi,
-           floor(1.0 / max(n_supp) * 1000000 + 0.5) / 1000000.0 AS hhi_floor
-    FROM terms GROUP BY nation
+    SELECT n.n_name AS nation, t.ns AS n_suppliers,
+           floor(f.hhi * 1000000 + 0.5) / 1000000.0 AS hhi,
+           floor(1.0 / t.ns * 1000000 + 0.5) / 1000000.0 AS hhi_floor
+    FROM f
+    JOIN tot t USING (nationkey)
+    JOIN nation n ON n.n_nationkey = f.nationkey
     """,
-    "Herfindahl–Hirschman supplier-concentration index per nation: "
-    "Σ share² over each nation's suppliers' revenue shares (1/n = "
-    "perfectly even, 1.0 = monopoly; the 1/n floor rides along for "
-    "context) — the antitrust-style concentration gauge that "
-    "complements Gini (which measures inequality, not market power). "
-    "Per-(nation,supplier) revenue shuffles once (map-side "
-    "combined); shares square against broadcast nation totals and "
-    "fold in supplier order so both engines sum identical doubles "
-    "identically.",
-    ("stats", "concentration", "lineitem"),
+    "Herfindahl–Hirschman supplier-revenue concentration per nation: "
+    "Σ share² over each nation's suppliers (exact integer-cent "
+    "revenue shares) plus the 1/n equal-share floor — the market-"
+    "concentration / shard-balance diagnostic. Supplier-keyed "
+    "rollup, broadcast per-nation totals, supplier-ordered folds so "
+    "the share² sums are bit-identical across engines",
+    ("stats", "concentration", "lineitem", "supplier"),
 )
 def hhi_supplier_concentration(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
-    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
     rev = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .groupBy(
-            F.col("s_nationkey").alias("nation"), F.col("l_suppkey").alias("supp")
+            F.col("s_nationkey").alias("nationkey"),
+            F.col("l_suppkey").alias("suppkey"),
         )
-        .agg(
-            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias("y")
-        )
+        .agg(F.sum(cents).alias("y"))
     )
-    tot = rev.groupBy("nation").agg(
-        F.sum("y").alias("yt"), F.count("*").alias("n_supp")
+    tot = rev.groupBy("nationkey").agg(
+        F.sum("y").alias("yt"), F.count("*").alias("ns")
     )
     share = F.col("y") / F.col("yt").cast("double")
-    terms = rev.join(F.broadcast(tot), "nation").select(
-        "nation", "supp", "n_supp", (share * share).alias("sq")
+    terms = rev.join(F.broadcast(tot), "nationkey").withColumn(
+        "term", share * share
+    )
+    folded = terms.groupBy("nationkey").agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("suppkey"), F.col("term").alias("v"))
+                )
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["v"],
+        ).alias("hhi")
     )
     return (
-        terms.groupBy("nation")
-        .agg(
-            F.max("n_supp").alias("n_supp"),
-            F.aggregate(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("supp"), F.col("sq").alias("v")))
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x["v"],
-            ).alias("hhi_raw"),
+        folded.join(F.broadcast(tot), "nationkey")
+        .join(
+            F.broadcast(n), folded.nationkey == F.col("n_nationkey")
         )
         .select(
-            F.col("nation").cast("int").alias("nation"),
-            F.col("n_supp").cast("long").alias("n_suppliers"),
-            _r6(F.col("hhi_raw")).alias("hhi"),
-            _r6(F.lit(1.0) / F.col("n_supp")).alias("hhi_floor"),
+            F.col("n_name").alias("nation"),
+            F.col("ns").cast("long").alias("n_suppliers"),
+            _r6(F.col("hhi")).alias("hhi"),
+            _r6(F.lit(1.0) / F.col("ns")).alias("hhi_floor"),
         )
     )

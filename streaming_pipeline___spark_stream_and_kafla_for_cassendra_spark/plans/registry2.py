@@ -955,17 +955,35 @@ def attribution_last_touch(spark, sf_dir):
     "ten equal-population buckets with their observed [lo, hi] "
     "bounds — the histogram a cost-based optimizer keeps for skewed "
     "columns, complementing the fixed-width histogram the registry "
-    "already has. Global-order window noted: at 100 TB swap ntile "
-    "for the KLL sketch boundaries, same output contract",
+    "already has. The ENGINE computes the buckets via scale.py::"
+    "dense_ids (range-partitioned parallel sort + partition-offset "
+    "ranks) and ntile's bin-size arithmetic — no single-partition "
+    "window; the oracle states the same buckets with ntile. (A KLL "
+    "sketch gives approximate boundaries in one pass when exact "
+    "equi-depth isn't required.)",
     ("agg", "window", "histogram", "events"),
 )
 def equi_depth_histogram_events(spark, sf_dir):
+    from ..operators.scale import dense_ids
+
     e = _t(spark, sf_dir, "events")
-    ranked = e.select(
-        "value",
-        F.ntile(10).over(Window.orderBy("value", "event_id")).alias("bucket"),
+    proj = e.select("value", "event_id")
+    ranked = dense_ids(proj, "value", "event_id", id_col="r")
+    tot_n = proj.agg(F.count("*").alias("n_total"))
+    base = F.floor(F.col("n_total") / 10)
+    rem = F.col("n_total") % 10
+    big = base + 1  # ntile: first (N mod 10) buckets get ceil(N/10)
+    bucket = F.when(
+        F.col("r") < rem * big, F.floor(F.col("r") / big) + 1
+    ).otherwise(
+        rem
+        + F.floor((F.col("r") - rem * big) / F.greatest(base, F.lit(1)))
+        + 1
     )
-    return ranked.groupBy("bucket").agg(
+    binned = ranked.crossJoin(F.broadcast(tot_n)).select(
+        "value", bucket.cast("int").alias("bucket")
+    )
+    return binned.groupBy("bucket").agg(
         F.count("*").alias("n_rows"),
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),
@@ -2812,27 +2830,41 @@ def kaplan_meier_time_to_purchase(spark, sf_dir):
     "(n₊ n₋), with tied scores taking average ranks. Ranks are "
     "integers (ties → .5 halves — exactly representable), so the "
     "statistic is bit-deterministic; no threshold sweep or curve "
-    "materialization. This is the scalable AUC: one sort-rank "
-    "window over (score)-grouped data + one aggregate, no O(n²) "
-    "pair comparisons",
+    "materialization. This is the scalable AUC: a per-score tie-"
+    "group aggregate, then a DISTRIBUTED running total over the "
+    "group table (scale.py::prefix_sums — range-partitioned, no "
+    "single-partition window) + one aggregate, no O(n²) pair "
+    "comparisons; the oracle states the same statistic with the "
+    "classic per-row rank window",
     ("ml", "evaluation", "auc", "stats", "documents"),
 )
 def auc_chars_predict_english(spark, sf_dir):
+    from ..operators.scale import prefix_sums
+
     d = _t(spark, sf_dir, "documents")
     scored = d.select(
         F.col("n_chars").alias("score"),
         (F.col("lang") == "en").cast("int").alias("y"),
     )
-    rn = F.row_number().over(Window.orderBy("score")) * F.lit(1.0)
-    ranked = scored.select("score", "y", rn.alias("rn")).select(
-        "y", F.avg("rn").over(Window.partitionBy("score")).alias("tie_rank")
+    # Scale-safe rank-sum: aggregate per distinct score FIRST (the
+    # tie groups), then one distributed running total over the
+    # score-sorted group table (scale.py::prefix_sums — no single-
+    # partition window anywhere). avg tied rank of a group =
+    # (#rows before it) + (group_size + 1)/2; every term is an
+    # integer or half-integer, so r_pos = Σ pos_s · tie_rank is
+    # exactly representable and bit-matches the per-row oracle.
+    per_score = scored.groupBy("score").agg(
+        F.count("*").alias("n_s"), F.sum("y").alias("pos_s")
     )
-    agg = ranked.agg(
-        F.sum("y").alias("n_pos"),
-        (F.count("*") - F.sum("y")).alias("n_neg"),
-        F.sum(F.when(F.col("y") == 1, F.col("tie_rank")).otherwise(0.0)).alias(
-            "r_pos"
-        ),
+    cum = prefix_sums(per_score, ["score"], ["n_s"])
+    tie_rank = (
+        (F.col("cum_n_s") - F.col("n_s")).cast("double")
+        + (F.col("n_s") + F.lit(1.0)) / 2
+    )
+    agg = cum.agg(
+        F.sum("pos_s").alias("n_pos"),
+        (F.sum("n_s") - F.sum("pos_s")).alias("n_neg"),
+        F.sum(F.col("pos_s") * tie_rank).alias("r_pos"),
     )
     auc = (
         F.col("r_pos") - F.col("n_pos") * (F.col("n_pos") + F.lit(1.0)) / 2

@@ -36,8 +36,10 @@ _SPATIAL_R2 = _SPATIAL_R * _SPATIAL_R
     f"""
     WITH pts AS (
       SELECT c_custkey AS id,
-             (c_custkey * c_custkey * 7919 + c_custkey * 48271) % 100000 AS x,
-             (c_custkey * c_custkey * 104729 + c_custkey * 69621) % 100000 AS y
+             ((c_custkey % 100000) * (c_custkey % 100000) * 7919
+              + c_custkey * 48271) % 100000 AS x,
+             ((c_custkey % 100000) * (c_custkey % 100000) * 104729
+              + c_custkey * 69621) % 100000 AS y
       FROM customer
     )
     SELECT a.id AS id_a, b.id AS id_b,
@@ -60,18 +62,16 @@ _SPATIAL_R2 = _SPATIAL_R * _SPATIAL_R
     ("spatial", "join", "scale"),
 )
 def spatial_radius_join_customers(spark, sf_dir):
+    # reduce custkey mod 1e5 BEFORE squaring: k²·104729 stays well
+    # under int64 at any scale factor (raw custkey² overflowed past
+    # ~sf100, where Spark wraps silently but DuckDB errors)
+    k = F.col("c_custkey") % 100000
     pts = (
         _t(spark, sf_dir, "customer")
         .select(
             F.col("c_custkey").alias("id"),
-            (
-                (F.col("c_custkey") * F.col("c_custkey") * 7919
-                 + F.col("c_custkey") * 48271) % 100000
-            ).alias("x"),
-            (
-                (F.col("c_custkey") * F.col("c_custkey") * 104729
-                 + F.col("c_custkey") * 69621) % 100000
-            ).alias("y"),
+            ((k * k * 7919 + F.col("c_custkey") * 48271) % 100000).alias("x"),
+            ((k * k * 104729 + F.col("c_custkey") * 69621) % 100000).alias("y"),
         )
     )
     r = F.lit(_SPATIAL_R)
@@ -571,8 +571,12 @@ def cuped_adjusted_ab_events(spark, sf_dir):
     "tie order) — the tokenizer-coverage / domain-shift signal used "
     "to gate pre-training shards. Plan: one token-count aggregate "
     "sized by the vocabulary, broadcast back over the exploded scan, "
-    "one per-doc re-aggregate. The token stream shuffles at most "
-    "once; the vocab table is KB-sized at any corpus size.",
+    "one per-doc re-aggregate. Vocabulary selection is a LOSSLESS "
+    "two-stage top-k (per-partition top-1000 under the same tie "
+    "order, then a merge window over ≤ partitions×1000 survivors) — "
+    "no single-partition sort of the full distinct-token table. The "
+    "token stream shuffles at most once; the vocab table is KB-sized "
+    "at any corpus size.",
     ("text-quality", "documents", "vocab"),
 )
 def oov_rate_documents(spark, sf_dir):
@@ -588,11 +592,22 @@ def oov_rate_documents(spark, sf_dir):
             )
         ).alias("token"),
     )
+    # two-stage top-k: each partition keeps its own top-1000 under
+    # the SAME (count desc, token asc) order — any global top-1000
+    # member is a partition top-1000 member, so the prune is
+    # lossless — then the final window ranks ≤ #partitions×1000
+    # survivors, never the corpus vocabulary
+    counts = tok.groupBy("token").agg(F.count("*").alias("n"))
+    pw = Window.partitionBy("_pid").orderBy(F.desc("n"), F.asc("token"))
+    pruned = (
+        counts.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_prk", F.row_number().over(pw))
+        .filter(F.col("_prk") <= 1000)
+        .drop("_pid", "_prk")
+    )
     w = Window.orderBy(F.desc("n"), F.asc("token"))
     vocab = (
-        tok.groupBy("token")
-        .agg(F.count("*").alias("n"))
-        .withColumn("rk", F.row_number().over(w))
+        pruned.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 1000)
         .select("token", F.lit(True).alias("in_vocab"))
     )

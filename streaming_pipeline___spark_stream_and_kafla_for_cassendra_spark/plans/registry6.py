@@ -404,10 +404,23 @@ def reco_precision_at_k(spark, sf_dir):
         1,
         1,
     ).isin(*"0123456789ab")
-    split = li.select("l_orderkey", "l_partkey", is_train.alias("is_train"))
-    train = split.filter("is_train").select("l_orderkey", "l_partkey").distinct()
+    # the split feeds BOTH branches; pin it so the lineitem scan +
+    # md5 hash run once, and pin each distinct() since train/test
+    # each fan out to two pair-join legs below
+    split = li.select(
+        "l_orderkey", "l_partkey", is_train.alias("is_train")
+    ).localCheckpoint(eager=False)
+    train = (
+        split.filter("is_train")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     test = (
-        split.filter(~F.col("is_train")).select("l_orderkey", "l_partkey").distinct()
+        split.filter(~F.col("is_train"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
     )
     ta = train.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
     tb = train.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("q"))

@@ -217,25 +217,32 @@ def reco_mrr_at_k(spark, sf_dir):
     "rate, lift over the base rate, and cumulative gain — the model-"
     "evaluation table every targeting/quality classifier ships with, "
     "the tabular twin of `auc_chars_predict_english`. One global "
-    "rank window (at scale: range-partitioned sort), then "
+    "rank is the oracle's formulation; the ENGINE ranks via "
+    "scale.py::dense_ids — range-partitioned parallel sort + "
+    "partition-offset ids, same total order, no single-task sort — "
+    "then "
     "deciles-sized arithmetic over exact integer cells.",
     ("ml-eval", "stats", "documents"),
 )
 def lift_table_documents(spark, sf_dir):
+    from ..operators.scale import dense_ids
+
     d = _t(spark, sf_dir, "documents")
     base = d.select(
         "doc_id",
         "n_chars",
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
     )
-    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
-    ranked = base.select(
-        "y",
-        F.row_number().over(w).alias("rk"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
+    # rank (n_chars DESC, doc_id ASC) WITHOUT a single-partition
+    # window: negate the score and let dense_ids assign 0-based ids
+    # via range-partitioned parallel sort + partition offsets
+    ranked = dense_ids(
+        base.withColumn("_neg", -F.col("n_chars")), "_neg", "doc_id",
+        id_col="rk0",
     )
-    dec = ranked.select(
-        F.floor((F.col("rk") - 1) * 10 / F.col("n")).cast("int").alias("decile"),
+    tot_n = base.agg(F.count("*").alias("n"))
+    dec = ranked.crossJoin(F.broadcast(tot_n)).select(
+        F.floor(F.col("rk0") * 10 / F.col("n")).cast("int").alias("decile"),
         "y",
     )
     cells = dec.groupBy("decile").agg(

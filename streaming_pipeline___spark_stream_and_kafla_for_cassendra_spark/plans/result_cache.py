@@ -44,7 +44,13 @@ class ResultCache:
         return os.path.join(self._entry(key), "_committed")
 
     @staticmethod
-    def fingerprint(df: DataFrame) -> str:
+    def fingerprint(df: DataFrame) -> str | None:
+        """Cache key = semantic plan hash + (path, mtime, size) of every
+        input file. Returns ``None`` — *uncacheable* — when any input
+        cannot be statted (object-store URIs, transient stat errors):
+        hashing a stable sentinel there would keep serving a stale
+        entry after the un-stattable input changed, silently breaking
+        the "correctness never depends on TTLs" guarantee."""
         h = hashlib.md5()
         h.update(str(df.semanticHash()).encode())
         files = []
@@ -52,9 +58,9 @@ class ResultCache:
             p = uri[len("file:"):] if uri.startswith("file:") else uri
             try:
                 st = os.stat(p)
-                files.append((p, st.st_mtime_ns, st.st_size))
             except OSError:
-                files.append((p, -1, -1))
+                return None
+            files.append((p, st.st_mtime_ns, st.st_size))
         for rec in sorted(files):
             h.update(repr(rec).encode())
         return h.hexdigest()
@@ -70,6 +76,8 @@ class ResultCache:
         never re-trigger the source scan either way)."""
         spark = df.sparkSession
         key = self.fingerprint(df)
+        if key is None:  # un-stattable input: bypass, never publish
+            return df, False
         hit = self.lookup(spark, key)
         if hit is not None:
             return hit, True

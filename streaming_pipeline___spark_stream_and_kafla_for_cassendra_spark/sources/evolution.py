@@ -168,6 +168,10 @@ def _reader_can_read(reader: StructType, writer: StructType) -> list[str]:
                 if not rf.nullable:
                     problems.append(f"{path}: required by reader, absent in writer")
                 continue
+            if wf.nullable and not rf.nullable:
+                problems.append(
+                    f"{path}: writer nullable but reader requires non-null"
+                )
             rt, wt = rf.dataType, wf.dataType
             if isinstance(rt, StructType) and isinstance(wt, StructType):
                 walk(rt, wt, f"{path}.")

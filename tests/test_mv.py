@@ -153,3 +153,39 @@ def test_result_cache_hits_and_invalidates(spark, tmp_path):
     r4, hit4 = cache.get_or_compute(q())
     assert not hit4
     assert sum(r.n for r in r4.collect()) == 1100
+
+
+def test_result_cache_bypasses_unstattable_inputs(spark, tmp_path, monkeypatch):
+    """Inputs the driver cannot stat must be UNCACHEABLE, not hashed to
+    a stable sentinel (which would serve stale results after the input
+    changed)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.plans.result_cache import (
+        ResultCache,
+    )
+
+    src = str(tmp_path / "src2")
+    spark.range(100).write.parquet(src)
+    cache = ResultCache(path=str(tmp_path / "rc2"))
+    df = spark.read.parquet(src).agg(F.count("*").alias("n"))
+
+    real_stat = os.stat
+
+    def flaky_stat(p, *a, **kw):
+        if "src2" in str(p):
+            raise OSError("transient stat failure")
+        return real_stat(p, *a, **kw)
+
+    monkeypatch.setattr(os, "stat", flaky_stat)
+    assert ResultCache.fingerprint(df) is None
+    r1, hit1 = cache.get_or_compute(df)
+    assert not hit1
+    r2, hit2 = cache.get_or_compute(df)
+    assert not hit2  # never a hit, never published
+    monkeypatch.undo()
+    assert not os.path.isdir(str(tmp_path / "rc2")) or not os.listdir(
+        str(tmp_path / "rc2")
+    )

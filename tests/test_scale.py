@@ -299,3 +299,38 @@ def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_prefix_sums_matches_global_window(spark):
+    """Distributed running totals == the single-partition window sum,
+    including across range-partition boundaries and empty batches."""
+    from pyspark.sql import Window
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.scale import (
+        prefix_sums,
+    )
+
+    df = (
+        spark.range(10_000)
+        .withColumn("k", (F.col("id") * 2654435761) % 1_000_003)
+        .withColumn("n", F.col("id") % 7)
+        .withColumn("x", (F.col("id") % 11).cast("double") / 4)
+    )
+    got = prefix_sums(df, ["k", "id"], ["n", "x"], num_partitions=13)
+    w = Window.orderBy("k", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.select(
+        "id",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("x").over(w).alias("cum_x"),
+    )
+    j = (
+        got.select("id", "cum_n", "cum_x")
+        .join(want.withColumnRenamed("cum_n", "w_n").withColumnRenamed("cum_x", "w_x"), "id")
+    )
+    bad = j.filter(
+        (F.col("cum_n") != F.col("w_n"))
+        | (F.abs(F.col("cum_x") - F.col("w_x")) > 1e-9)
+    ).count()
+    assert bad == 0
+    assert got.schema["cum_n"].dataType.simpleString() == "bigint"
+    assert got.schema["cum_x"].dataType.simpleString() == "double"

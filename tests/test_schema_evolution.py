@@ -159,3 +159,21 @@ def test_compatibility_classification():
     # old reader still requires id -> BACKWARD only
     dropped = StructType([StructField("name", StringType(), True)])
     assert compatibility(base, dropped) == "BACKWARD"
+
+
+def test_compatibility_flags_nullability_tightening():
+    """writer-nullable -> reader-required is NOT a safe read: writer
+    data may carry nulls the reader declares impossible."""
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.sources.evolution import (
+        _reader_can_read,
+        compatibility,
+    )
+
+    loose = _st(("id", LongType()))  # nullable (default)
+    tight = StructType([StructField("id", LongType(), False)])
+    problems = _reader_can_read(tight, loose)
+    assert problems and "non-null" in problems[0]
+    # tightening breaks the backward direction but old readers still
+    # read new (non-null is a subset of nullable) -> FORWARD only
+    assert compatibility(loose, tight) == "FORWARD"
+    assert compatibility(tight, loose) == "BACKWARD"
