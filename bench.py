@@ -115,6 +115,11 @@ HEADLINE = [
     "dau_mau_stickiness",
     "ngram_containment_pairs",
     "page_hinkley_drift_daily",
+    "hard_negative_mining",
+    "cms_token_counts",
+    "near_dup_canonical_docs",
+    "hhi_supplier_concentration",
+    "mmr_diverse_representatives",
 ]
 
 

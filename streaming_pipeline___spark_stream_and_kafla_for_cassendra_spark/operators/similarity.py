@@ -1097,3 +1097,198 @@ def kmeans_assign(
             )
 
     return candidates.select(id_col, vec_col).mapInPandas(assign, schema)
+
+
+def hard_negatives(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: for
+    each query, the top-k most-similar candidates with a DIFFERENT
+    label — the near-misses that teach an encoder the boundary.
+
+    Same scale shape as :func:`brute_force_topk` (queries broadcast
+    with their labels, candidates streamed batch-at-a-time, per-batch
+    local top-k so the shuffle stays k-sized), but the similarity
+    matrix is masked where labels match BEFORE the local top-k — a
+    per-query predicate no candidate pre-filter can express.
+    """
+    import numpy as np
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    n = queries.count()
+    if n > MAX_BROADCAST_VECTORS:
+        raise ValueError(
+            f"{n} query vectors exceed the broadcast guard "
+            f"({MAX_BROADCAST_VECTORS}); shard the query set"
+        )
+    rows = queries.select(id_col, vec_col, label_col).collect()
+    q_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in rows], dtype=np.float64)
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-300)
+    q_lab = np.array([r[2] for r in rows], dtype=np.int64)
+    bvar = queries.sparkSession.sparkContext.broadcast((q_ids, q_mat, q_lab))
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cosine_sim", DoubleType()),
+        ]
+    )
+    keep = k  # no self-match risk: same-label (incl. self) is masked
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        q_ids, q_mat, q_lab = bvar.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf["_id"].to_numpy(dtype=np.int64)
+            c_lab = pdf["_lab"].to_numpy(dtype=np.int64)
+            c_mat = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
+            c_mat /= np.maximum(
+                np.linalg.norm(c_mat, axis=1, keepdims=True), 1e-300
+            )
+            sims = c_mat @ q_mat.T  # (nc, nq)
+            sims[c_lab[:, None] == q_lab[None, :]] = -np.inf
+            nc, nq = sims.shape
+            take = min(keep, nc)
+            qcol, ncol, scol = [], [], []
+            for j in range(nq):
+                s = sims[:, j]
+                idx = np.lexsort((c_ids, -s))[:take]
+                idx = idx[np.isfinite(s[idx])]
+                if not len(idx):
+                    continue
+                qcol.append(np.full(len(idx), q_ids[j], dtype=np.int64))
+                ncol.append(c_ids[idx])
+                scol.append(s[idx])
+            if not qcol:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(qcol),
+                    "neighbor_id": np.concatenate(ncol),
+                    "cosine_sim": np.concatenate(scol),
+                }
+            )
+
+    scored = candidates.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.col(label_col).alias("_lab"),
+    ).mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine_sim", 4).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+def mmr_select(
+    df: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diverse selection per group: greedily
+    pick ``k`` representatives maximizing ``lam·relevance −
+    (1−lam)·max-sim-to-already-selected``, where relevance is cosine
+    to the group centroid. The data-selection primitive for building
+    small-but-diverse eval/finetune pools from a large corpus.
+
+    Deterministic: ties break on ascending id; the greedy recurrence
+    is sequential per group, so it runs as one grouped
+    ``applyInPandas`` pass (one shuffle on the group key; group pools
+    must fit an Arrow batch — pre-filter to a bounded candidate pool
+    per group, e.g. top-N by quality, before calling).
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("group", LongType()),
+            StructField(id_col, LongType()),
+            StructField("pick_rank", IntegerType()),
+            StructField("mmr_score", DoubleType()),
+        ]
+    )
+    kk, ll = int(k), float(lam)
+    idc, vcc = id_col, vec_col
+
+    def pick(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf[idc].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)  # id-order: deterministic regardless of arrival
+        ids = ids[order]
+        mat = np.stack(pdf[vcc].to_numpy()).astype(np.float64)[order]
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+        cent = mat.mean(axis=0)
+        cent /= max(np.linalg.norm(cent), 1e-300)
+        rel = mat @ cent
+        sims = mat @ mat.T
+        g = int(pdf["_grp"].iloc[0])
+        selected: list[int] = []
+        scores: list[float] = []
+        max_to_sel = np.full(len(ids), -np.inf)
+        for _ in range(min(kk, len(ids))):
+            if selected:
+                mmr = ll * rel - (1.0 - ll) * max_to_sel
+            else:
+                mmr = ll * rel
+            mmr[selected] = -np.inf
+            # argmax with ascending-id tie-break: stable argmax on
+            # id-sorted arrays is exactly that
+            best = int(np.argmax(np.round(mmr, 12)))
+            selected.append(best)
+            scores.append(float(mmr[best]))
+            max_to_sel = np.maximum(max_to_sel, sims[:, best])
+        return pd.DataFrame(
+            {
+                "group": np.full(len(selected), g, dtype=np.int64),
+                idc: ids[selected],
+                "pick_rank": np.arange(1, len(selected) + 1, dtype=np.int32),
+                "mmr_score": scores,
+            }
+        )
+
+    return (
+        df.select(
+            F.col(group_col).cast("long").alias("_grp"),
+            F.col(id_col),
+            F.col(vec_col),
+        )
+        .groupBy("_grp")
+        .applyInPandas(pick, out_schema)
+    )

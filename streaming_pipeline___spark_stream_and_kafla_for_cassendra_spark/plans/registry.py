@@ -9151,7 +9151,9 @@ from . import registry11  # noqa: E402,F401  isort:skip
 from . import registry12  # noqa: E402,F401  isort:skip
 from . import registry13  # noqa: E402,F401  isort:skip
 from . import registry14  # noqa: E402,F401  isort:skip
+from . import registry15  # noqa: E402,F401  isort:skip
 from . import registry14  # noqa: E402,F401  isort:skip
+from . import registry15  # noqa: E402,F401  isort:skip
 
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)

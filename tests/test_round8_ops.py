@@ -1,0 +1,127 @@
+"""Round-3 batch-2 operators: hard-negative mining, MMR diversity,
+survivorship, count-min guarantees, agreement bounds."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.plans.registry import (
+    REGISTRY,
+)
+
+BY = {q.name: q for q in REGISTRY}
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _run(spark, name, sf=SF_SMOKE):
+    return BY[name].builder(spark, sf).collect()
+
+
+def _clustered_emb(spark, n_clusters=4, per=8, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim)) * 4
+    rows = []
+    vid = 0
+    for ci, c in enumerate(centers):
+        for _ in range(per):
+            v = c + 0.05 * rng.standard_normal(dim)
+            rows.append((vid, ci, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id bigint, label int, embedding array<float>"
+    )
+
+
+def test_hard_negatives_exclude_same_label_and_find_nearest_other(spark):
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = _clustered_emb(spark)
+    queries = emb.filter(F.col("vec_id") % 8 == 0)
+    got = hard_negatives(emb, queries, k=3).collect()
+    labels = {r.vec_id: r.label for r in emb.collect()}
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    by_q: dict[int, list] = {}
+    for r in got:
+        assert labels[r.query_id] != labels[r.neighbor_id]
+        by_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    for q, lst in by_q.items():
+        assert [rk for rk, _ in sorted(lst)] == [1, 2, 3]
+        # top-1 == numpy argmax cosine over other-label vectors
+        qv = vecs[q] / np.linalg.norm(vecs[q])
+        best, best_s = None, -2.0
+        for vid, v in vecs.items():
+            if labels[vid] == labels[q]:
+                continue
+            s = float(qv @ (v / np.linalg.norm(v)))
+            if s > best_s or (s == best_s and vid < best):
+                best, best_s = vid, s
+        assert dict(lst)[1] == best
+
+
+def test_mmr_covers_distinct_clusters_and_is_deterministic(spark):
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.similarity import (
+        mmr_select,
+    )
+
+    emb = _clustered_emb(spark, n_clusters=4, per=8).withColumn(
+        "pool", F.lit(0)
+    )
+    a = mmr_select(emb, k=4, lam=0.5, group_col="pool").collect()
+    b = mmr_select(emb, k=4, lam=0.5, group_col="pool").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # with tight planted clusters, 4 diverse picks hit 4 clusters
+    clusters = {r.vec_id // 8 for r in a}
+    assert len(clusters) == 4
+    assert [r.pick_rank for r in sorted(a, key=lambda r: r.pick_rank)] == [
+        1, 2, 3, 4,
+    ]
+
+
+def test_canonical_is_longest_member_of_its_cluster(spark):
+    rows = _run(spark, "near_dup_canonical_docs")
+    members = _run(spark, "near_dup_clusters")
+    docs = {
+        r.doc_id: r.n_chars
+        for r in BY["text_quality"].builder(spark, SF_SMOKE)
+        .sparkSession.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    by_cluster: dict[int, list[int]] = {}
+    for m in members:
+        by_cluster.setdefault(m.cluster_id, []).append(m.doc_id)
+    for r in rows:
+        assert r.canonical_doc_id in by_cluster[r.cluster_id]
+        assert r.n_members == len(by_cluster[r.cluster_id])
+        best = max(
+            by_cluster[r.cluster_id], key=lambda d: (docs[d], -d)
+        )
+        assert r.canonical_doc_id == best
+
+
+def test_cms_never_underestimates(spark):
+    for r in _run(spark, "cms_token_counts"):
+        assert r.overestimate >= 0
+        assert r.cms_estimate >= r.exact_count
+
+
+def test_kappa_bounds_and_po_pe_consistency(spark):
+    (r,) = _run(spark, "cohens_kappa_langid")
+    assert -1.0 - 1e-9 <= r.kappa <= 1.0 + 1e-9
+    assert 0.0 <= r.po <= 1.0 and 0.0 <= r.pe <= 1.0
+
+
+def test_padding_buckets_conserve_tokens(spark):
+    rows = _run(spark, "padding_waste_buckets")
+    for r in rows:
+        assert r.pad_tokens >= 0 and r.kept_tokens <= r.bucket * r.n_docs
+        assert r.kept_tokens + r.pad_tokens == r.bucket * r.n_docs
+        assert 0.0 <= r.pad_fraction < 1.0
+    # the cap bucket must carry all truncation
+    for r in rows:
+        if r.bucket < 64:
+            assert r.truncated_tokens == 0
