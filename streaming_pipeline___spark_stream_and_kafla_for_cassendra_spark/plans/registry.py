@@ -3035,11 +3035,45 @@ def sessionize_events_batch(spark, sf_dir):
 
 @_register(
     "streaming_sessionize_events",
-    None,  # custom stateful streaming — rows-only driver check
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 4 HOUR
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    numbered AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sno
+      FROM marked),
+    sess AS (
+      SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+             CAST(count(*) AS BIGINT) AS n_events,
+             round(sum(coalesce(value, 0.0)), 4) + 0.0 AS total_value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY max(ts) DESC) AS rev
+      FROM numbered GROUP BY user_id, sno),
+    wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS wmk FROM events)
+    SELECT s.user_id, s.session_start, s.session_end, s.n_events,
+           s.total_value
+    FROM sess s CROSS JOIN wm
+    WHERE s.rev > 1
+       OR epoch_ms(s.session_end + INTERVAL 4 HOUR) < epoch_ms(wm.wmk)
+    """,
     "applyInPandasWithState sessionization run as a real stream "
     "(availableNow over events.parquet): per-user gap sessions close "
     "intra-batch or by event-time timeout; append-mode emission "
-    "(SURVEY §2.10 T8 — the stateful capability the reference lacks)",
+    "(SURVEY §2.10 T8 — the stateful capability the reference lacks). "
+    "Oracle-checked: the single-file run closes every non-final "
+    "session intra-batch (strict microsecond gap compare), and the "
+    "trailing no-data micro-batch fires event-time timeouts for "
+    "final sessions whose ms-floored gap horizon the final watermark "
+    "(max ts − 1 h) passed — exactly the gaps-and-islands twin "
+    "filtered by rev>1 OR timeout-fired; sessions still open at "
+    "stream end are correctly never emitted",
     ("streaming", "stateful", "session"),
 )
 def streaming_sessionize_events(spark, sf_dir):
