@@ -5435,12 +5435,55 @@ def embedding_quantize_error(spark, sf_dir):
 
 @_register(
     "ann_topk_quantized",
-    None,  # approximate scores; recall vs brute force asserted in tests
+    """
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embd
+      FROM embeddings
+    ),
+    nrm AS (
+      SELECT vec_id, embd,
+             greatest(sqrt(list_reduce(list_prepend(0.0,
+                list_transform(embd, x -> x * x)), (a, b) -> a + b)),
+                1e-300) AS nv
+      FROM base
+    ),
+    unitv AS (
+      SELECT vec_id, list_transform(embd, x -> x / nv) AS u FROM nrm
+    ),
+    scl AS (
+      SELECT vec_id, u,
+             greatest(list_max(list_transform(u, x -> abs(x))) / 127.0,
+                      1e-30) AS s
+      FROM unitv
+    ),
+    codes AS (
+      SELECT vec_id, s, list_transform(u, x -> floor(x / s + 0.5)) AS c
+      FROM scl
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, cd.vec_id AS neighbor_id,
+             list_dot_product(q.c, cd.c) * (cd.s * q.s) AS sim
+      FROM codes q JOIN codes cd ON cd.vec_id <> q.vec_id
+      WHERE q.vec_id % 100 = 0
+    )
+    SELECT query_id, neighbor_id, round(sim, 4) AS cosine_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id)
+                AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
     "Similarity search scale path #3: int8-quantized brute force — "
     "1-byte codes shrink the broadcast and shuffle 4-8x and score "
     "with int32-accumulated int8 GEMM; scores rescaled per-pair by "
     "the two quantization scales. Recall vs exact cosine asserted in "
-    "tests/test_similarity_quantized.py",
+    "tests/test_similarity_quantized.py. Oracle-checked bit-exactly: "
+    "quantization is a sequential fold + elementwise arithmetic "
+    "(Spark F.aggregate/F.transform ≡ DuckDB list_reduce/"
+    "list_transform, same IEEE order), integer-code dots are exact "
+    "below 2^24, and the rescale expression order matches — so the "
+    "DuckDB twin reproduces codes, scores, and ranking",
     ("similarity", "ann", "quantization", "embeddings"),
 )
 def ann_topk_quantized(spark, sf_dir):
@@ -9186,8 +9229,10 @@ from . import registry12  # noqa: E402,F401  isort:skip
 from . import registry13  # noqa: E402,F401  isort:skip
 from . import registry14  # noqa: E402,F401  isort:skip
 from . import registry15  # noqa: E402,F401  isort:skip
+from . import registry16  # noqa: E402,F401  isort:skip
 from . import registry14  # noqa: E402,F401  isort:skip
 from . import registry15  # noqa: E402,F401  isort:skip
+from . import registry16  # noqa: E402,F401  isort:skip
 
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)

@@ -1,0 +1,305 @@
+"""Round-3 registry additions, batch 3 — iterative graph analytics
+with exactly-unrolled oracles.
+
+Same contract as ``registry.py``. Imported at the bottom of
+``registry.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import _register, _t
+
+_PR_ITERS = 8
+_PR_DAMP = 0.85
+
+
+def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
+    """Unrolled PageRank twin: DuckDB disallows aggregation in a
+    recursive term, so the fixed iteration count is unrolled into
+    ``iters`` CTE layers. Every float op is pinned: per-node incoming
+    contributions fold in src order (list_reduce ≡ F.aggregate over
+    an array_sort'ed collect_list), and literals are cast to DOUBLE
+    so DuckDB's DECIMAL literals can't change the arithmetic."""
+    edge_cte = """
+    e AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY 1, 2
+    ),
+    outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY 1),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS r
+           FROM nodes CROSS JOIN nn)"""
+    layers = []
+    for i in range(iters):
+        layers.append(f"""
+    r{i + 1} AS (
+      SELECT nd.node,
+             CAST(0.15 AS DOUBLE) / nn.n
+               + CAST(0.85 AS DOUBLE) * coalesce(f.inc, 0.0) AS r
+      FROM nodes nd CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS node,
+               list_reduce(list_prepend(0.0,
+                 list(p.r * e.w / ow.ow ORDER BY e.src)),
+                 (a, b) -> a + b) AS inc
+        FROM e
+        JOIN r{i} p ON p.node = e.src
+        JOIN outw ow ON ow.src = e.src
+        GROUP BY e.dst
+      ) f ON f.node = nd.node
+    )""")
+    return (
+        "    WITH"
+        + edge_cte
+        + ","
+        + ",".join(layers)
+        + f"""
+    SELECT n.n_name AS nation,
+           floor(r{iters}.r * 1000000 + 0.5) / 1000000.0 AS pagerank,
+           CAST(coalesce(ow.ow, 0) AS BIGINT) AS out_trade_weight,
+           CAST((SELECT count(*) FROM e WHERE e.dst = r{iters}.node)
+                AS BIGINT) AS in_edges
+    FROM r{iters}
+    JOIN nation n ON n.n_nationkey = r{iters}.node
+    LEFT JOIN outw ow ON ow.src = r{iters}.node
+    """
+    )
+
+
+@_register(
+    "pagerank_nation_trade",
+    _pagerank_oracle(),
+    "Weighted PageRank over the nation trade graph (customer nation → "
+    "supplier nation, edge weight = lineitem count, damping 0.85, "
+    f"{_PR_ITERS} fixed iterations): the graph-centrality operator "
+    "completing the BFS / connected-components / k-core / label-"
+    "propagation / clustering-coefficient family. Per-iteration plan "
+    "is one edge⋈rank join + one dst-keyed aggregate (shuffles keyed "
+    "on node, lineage pinned with localCheckpoint like the CC "
+    "operators); incoming contributions fold in src order so every "
+    "double matches DuckDB's unrolled-CTE twin bit-for-bit. The "
+    "fixture graph has no dangling nodes (all 25 nations export), "
+    "so no teleport-mass correction is needed",
+    ("graph", "pagerank", "iterative", "lineitem"),
+)
+def pagerank_nation_trade(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    # node count bounds the driver work (graph nodes, never rows)
+    n_nodes = nodes.count()
+    ew = e.join(outw, "src")
+
+    r = nodes.withColumn(
+        "r", F.lit(1.0) / F.lit(float(n_nodes))
+    ).localCheckpoint(eager=False)
+    for _ in range(_PR_ITERS):
+        contrib = ew.join(r, ew.src == r.node).select(
+            "dst",
+            "src",
+            (F.col("r") * F.col("w") / F.col("ow")).alias("v"),
+        )
+        inc = contrib.groupBy("dst").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("src", "v"))),
+                F.lit(0.0),
+                lambda a, x: a + x["v"],
+            ).alias("inc")
+        )
+        r = (
+            nodes.join(inc, nodes.node == inc.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(0.15) / F.lit(float(n_nodes))
+                    + F.lit(0.85) * F.coalesce(F.col("inc"), F.lit(0.0))
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    in_edges = e.groupBy("dst").agg(F.count("*").alias("in_edges"))
+    return (
+        r.join(F.broadcast(n), r.node == F.col("n_nationkey"))
+        .join(F.broadcast(outw), r.node == F.col("src"), "left")
+        .join(F.broadcast(in_edges), r.node == F.col("dst"), "left")
+        .select(
+            F.col("n_name").alias("nation"),
+            (F.floor(F.col("r") * 1000000 + F.lit(0.5)) / F.lit(1000000.0)).alias(
+                "pagerank"
+            ),
+            F.coalesce(F.col("ow"), F.lit(0)).cast("long").alias(
+                "out_trade_weight"
+            ),
+            F.coalesce(F.col("in_edges"), F.lit(0)).cast("long").alias(
+                "in_edges"
+            ),
+        )
+    )
+
+
+_MK_ITERS = 16
+
+
+def _markov_conv_oracle(iters: int = _MK_ITERS) -> str:
+    """Unrolled value-iteration twin (no aggregates allowed in a
+    DuckDB recursive term): every probability is an integer-count
+    ratio, every fold is t-ordered, every literal DOUBLE-cast."""
+    head = """
+    seq AS (
+      SELECT user_id, event_type AS s,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+               AS t
+      FROM events
+    ),
+    pairs AS (SELECT s, coalesce(t, '__END__') AS t FROM seq
+              WHERE s <> 'purchase'),
+    cnt AS (SELECT s, t, CAST(count(*) AS BIGINT) AS n
+            FROM pairs GROUP BY 1, 2),
+    outs AS (SELECT s, CAST(sum(n) AS BIGINT) AS o FROM cnt GROUP BY 1),
+    states AS (SELECT DISTINCT s FROM cnt),
+    v0 AS (SELECT s, CAST(0.0 AS DOUBLE) AS v FROM states)"""
+    layers = []
+    for i in range(iters):
+        layers.append(f"""
+    v{i + 1} AS (
+      SELECT st.s, coalesce(f.val, 0.0) AS v
+      FROM states st LEFT JOIN (
+        SELECT c.s,
+               list_reduce(list_prepend(0.0,
+                 list((CAST(c.n AS DOUBLE) / o.o)
+                      * CASE WHEN c.t = 'purchase' THEN CAST(1.0 AS DOUBLE)
+                             WHEN c.t = '__END__' THEN CAST(0.0 AS DOUBLE)
+                             ELSE coalesce(p.v, 0.0) END
+                      ORDER BY c.t)),
+                 (a, b) -> a + b) AS val
+        FROM cnt c
+        JOIN outs o ON o.s = c.s
+        LEFT JOIN v{i} p ON p.s = c.t
+        GROUP BY c.s
+      ) f ON f.s = st.s
+    )""")
+    return (
+        "    WITH"
+        + head
+        + ","
+        + ",".join(layers)
+        + f"""
+    SELECT v{iters}.s AS state,
+           o.o AS n_transitions,
+           floor(coalesce(
+             (SELECT CAST(c2.n AS DOUBLE) / o.o FROM cnt c2
+              WHERE c2.s = v{iters}.s AND c2.t = 'purchase'), 0.0)
+             * 1000000 + 0.5) / 1000000.0 AS p_direct,
+           floor(v{iters}.v * 1000000 + 0.5) / 1000000.0 AS conv_prob
+    FROM v{iters} JOIN outs o ON o.s = v{iters}.s
+    """
+    )
+
+
+@_register(
+    "markov_conversion_probability",
+    _markov_conv_oracle(),
+    "Absorbing-Markov-chain conversion probability per event state — "
+    "the principled companion to last-touch / position-based "
+    "attribution: consecutive same-user events form a first-order "
+    "chain, 'purchase' absorbs with value 1, sequence end absorbs "
+    f"with 0, and {_MK_ITERS} fixed value-iteration steps give each "
+    "transient state its eventual-conversion probability. "
+    "Transition probabilities are exact integer-count ratios; the "
+    "per-state expectation folds in next-state order, so all "
+    f"{_MK_ITERS} iterations bit-match DuckDB's unrolled-CTE twin. "
+    "Plan: one user-keyed lead window + a states²-sized iteration "
+    "(state space = event types, never rows)",
+    ("graph", "markov", "attribution", "iterative", "events"),
+)
+def markov_conversion_probability(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    seq = e.select(
+        F.col("event_type").alias("s"),
+        F.lead("event_type").over(w).alias("t"),
+    )
+    pairs = seq.filter(F.col("s") != "purchase").select(
+        "s", F.coalesce(F.col("t"), F.lit("__END__")).alias("t")
+    )
+    cnt = pairs.groupBy("s", "t").agg(F.count("*").alias("n"))
+    cnt = cnt.localCheckpoint(eager=False)
+    outs = cnt.groupBy("s").agg(F.sum("n").alias("o"))
+    states = cnt.select("s").distinct()
+    ct = cnt.join(outs, "s").select(
+        "s", "t", (F.col("n").cast("double") / F.col("o")).alias("p")
+    ).localCheckpoint(eager=False)
+
+    v = states.withColumn("v", F.lit(0.0)).localCheckpoint(eager=False)
+    for _ in range(_MK_ITERS):
+        prev = v.select(F.col("s").alias("ps"), F.col("v").alias("pv"))
+        term = ct.join(prev, ct.t == prev.ps, "left").select(
+            "s",
+            "t",
+            (
+                F.col("p")
+                * F.when(F.col("t") == "purchase", F.lit(1.0))
+                .when(F.col("t") == "__END__", F.lit(0.0))
+                .otherwise(F.coalesce(F.col("pv"), F.lit(0.0)))
+            ).alias("term"),
+        )
+        folded = term.groupBy("s").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("t", "term"))),
+                F.lit(0.0),
+                lambda a, x: a + x["term"],
+            ).alias("val")
+        )
+        v = (
+            states.join(folded, "s", "left")
+            .select("s", F.coalesce(F.col("val"), F.lit(0.0)).alias("v"))
+            .localCheckpoint(eager=False)
+        )
+
+    direct = cnt.filter(F.col("t") == "purchase").select(
+        "s", F.col("n").alias("n_dir")
+    )
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / F.lit(1000000.0)  # noqa: E731
+    return (
+        v.join(outs, "s")
+        .join(direct, "s", "left")
+        .select(
+            F.col("s").alias("state"),
+            F.col("o").cast("long").alias("n_transitions"),
+            r6(
+                F.coalesce(
+                    F.col("n_dir").cast("double") / F.col("o"), F.lit(0.0)
+                )
+            ).alias("p_direct"),
+            r6(F.col("v")).alias("conv_prob"),
+        )
+    )

@@ -125,3 +125,19 @@ def test_padding_buckets_conserve_tokens(spark):
     for r in rows:
         if r.bucket < 64:
             assert r.truncated_tokens == 0
+
+
+def test_pagerank_mass_and_positivity(spark):
+    rows = _run(spark, "pagerank_nation_trade")
+    assert len(rows) == 25
+    total = sum(r.pagerank for r in rows)
+    # no dangling nodes -> total mass conserved up to rounding
+    assert abs(total - 1.0) < 1e-3
+    assert all(r.pagerank > 0 for r in rows)
+
+
+def test_markov_conversion_bounds(spark):
+    rows = _run(spark, "markov_conversion_probability")
+    for r in rows:
+        # value iteration only adds mass on top of the direct edge
+        assert 0.0 <= r.p_direct <= r.conv_prob <= 1.0 + 1e-9
