@@ -120,6 +120,10 @@ HEADLINE = [
     "near_dup_canonical_docs",
     "hhi_supplier_concentration",
     "mmr_diverse_representatives",
+    "runtime_filter_asia_revenue",
+    "attribution_linear",
+    "kaplan_meier_conversion",
+    "benford_first_digit_orders",
 ]
 
 

@@ -9230,9 +9230,11 @@ from . import registry13  # noqa: E402,F401  isort:skip
 from . import registry14  # noqa: E402,F401  isort:skip
 from . import registry15  # noqa: E402,F401  isort:skip
 from . import registry16  # noqa: E402,F401  isort:skip
+from . import registry17  # noqa: E402,F401  isort:skip
 from . import registry14  # noqa: E402,F401  isort:skip
 from . import registry15  # noqa: E402,F401  isort:skip
 from . import registry16  # noqa: E402,F401  isort:skip
+from . import registry17  # noqa: E402,F401  isort:skip
 
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)

@@ -303,3 +303,61 @@ def markov_conversion_probability(spark, sf_dir):
             r6(F.col("v")).alias("conv_prob"),
         )
     )
+
+
+@_register(
+    "runtime_filter_asia_revenue",
+    """
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY 1
+    """,
+    "Dynamic runtime filter (dimension-to-fact pushdown): the ASIA "
+    "customer keys collect once (broadcast-build cost class) and "
+    "push into the orders scan as an In predicate via scale.py::"
+    "runtime_in_filter — non-qualifying orders die inside the scan's "
+    "codegen stage BEFORE the join shuffle, the generalization of "
+    "dynamic partition pruning to arbitrary keys; above the key-set "
+    "guard the operator degrades to a broadcast semi-join with the "
+    "identical result. The oracle states the plain four-table join "
+    "truth; revenue is exact integer cents",
+    ("scale", "runtime-filter", "join", "orders"),
+)
+def runtime_filter_asia_revenue(spark, sf_dir):
+    from ..operators.scale import runtime_in_filter
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    dim = (
+        c.join(
+            F.broadcast(
+                n.join(
+                    F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+                    n.n_regionkey == r.r_regionkey,
+                )
+            ),
+            c.c_nationkey == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "n_name")
+    )
+    filtered = runtime_in_filter(o, dim, "o_custkey", "c_custkey")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    return (
+        filtered.join(
+            F.broadcast(dim), filtered.o_custkey == dim.c_custkey
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(cents).alias("revenue_cents"),
+        )
+    )

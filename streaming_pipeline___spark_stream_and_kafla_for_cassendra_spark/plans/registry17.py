@@ -1,0 +1,355 @@
+"""Round-3 registry additions, batch 4 — completing the attribution
+family (linear credit), survival analysis (Kaplan–Meier retention
+curve), and a first-digit Benford data-quality audit.
+
+Same contract as ``registry.py``. Imported at the bottom of
+``registry.py``.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .registry import _register, _t
+
+
+def _r6(col):
+    return F.floor(col * 1000000 + F.lit(0.5)) / F.lit(1000000.0)
+
+
+_ATTR_WINDOW_DAYS = 7
+
+
+@_register(
+    "attribution_linear",
+    f"""
+    WITH purchases AS (
+      SELECT event_id AS pid, user_id, ts AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT p.pid, e.event_type AS channel,
+             row_number() OVER (PARTITION BY p.pid
+                                ORDER BY e.ts, e.event_id) AS pos,
+             count(*) OVER (PARTITION BY p.pid) AS k
+      FROM purchases p
+      JOIN events e
+        ON e.user_id = p.user_id
+       AND e.event_type IN ('view', 'click')
+       AND e.ts < p.pts
+       AND e.ts >= p.pts - INTERVAL {_ATTR_WINDOW_DAYS} DAY
+    ),
+    credited AS (
+      SELECT channel,
+             CAST(1000000 // k AS BIGINT)
+               + CASE WHEN pos = 1 THEN CAST(1000000 % k AS BIGINT)
+                      ELSE 0 END AS micro
+      FROM touches
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(micro) AS BIGINT) AS credit_micro
+    FROM credited GROUP BY channel
+    """,
+    "Linear (even-split) attribution completing the last-touch / "
+    "position-based family: every view/click inside the 7-day "
+    "pre-purchase window shares the conversion credit equally in "
+    "exact integer micro-credits (floor division, remainder to the "
+    "first touch — credits per purchase sum to exactly 1,000,000, "
+    "no float drift). Purchase-keyed window over bounded per-user "
+    "touch fan-out, then one channel aggregate",
+    ("join", "attribution", "events"),
+)
+def attribution_linear(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pts")
+    )
+    touches_raw = purchases.join(
+        e.filter(F.col("event_type").isin("view", "click")).select(
+            F.col("user_id").alias("tu"),
+            F.col("event_type").alias("channel"),
+            F.col("ts").alias("tts"),
+            F.col("event_id").alias("tid"),
+        ),
+        (F.col("tu") == F.col("user_id"))
+        & (F.col("tts") < F.col("pts"))
+        & (
+            F.col("tts")
+            >= F.col("pts") - F.expr(f"INTERVAL {_ATTR_WINDOW_DAYS} DAY")
+        ),
+    )
+    w = Window.partitionBy("pid").orderBy("tts", "tid")
+    wc = Window.partitionBy("pid")
+    credited = touches_raw.select(
+        "channel",
+        F.row_number().over(w).alias("pos"),
+        F.count("*").over(wc).alias("k"),
+    ).select(
+        "channel",
+        (
+            F.expr("1000000 div k").cast("long")
+            + F.when(F.col("pos") == 1, (F.lit(1000000) % F.col("k")).cast("long"))
+            .otherwise(F.lit(0))
+        ).alias("micro"),
+    )
+    return credited.groupBy("channel").agg(
+        F.count("*").alias("n_touches"),
+        F.sum("micro").alias("credit_micro"),
+    )
+
+
+_KM_HORIZONS = (1, 6, 12, 24, 48, 96, 168)
+
+
+@_register(
+    "kaplan_meier_conversion",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             min(ts) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+             max(ts) AS tmax
+      FROM events GROUP BY 1
+    ),
+    obs AS (
+      SELECT user_id,
+             tp IS NOT NULL AS d,
+             CASE WHEN tp IS NOT NULL
+                  THEN date_diff('second', t0, tp) // 3600
+                  ELSE date_diff('second', t0, tmax) // 3600 END AS tobs
+      FROM u
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM obs),
+    at_t AS (SELECT tobs AS t, CAST(count(*) AS BIGINT) AS c
+             FROM obs GROUP BY 1),
+    cum AS (
+      SELECT t, c,
+             CAST(coalesce(sum(c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS less_t
+      FROM at_t
+    ),
+    deaths AS (
+      SELECT tobs AS t, CAST(count(*) AS BIGINT) AS dd
+      FROM obs WHERE d GROUP BY 1
+    ),
+    terms AS (
+      SELECT de.t, de.dd,
+             1.0::DOUBLE - CAST(de.dd AS DOUBLE) / (nn.n - cu.less_t)
+               AS term
+      FROM deaths de
+      JOIN cum cu ON cu.t = de.t
+      CROSS JOIN nn
+    ),
+    hz AS (SELECT unnest([{", ".join(str(h) for h in _KM_HORIZONS)}])
+             AS horizon_hours)
+    SELECT CAST(hz.horizon_hours AS BIGINT) AS horizon_hours,
+           nn.n AS n_users,
+           CAST(coalesce((SELECT sum(t2.dd) FROM terms t2
+                          WHERE t2.t <= hz.horizon_hours), 0) AS BIGINT)
+             AS n_converted_by_h,
+           floor(coalesce((SELECT list_reduce(list_prepend(1.0::DOUBLE,
+                    list(t3.term ORDER BY t3.t)), (a, b) -> a * b)
+                  FROM terms t3 WHERE t3.t <= hz.horizon_hours), 1.0)
+                 * 1000000 + 0.5) / 1000000.0 AS survival
+    FROM hz CROSS JOIN nn
+    """,
+    "Kaplan–Meier time-to-first-purchase curve: per user, hours from "
+    "first event to first purchase (event) or to last activity "
+    "(right-censored); S(h) = Π over conversion hours ≤ h of "
+    "(1 − d_i/n_i) with the standard at-risk convention, evaluated "
+    "at 7 fixed horizons. Every d_i/n_i is an exact integer ratio "
+    "and each product folds in event-time order (F.aggregate ≡ "
+    "list_reduce), so the curve bit-matches DuckDB. The survival "
+    "companion to the logrank A/B test and conversion-CDF "
+    "operators; plan: one user rollup, then hour-grained "
+    "(constant-bounded) arithmetic",
+    ("stats", "survival", "retention", "events"),
+)
+def kaplan_meier_conversion(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "tp"
+        ),
+        F.max("ts").alias("tmax"),
+    )
+    obs = u.select(
+        F.col("tp").isNotNull().alias("d"),
+        F.when(
+            F.col("tp").isNotNull(),
+            F.expr(
+                "(CAST(CAST(tp AS TIMESTAMP) AS LONG)"
+                " - CAST(CAST(t0 AS TIMESTAMP) AS LONG)) div 3600"
+            ),
+        )
+        .otherwise(
+            F.expr(
+                "(CAST(CAST(tmax AS TIMESTAMP) AS LONG)"
+                " - CAST(CAST(t0 AS TIMESTAMP) AS LONG)) div 3600"
+            )
+        )
+        .alias("tobs"),
+    ).localCheckpoint(eager=False)
+    nn = obs.agg(F.count("*").alias("n"))
+    at_t = obs.groupBy(F.col("tobs").alias("t")).agg(F.count("*").alias("c"))
+    # hour-grained table: cardinality bounded by the corpus time span
+    # in hours, never by rows — the window here is constant-sized
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    cum = at_t.select(
+        "t", F.coalesce(F.sum("c").over(wcum), F.lit(0)).alias("less_t")
+    )
+    deaths = (
+        obs.filter("d").groupBy(F.col("tobs").alias("t")).agg(
+            F.count("*").alias("dd")
+        )
+    )
+    terms = (
+        deaths.join(cum, "t")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "t",
+            "dd",
+            (
+                F.lit(1.0)
+                - F.col("dd").cast("double") / (F.col("n") - F.col("less_t"))
+            ).alias("term"),
+        )
+    )
+    hz = spark.createDataFrame(
+        [(h,) for h in _KM_HORIZONS], "horizon_hours long"
+    )
+    joined = hz.join(
+        terms, terms.t <= hz.horizon_hours, "left"
+    ).groupBy("horizon_hours").agg(
+        F.sum("dd").alias("n_conv"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("t").isNotNull(),
+                        F.struct("t", "term"),
+                    )
+                )
+            ),
+            F.lit(1.0),
+            lambda a, x: a * x["term"],
+        ).alias("surv"),
+    )
+    return joined.crossJoin(F.broadcast(nn)).select(
+        "horizon_hours",
+        F.col("n").cast("long").alias("n_users"),
+        F.coalesce(F.col("n_conv"), F.lit(0)).cast("long").alias(
+            "n_converted_by_h"
+        ),
+        _r6(F.coalesce(F.col("surv"), F.lit(1.0))).alias("survival"),
+    )
+
+
+def _benford_oracle() -> str:
+    """Benford shares inlined as full-precision Python literals so
+    neither engine's log implementation participates."""
+    shares = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
+    share_rows = ", ".join(
+        f"({d}, CAST({repr(p)} AS DOUBLE))" for d, p in shares.items()
+    )
+    return f"""
+    WITH cents AS (
+      SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders WHERE o_totalprice > 0
+    ),
+    digits AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM cents
+    ),
+    obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+            FROM digits GROUP BY 1),
+    exp_ AS (SELECT * FROM (VALUES {share_rows}) AS t(digit, p)),
+    nn AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM obs),
+    cells AS (
+      SELECT e.digit, coalesce(o.n, 0) AS n, e.p,
+             (coalesce(o.n, 0) - nn.total * e.p)
+             * (coalesce(o.n, 0) - nn.total * e.p)
+             / (nn.total * e.p) AS term
+      FROM exp_ e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN nn
+    ),
+    chi AS (SELECT list_reduce(list_prepend(0.0::DOUBLE,
+              list(term ORDER BY digit)), (a, b) -> a + b) AS chi2
+            FROM cells)
+    SELECT c.digit, CAST(c.n AS BIGINT) AS n_orders,
+           floor(c.n / CAST(nn.total AS DOUBLE) * 1000000 + 0.5)
+             / 1000000.0 AS observed_share,
+           floor(c.p * 1000000 + 0.5) / 1000000.0 AS benford_share,
+           floor(chi.chi2 * 10000 + 0.5) / 10000.0 AS chi2
+    FROM cells c CROSS JOIN nn CROSS JOIN chi
+    """
+
+
+@_register(
+    "benford_first_digit_orders",
+    _benford_oracle(),
+    "Benford's-law first-significant-digit audit of order totals — "
+    "the fraud/synthetic-data screen: digit frequencies of the "
+    "integer-cent amounts vs log10(1+1/d) expectations plus the χ² "
+    "deviation statistic. The first digit comes from integer-to-"
+    "string conversion (exact in both engines — no cross-engine "
+    "log10 of data), the Benford constants are inlined full-"
+    "precision Python literals, and the χ² folds in digit order. "
+    "One map-side-combined digit aggregate; 9-row arithmetic after",
+    ("quality", "stats", "audit", "orders"),
+)
+def benford_first_digit_orders(spark, sf_dir):
+    shares = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
+    o = _t(spark, sf_dir, "orders")
+    digits = o.filter(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count("*").alias("n"))
+    exp_ = spark.createDataFrame(
+        [(d, p) for d, p in shares.items()], "digit int, p double"
+    )
+    nn = obs.agg(F.sum("n").alias("total"))
+    cells = (
+        exp_.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            "p",
+            "total",
+        )
+        .withColumn(
+            "term",
+            (F.col("n") - F.col("total") * F.col("p"))
+            * (F.col("n") - F.col("total") * F.col("p"))
+            / (F.col("total") * F.col("p")),
+        )
+    )
+    chi = cells.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("digit", "term"))),
+            F.lit(0.0),
+            lambda a, x: a + x["term"],
+        ).alias("chi2")
+    )
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)  # noqa: E731
+    return cells.crossJoin(F.broadcast(chi)).select(
+        "digit",
+        F.col("n").cast("long").alias("n_orders"),
+        _r6(F.col("n") / F.col("total").cast("double")).alias(
+            "observed_share"
+        ),
+        _r6(F.col("p")).alias("benford_share"),
+        r4(F.col("chi2")).alias("chi2"),
+    )

@@ -334,3 +334,30 @@ def test_prefix_sums_matches_global_window(spark):
     assert bad == 0
     assert got.schema["cum_n"].dataType.simpleString() == "bigint"
     assert got.schema["cum_x"].dataType.simpleString() == "double"
+
+
+def test_runtime_in_filter_pushes_predicate_and_falls_back(spark, tmp_path):
+    """Small key set -> literal In predicate inside the fact scan (no
+    join in the filtered frame's plan); big key set -> broadcast semi
+    join; both produce identical rows."""
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.scale import (
+        runtime_in_filter,
+    )
+
+    fp = str(tmp_path / "fact")
+    spark.range(10_000).withColumn("k", F.col("id") % 100).write.parquet(fp)
+    fact = spark.read.parquet(fp)
+    dim = spark.range(7).select((F.col("id") * 3).alias("k"))
+
+    pushed = runtime_in_filter(fact, dim, "k")
+    plan = pushed._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # literal predicate, not a join
+    semi = runtime_in_filter(fact, dim, "k", max_keys=2)
+    plan_semi = semi._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan_semi or "Join" in plan_semi
+    a = sorted(r.id for r in pushed.collect())
+    b = sorted(r.id for r in semi.collect())
+    want = sorted(
+        r.id for r in fact.filter(F.col("k").isin([0, 3, 6, 9, 12, 15, 18])).collect()
+    )
+    assert a == b == want
