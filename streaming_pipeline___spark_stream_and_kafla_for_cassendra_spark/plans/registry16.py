@@ -23,7 +23,7 @@ def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
     an array_sort'ed collect_list), and literals are cast to DOUBLE
     so DuckDB's DECIMAL literals can't change the arithmetic."""
     edge_cte = """
-    e AS (
+    e AS MATERIALIZED (
       SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
              CAST(count(*) AS BIGINT) AS w
       FROM lineitem l
@@ -34,6 +34,7 @@ def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
       GROUP BY 1, 2
     ),
     outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY 1),
+    inw AS (SELECT dst, CAST(count(*) AS BIGINT) AS ie FROM e GROUP BY 1),
     nodes AS (SELECT DISTINCT src AS node FROM e),
     nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
     r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS r
@@ -66,11 +67,11 @@ def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
     SELECT n.n_name AS nation,
            floor(r{iters}.r * 1000000 + 0.5) / 1000000.0 AS pagerank,
            CAST(coalesce(ow.ow, 0) AS BIGINT) AS out_trade_weight,
-           CAST((SELECT count(*) FROM e WHERE e.dst = r{iters}.node)
-                AS BIGINT) AS in_edges
+           CAST(coalesce(iw.ie, 0) AS BIGINT) AS in_edges
     FROM r{iters}
     JOIN nation n ON n.n_nationkey = r{iters}.node
     LEFT JOIN outw ow ON ow.src = r{iters}.node
+    LEFT JOIN inw iw ON iw.dst = r{iters}.node
     """
     )
 

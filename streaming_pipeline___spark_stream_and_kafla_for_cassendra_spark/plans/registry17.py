@@ -353,3 +353,63 @@ def benford_first_digit_orders(spark, sf_dir):
         _r6(F.col("p")).alias("benford_share"),
         r4(F.col("chi2")).alias("chi2"),
     )
+
+
+@_register(
+    "gdpr_cascade_counts",
+    """
+    SELECT 'customer' AS table_name, CAST(count(*) AS BIGINT) AS n_rows
+    FROM customer WHERE c_custkey % 97 = 0
+    UNION ALL
+    SELECT 'orders', CAST(count(*) AS BIGINT)
+    FROM orders WHERE o_custkey % 97 = 0
+    UNION ALL
+    SELECT 'lineitem', CAST(count(*) AS BIGINT)
+    FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey
+                    AND o.o_custkey % 97 = 0)
+    """,
+    "Right-to-erasure cascade plan (GDPR/CCPA): a deterministic root "
+    "set of customers walks the FK graph customer→orders→lineitem "
+    "via operators/cascade.py::cascade_plan — one LEFT SEMI join per "
+    "table against the parent's key-sized (broadcast) affected keys "
+    "— and reports the per-table blast radius. The oracle states "
+    "each table's truth as a direct semi-join; cascade_tombstones "
+    "then feeds the same frames to the lake's resurrection-blocking "
+    "tombstone path (tested in tests/test_round8_ops.py)",
+    ("compliance", "cascade", "join", "orders", "lineitem"),
+)
+def gdpr_cascade_counts(spark, sf_dir):
+    from ..operators.cascade import cascade_plan
+
+    tables = {
+        "customer": _t(spark, sf_dir, "customer"),
+        "orders": _t(spark, sf_dir, "orders"),
+        "lineitem": _t(spark, sf_dir, "lineitem"),
+    }
+    roots = (
+        tables["customer"]
+        .filter(F.col("c_custkey") % 97 == 0)
+        .select("c_custkey")
+    )
+    plan = cascade_plan(
+        tables,
+        edges=[
+            ("customer", "c_custkey", "orders", "o_custkey"),
+            ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+        ],
+        roots=roots,
+        root_table="customer",
+        root_key="c_custkey",
+    )
+    parts = [
+        df.agg(F.count("*").alias("n_rows")).select(
+            F.lit(name).alias("table_name"), "n_rows"
+        )
+        for name, df in plan.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

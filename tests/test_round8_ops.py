@@ -141,3 +141,69 @@ def test_markov_conversion_bounds(spark):
     for r in rows:
         # value iteration only adds mass on top of the direct edge
         assert 0.0 <= r.p_direct <= r.conv_prob <= 1.0 + 1e-9
+
+
+def test_cascade_plan_and_lake_tombstones(spark, tmp_path):
+    """Multi-hop cascade matches direct joins, and the tombstone
+    batches actually erase (and keep erased) the keys in a lake."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.cascade import (
+        cascade_plan,
+        cascade_tombstones,
+    )
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.streaming.lake import (
+        LakeTable,
+    )
+
+    users = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(10)], "uid int, name string"
+    )
+    orders = spark.createDataFrame(
+        [(o, o % 10) for o in range(40)], "oid int, uid int"
+    )
+    items = spark.createDataFrame(
+        [(i, i % 40) for i in range(120)], "iid int, oid int"
+    )
+    roots = spark.createDataFrame([(3,), (7,)], "uid int")
+    plan = cascade_plan(
+        {"users": users, "orders": orders, "items": items},
+        # deliberately scrambled edge order: multi-hop must still close
+        edges=[
+            ("orders", "oid", "items", "oid"),
+            ("users", "uid", "orders", "uid"),
+        ],
+        roots=roots,
+        root_table="users",
+        root_key="uid",
+    )
+    assert {r.uid for r in plan["users"].collect()} == {3, 7}
+    want_orders = {o for o in range(40) if o % 10 in (3, 7)}
+    assert {r.oid for r in plan["orders"].collect()} == want_orders
+    want_items = {i for i in range(120) if (i % 40) in want_orders}
+    assert {r.iid for r in plan["items"].collect()} == want_items
+
+    # tombstones erase in the lake and block pre-erasure replays
+    d = dt.date(2024, 1, 1)
+    t1 = dt.datetime(2024, 1, 1, 10)
+    t2 = dt.datetime(2024, 1, 1, 12)
+    lake = LakeTable(path=str(tmp_path / "orders_lake"), record_key="oid")
+    rows = orders.withColumn("processing_timestamp", F.lit(t1)).withColumn(
+        "processing_date", F.lit(d)
+    )
+    lake.upsert_batch(rows, spark)
+    tomb = cascade_tombstones(
+        plan["orders"]
+        .withColumn("processing_timestamp", F.lit(t2))
+        .withColumn("processing_date", F.lit(d))
+    )
+    lake.upsert_batch(tomb, spark, delete_col="_is_delete")
+    left = {r.oid for r in lake.read(spark).collect()}
+    assert left == set(range(40)) - want_orders
+    # pre-erasure replay (older precombine) must NOT resurrect
+    lake.upsert_batch(
+        rows.filter(F.col("oid").isin(list(want_orders)[:3])), spark
+    )
+    assert {r.oid for r in lake.read(spark).collect()} == left
