@@ -13,7 +13,9 @@ import math
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .registry import _register, _t
+import os
+
+from .registry import _await_stream, _register, _t
 
 
 def _r6(col):
@@ -413,3 +415,60 @@ def gdpr_cascade_counts(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@_register(
+    "kappa_backfill_rollup_events",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR
+             AS window_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS event_count,
+           round(sum(value), 4) AS total_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    "Kappa backfill→stream handoff, oracle-proven exactly-once: the "
+    "events table splits at a half-open cutover chosen MID-WINDOW "
+    "(2024-01-16 00:30) — history folds into the rollup as one "
+    "ledgered batch, the stream (availableNow) processes only rows "
+    "at/after the cutover, and the materialized table must equal "
+    "DuckDB's one-shot batch aggregate: nothing double-counted, "
+    "nothing missed, and the straddling half-hour windows are "
+    "correct because BOTH sides contribute mergeable partials to "
+    "the same rollup row (streaming/rollup.py::backfill_then_stream)",
+    ("streaming", "rollup", "backfill", "kappa", "events"),
+)
+def kappa_backfill_rollup_events(spark, sf_dir):
+    import datetime as dt
+    import tempfile
+
+    from ..sources.tables import load_events_stream, load_table
+    from ..streaming.rollup import RollupTable, backfill_then_stream
+
+    batch = load_table(spark, sf_dir, "events")
+    stream = load_events_stream(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="kappa_rollup_")
+    table = RollupTable(path=os.path.join(base, "t"), keys=("event_type",))
+    cutover = dt.datetime(2024, 1, 16, 0, 30)
+    q = backfill_then_stream(
+        table,
+        history=batch,
+        stream=stream,
+        cutover=cutover,
+        checkpoint_root=os.path.join(base, "ck"),
+        available_now=True,
+    )
+    _await_stream(q, 300)
+    return table.read(spark).select(
+        "window_start",
+        "window_end",
+        "event_type",
+        F.col("cnt").alias("event_count"),
+        F.round("sum_value", 4).alias("total_value"),
+        "min_value",
+        "max_value",
+    )

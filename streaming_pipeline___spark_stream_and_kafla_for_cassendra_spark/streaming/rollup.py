@@ -205,3 +205,39 @@ def write_stream_to_rollup(
     elif processing_time:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def backfill_then_stream(
+    table: RollupTable,
+    history: DataFrame,
+    stream: DataFrame,
+    cutover,
+    checkpoint_root: str,
+    processing_time: str | None = "30 seconds",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Kappa backfill→stream handoff with an exactly-once boundary.
+
+    Folds all ``history`` rows with ``time_col < cutover`` into the
+    rollup as ONE ledgered batch (``batch_id=-1``, so a re-run of the
+    backfill is a no-op), then starts the stream filtered to
+    ``time_col >= cutover``. The half-open split means the union of
+    the two sides is exactly the full dataset — no row counted twice,
+    none missed — and windows STRADDLING the cutover are correct by
+    construction because both sides contribute mergeable partials to
+    the same (window, key) row. The standard migration path: batch
+    over the data lake's past, streaming from the topic's present.
+    """
+    tc = F.col(table.time_col)
+    table.merge_batch(
+        history.filter(tc < F.lit(cutover)),
+        history.sparkSession,
+        batch_id=-1,
+    )
+    return write_stream_to_rollup(
+        stream.filter(tc >= F.lit(cutover)),
+        table,
+        checkpoint_root=checkpoint_root,
+        processing_time=processing_time,
+        available_now=available_now,
+    )

@@ -110,3 +110,66 @@ def test_streaming_rollup_availablenow(spark, tmp_path):
     q2.awaitTermination(120)
     expected = _expected(_rows(spark, BATCH1 + BATCH2 + BATCH3))
     assert _got(table, spark) == expected
+
+
+def test_backfill_then_stream_equals_one_shot_and_is_replay_safe(spark, tmp_path):
+    """Kappa handoff: history(<cutover) as a ledgered batch + stream
+    (>=cutover) must equal the one-shot batch rollup, straddling
+    windows included; re-running the backfill is a no-op."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.sources.tables import (
+        load_events_stream,
+        load_table,
+    )
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.streaming.rollup import (
+        RollupTable,
+        backfill_then_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = load_table(spark, sf, "events")
+    table = RollupTable(path=str(tmp_path / "t"), keys=("event_type",))
+    cutover = dt.datetime(2024, 1, 16, 0, 30)  # deliberately mid-window
+    q = backfill_then_stream(
+        table,
+        history=batch,
+        stream=load_events_stream(spark, sf),
+        cutover=cutover,
+        checkpoint_root=str(tmp_path / "ck"),
+        available_now=True,
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r.window_start, r.event_type): (r.cnt, round(r.sum_value, 4))
+        for r in table.read(spark).collect()
+    }
+    want = {
+        (r.ws, r.event_type): (r.cnt, round(r.sv, 4))
+        for r in batch.groupBy(
+            F.date_trunc("hour", "ts").alias("ws"), "event_type"
+        )
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("sv"))
+        .collect()
+    }
+    assert {(k[0].replace(tzinfo=None), k[1]): v for k, v in got.items()} == {
+        (k[0].replace(tzinfo=None) if hasattr(k[0], "replace") else k[0], k[1]): v
+        for k, v in want.items()
+    }
+
+    # replayed backfill: ledgered batch_id=-1 makes it a no-op
+    before = sorted(got.items())
+    table.merge_batch(
+        batch.filter(F.col("ts") < F.lit(cutover)), spark, batch_id=-1
+    )
+    after = sorted(
+        (
+            (r.window_start, r.event_type),
+            (r.cnt, round(r.sum_value, 4)),
+        )
+        for r in table.read(spark).collect()
+    )
+    assert after == before
