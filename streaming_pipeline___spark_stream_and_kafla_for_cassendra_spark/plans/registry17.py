@@ -472,3 +472,118 @@ def kappa_backfill_rollup_events(spark, sf_dir):
         "min_value",
         "max_value",
     )
+
+
+_ZIPF_K = 500
+
+
+@_register(
+    "zipf_slope_vocab",
+    f"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                    x -> x <> '')) AS token
+      FROM documents
+    ),
+    tc AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+           FROM tok GROUP BY 1),
+    top AS (
+      SELECT token, cnt,
+             row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank
+      FROM tc
+      QUALIFY rank <= {_ZIPF_K}
+    ),
+    pts AS (
+      SELECT rank, ln(CAST(rank AS DOUBLE)) AS x,
+             ln(CAST(cnt AS DOUBLE)) AS y
+      FROM top
+    ),
+    sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             list_reduce(list_prepend(0.0::DOUBLE, list(x ORDER BY rank)),
+                         (a, b) -> a + b) AS sx,
+             list_reduce(list_prepend(0.0::DOUBLE, list(y ORDER BY rank)),
+                         (a, b) -> a + b) AS sy,
+             list_reduce(list_prepend(0.0::DOUBLE, list(x * x ORDER BY rank)),
+                         (a, b) -> a + b) AS sxx,
+             list_reduce(list_prepend(0.0::DOUBLE, list(x * y ORDER BY rank)),
+                         (a, b) -> a + b) AS sxy,
+             list_reduce(list_prepend(0.0::DOUBLE, list(y * y ORDER BY rank)),
+                         (a, b) -> a + b) AS syy
+      FROM pts
+    )
+    SELECT k,
+           floor((k * sxy - sx * sy) / (k * sxx - sx * sx)
+                 * 1000000 + 0.5) / 1000000.0 AS zipf_slope,
+           floor((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k
+                 * 1000000 + 0.5) / 1000000.0 AS intercept,
+           floor((k * sxy - sx * sy) * (k * sxy - sx * sy)
+                 / ((k * sxx - sx * sx) * (k * syy - sy * sy))
+                 * 1000000 + 0.5) / 1000000.0 AS r2
+    FROM sums
+    """,
+    "Zipf's-law fit over the corpus vocabulary: OLS slope of "
+    "ln(frequency) vs ln(rank) for the top-500 tokens (natural "
+    "corpora sit near −1; a far-off slope flags synthetic or "
+    "degenerate text) with intercept and R². Companion to the Heaps-"
+    "law vocab-growth operator. The top-500 selection is a lossless "
+    "two-stage top-k; all five OLS sums fold in rank order "
+    "(F.aggregate ≡ list_reduce) so the doubles — including ln of "
+    "identical integer-derived values — match DuckDB bit-for-bit. "
+    "One token aggregate, then 500-row arithmetic",
+    ("text", "stats", "zipf", "documents"),
+)
+def zipf_slope_vocab(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    from ..functions.text import tokens
+
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("token"))
+    tc = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    pw = Window.partitionBy("_pid").orderBy(F.desc("cnt"), F.asc("token"))
+    gw = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    top = (
+        tc.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_prk", F.row_number().over(pw))
+        .filter(F.col("_prk") <= _ZIPF_K)
+        .drop("_pid", "_prk")
+        .withColumn("rank", F.row_number().over(gw))
+        .filter(F.col("rank") <= _ZIPF_K)
+    )
+    pts = top.select(
+        "rank",
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+
+    def fold(expr_col):
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct("rank", expr_col.alias("v")))),
+            F.lit(0.0),
+            lambda a, x: a + x["v"],
+        )
+
+    sums = pts.agg(
+        F.count("*").alias("k"),
+        fold(F.col("x")).alias("sx"),
+        fold(F.col("y")).alias("sy"),
+        fold(F.col("x") * F.col("x")).alias("sxx"),
+        fold(F.col("x") * F.col("y")).alias("sxy"),
+        fold(F.col("y") * F.col("y")).alias("syy"),
+    )
+    k = F.col("k").cast("double")
+    slope = (k * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        k * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("k").cast("long").alias("k"),
+        _r6(slope).alias("zipf_slope"),
+        _r6((F.col("sy") - slope * F.col("sx")) / k).alias("intercept"),
+        _r6(
+            (k * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * (k * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                (k * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (k * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        ).alias("r2"),
+    )
