@@ -246,3 +246,44 @@ def write_stream_to_snapshot_lake(
     elif processing_time:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def change_feed(
+    table: SnapshotLakeTable,
+    spark: SparkSession,
+    keys: list[str],
+    tracked: list[str],
+    from_version: int | None = None,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change data feed between two committed versions (the Delta
+    CDF / Hudi incremental-query analogue): per version step
+    ``v → v+1``, the keyed snapshot diff (``operators/diff.py`` —
+    'c'/'u'/'d' rows with old/new images) stamped with the version
+    that produced it. A downstream consumer reading the feed from
+    ``from_version`` replays exactly the upserts/deletes it missed —
+    incremental consumption without scanning full snapshots.
+
+    Each step diffs two MVCC snapshots that share unchanged files, so
+    the cost tracks the touched partitions, not table size; steps
+    union lazily into one frame.
+    """
+    from ..operators.diff import snapshot_diff
+
+    lo = 1 if from_version is None else from_version
+    hi = table.latest_version() if to_version is None else to_version
+    if hi <= lo - 1:
+        raise ValueError(f"empty version range [{lo}, {hi}]")
+    out = None
+    for v in range(lo, hi + 1):
+        newer = table.read(spark, version=v)
+        older = (
+            table.read(spark, version=v - 1)
+            if v - 1 >= 1
+            else spark.createDataFrame([], newer.schema)
+        )
+        step = snapshot_diff(
+            older, newer, keys=keys, tracked=tracked
+        ).withColumn("_commit_version", F.lit(v).cast("long"))
+        out = step if out is None else out.unionByName(step)
+    return out

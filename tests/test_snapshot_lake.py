@@ -102,3 +102,57 @@ def test_streaming_sink_commits_one_version_per_batch(spark, tmp_path):
     total = t.read(spark).count()
     want = load_table(spark, sf, "events").count()
     assert total == want
+
+
+def test_change_feed_replays_exactly_the_missed_commits(spark, tmp_path):
+    """CDF between versions: per-step c/u/d rows with version stamps;
+    folding the feed over the starting snapshot reproduces the final
+    snapshot."""
+    from pyspark.sql import functions as F
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.streaming.snapshot_lake import (
+        SnapshotLakeTable,
+        change_feed,
+    )
+
+    t = SnapshotLakeTable(
+        path=str(tmp_path / "t"),
+        record_key="id",
+        precombine_field="seq",
+        partition_field="part",
+    )
+
+    def rows(seq, data):
+        return spark.createDataFrame(
+            [(i, v, p, seq) for i, v, p in data],
+            "id int, val string, part string, seq int",
+        )
+
+    t.upsert_batch(rows(1, [(1, "a", "p0"), (2, "b", "p0")]), spark)   # v1
+    t.upsert_batch(rows(2, [(2, "b2", "p0"), (3, "c", "p1")]), spark)  # v2
+    t.upsert_batch(rows(3, [(1, "a3", "p0")]), spark)                  # v3
+
+    feed = change_feed(
+        t, spark, keys=["id"], tracked=["val"], from_version=2
+    ).collect()
+    by_ver = {}
+    for r in feed:
+        by_ver.setdefault(r._commit_version, {})[r.id] = (r.op, r.old_val, r.new_val)
+    assert by_ver[2] == {2: ("u", "b", "b2"), 3: ("c", None, "c")}
+    assert by_ver[3] == {1: ("u", "a", "a3")}
+
+    # replaying the feed over snapshot v1 reproduces v3
+    base = {r.id: r.val for r in t.read(spark, version=1).collect()}
+    for v in sorted(by_ver):
+        for k, (op, _old, new) in by_ver[v].items():
+            if op == "d":
+                base.pop(k, None)
+            else:
+                base[k] = new
+    want = {r.id: r.val for r in t.read(spark, version=3).collect()}
+    assert base == want
+
+    # full-range feed starts from the empty table: v1 is all creates
+    full = change_feed(t, spark, keys=["id"], tracked=["val"]).collect()
+    v1 = {r.id: r.op for r in full if r._commit_version == 1}
+    assert v1 == {1: "c", 2: "c"}
