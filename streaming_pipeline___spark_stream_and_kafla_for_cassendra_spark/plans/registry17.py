@@ -587,3 +587,88 @@ def zipf_slope_vocab(spark, sf_dir):
             )
         ).alias("r2"),
     )
+
+
+def _card_est_oracle() -> str:
+    blocks = []
+    for name, a, ka, b, kb in (
+        ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ):
+        blocks.append(f"""
+    SELECT '{name}' AS join_name,
+           (SELECT CAST(count(*) AS BIGINT) FROM {a}) AS left_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM {b}) AS right_rows,
+           CAST(floor(
+             (SELECT count(*) FROM {a}) * 1.0
+             * (SELECT count(*) FROM {b})
+             / greatest((SELECT count(DISTINCT {ka}) FROM {a}),
+                        (SELECT count(DISTINCT {kb}) FROM {b}))
+           ) AS BIGINT) AS est_rows,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM {a} JOIN {b} ON {a}.{ka} = {b}.{kb}) AS actual_rows,
+           floor(
+             (SELECT count(*) FROM {a}) * 1.0
+             * (SELECT count(*) FROM {b})
+             / greatest((SELECT count(DISTINCT {ka}) FROM {a}),
+                        (SELECT count(DISTINCT {kb}) FROM {b}))
+             / (SELECT count(*) FROM {a} JOIN {b}
+                ON {a}.{ka} = {b}.{kb})
+             * 10000 + 0.5) / 10000.0 AS err_ratio""")
+    return "\n    UNION ALL\n".join(blocks)
+
+
+@_register(
+    "join_cardinality_estimates",
+    _card_est_oracle(),
+    "Cost-based-optimizer join cardinality estimation, validated "
+    "against ground truth: for three FK joins, the textbook estimate "
+    "|A|·|B|/max(ndv_A, ndv_B) from EXACT ndv counts next to the "
+    "actual join cardinality and the error ratio — the arithmetic a "
+    "planner runs before picking join order/strategy, and the "
+    "calibration report that tells you when to ANALYZE. All inputs "
+    "are exact integer counts (one aggregate per side + the actual "
+    "joins), so both engines derive identical doubles",
+    ("cbo", "statistics", "join", "orders", "lineitem"),
+)
+def join_cardinality_estimates(spark, sf_dir):
+    out = None
+    for name, a, ka, b, kb in (
+        ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ):
+        da = _t(spark, sf_dir, a)
+        db = _t(spark, sf_dir, b)
+        sa = da.agg(
+            F.count("*").alias("left_rows"),
+            F.countDistinct(ka).alias("ndv_a"),
+        )
+        sb = db.agg(
+            F.count("*").alias("right_rows"),
+            F.countDistinct(kb).alias("ndv_b"),
+        )
+        actual = (
+            da.join(db, da[ka] == db[kb])
+            .agg(F.count("*").alias("actual_rows"))
+        )
+        est = (
+            F.col("left_rows") * F.lit(1.0) * F.col("right_rows")
+            / F.greatest(F.col("ndv_a"), F.col("ndv_b"))
+        )
+        r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)  # noqa: E731
+        row = (
+            sa.crossJoin(sb)
+            .crossJoin(actual)
+            .select(
+                F.lit(name).alias("join_name"),
+                F.col("left_rows").cast("long").alias("left_rows"),
+                F.col("right_rows").cast("long").alias("right_rows"),
+                F.floor(est).cast("long").alias("est_rows"),
+                F.col("actual_rows").cast("long").alias("actual_rows"),
+                r4(est / F.col("actual_rows")).alias("err_ratio"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
