@@ -261,3 +261,27 @@ def priority_sample(
         .filter(F.col("_prio_rn") <= k)
         .drop("_prio_rn")
     )
+
+
+def kfold_assign(
+    df: DataFrame,
+    key_col: str,
+    k: int = 5,
+    salt: str = "kfold-v1",
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold assignment: fold = uniform-hash(key) mod k.
+
+    The cross-validation layer on top of :func:`train_test_split`'s
+    hash discipline — the same key + salt lands in the same fold on
+    every run, every engine, every retry, so folds can be recomputed
+    anywhere without storing an assignment table, and rows sharing a
+    key (a user's events, a document's chunks) NEVER straddle the
+    train/validation boundary of any fold. Fold sizes are
+    multinomially balanced (hash-uniform), not exactly equal —
+    stratify by evaluating per group when exact per-stratum balance
+    matters."""
+    if k < 2:
+        raise ValueError(f"k-fold needs k >= 2, got {k}")
+    h = F.conv(_bucket_hex(F.col(key_col), salt), 16, 10).cast("long")
+    return df.withColumn(fold_col, (h % k).cast("int"))

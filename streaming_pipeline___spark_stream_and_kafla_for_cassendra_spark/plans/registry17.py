@@ -672,3 +672,31 @@ def join_cardinality_estimates(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@_register(
+    "kfold_balance_documents",
+    """
+    WITH f AS (
+      SELECT lang,
+             CAST(('0x' || substr(md5('kfold-v1' || CAST(doc_id AS VARCHAR)),
+                                  1, 8))::BIGINT % 5 AS INTEGER) AS fold
+      FROM documents
+    )
+    SELECT lang, fold, CAST(count(*) AS BIGINT) AS n_docs
+    FROM f GROUP BY 1, 2
+    """,
+    "Deterministic 5-fold cross-validation assignment over documents "
+    "(fold = md5-hash(doc_id) mod 5 via operators/sampling.py::"
+    "kfold_assign — recomputable anywhere, no assignment table, keys "
+    "never straddle a fold boundary) with the per-(lang, fold) "
+    "balance report that validates hash uniformity. One "
+    "map-side-combined aggregate",
+    ("sampling", "kfold", "ml-eval", "documents"),
+)
+def kfold_balance_documents(spark, sf_dir):
+    from ..operators.sampling import kfold_assign
+
+    d = _t(spark, sf_dir, "documents")
+    f = kfold_assign(d.select("lang", "doc_id"), "doc_id", k=5)
+    return f.groupBy("lang", "fold").agg(F.count("*").alias("n_docs"))

@@ -207,3 +207,22 @@ def test_cascade_plan_and_lake_tombstones(spark, tmp_path):
         rows.filter(F.col("oid").isin(list(want_orders)[:3])), spark
     )
     assert {r.oid for r in lake.read(spark).collect()} == left
+
+
+def test_kfold_assignment_is_stable_partition_and_key_consistent(spark):
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.sampling import (
+        kfold_assign,
+    )
+
+    df = spark.range(5_000).withColumnRenamed("id", "key")
+    a = kfold_assign(df, "key", k=5).collect()
+    b = kfold_assign(df, "key", k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    folds = {}
+    for r in a:
+        folds.setdefault(r.fold, 0)
+        folds[r.fold] += 1
+    assert set(folds) == {0, 1, 2, 3, 4}  # a partition of the data
+    assert sum(folds.values()) == 5_000
+    # hash-uniform: every fold within 20% of the expected 1000
+    assert all(800 <= n <= 1200 for n in folds.values())
