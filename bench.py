@@ -124,6 +124,11 @@ HEADLINE = [
     "attribution_linear",
     "kaplan_meier_conversion",
     "benford_first_digit_orders",
+    "gdpr_cascade_counts",
+    "kappa_backfill_rollup_events",
+    "zipf_slope_vocab",
+    "join_cardinality_estimates",
+    "kfold_balance_documents",
 ]
 
 
