@@ -1,0 +1,106 @@
+"""String-similarity self-join: edit distance ≤ k without the cross
+product.
+
+The record-linkage workhorse (typo-tolerant matching of names, SKUs,
+addresses) that neither an equi-join nor the set-similarity family
+(Jaccard/containment over token sets) expresses: Levenshtein distance
+is positional. The scalable shape is the classic q-gram count
+filter:
+
+* one edit operation changes at most ``q`` of a string's distinct
+  q-grams, so strings within distance ``k`` must share at least
+  ``max(|G(a)|, |G(b)|) − k·q`` distinct q-grams;
+* candidates therefore come from an inverted-index equi-join on
+  q-grams (shuffle keyed on gram, quadratic only within a gram's
+  posting list) plus that shared-gram COUNT filter and a length
+  filter — all lossless;
+* only surviving candidates pay the O(len²) Levenshtein verify,
+  which runs as JVM codegen (``F.levenshtein``), never Python.
+
+At corpus scale, stop-gram pruning (drop the most frequent grams
+from the index the way the Jaccard miner prunes common shingles)
+bounds posting lists; the count threshold must then be relaxed by
+the number of dropped grams per string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_qgrams(df: DataFrame, text_col: str, q: int = 2) -> DataFrame:
+    """Adds ``_grams`` (distinct q-grams) and ``_ng`` (gram count) —
+    pure codegen: sequence → transform(substring) → array_distinct."""
+    return df.withColumn(
+        "_grams",
+        F.expr(
+            f"array_distinct(transform("
+            f"sequence(1, greatest(length({text_col}) - {q} + 1, 1)),"
+            f" i -> substring({text_col}, i, {q})))"
+        ),
+    ).withColumn("_ng", F.size("_grams"))
+
+
+def edit_distance_self_join(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist: int = 2,
+    q: int = 2,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with Levenshtein(text_a, text_b) ≤
+    ``max_dist``, via length + q-gram count pruning and a codegen
+    verify. Returns (id_a, id_b, edit_distance)."""
+    base = with_qgrams(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(text_col).alias("_txt"),
+            F.length(text_col).alias("_len"),
+        ),
+        "_txt",
+        q,
+    )
+    inv = base.select("_id", "_len", "_ng", F.explode("_grams").alias("_g"))
+    a = inv.select(
+        F.col("_id").alias("id_a"),
+        F.col("_len").alias("la"),
+        F.col("_ng").alias("na"),
+        "_g",
+    )
+    b = inv.select(
+        F.col("_id").alias("id_b"),
+        F.col("_len").alias("lb"),
+        F.col("_ng").alias("nb"),
+        "_g",
+    )
+    candidates = (
+        a.join(b, "_g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.abs(F.col("la") - F.col("lb")) <= max_dist)
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count("*").alias("_shared"))
+        .filter(
+            F.col("_shared")
+            >= F.greatest(F.col("na"), F.col("nb")) - max_dist * q
+        )
+        .select("id_a", "id_b")
+    )
+    names = base.select("_id", "_txt")
+    return (
+        candidates.join(
+            names.select(F.col("_id").alias("id_a"), F.col("_txt").alias("ta")),
+            "id_a",
+        )
+        .join(
+            names.select(F.col("_id").alias("id_b"), F.col("_txt").alias("tb")),
+            "id_b",
+        )
+        .withColumn("edit_distance", F.levenshtein("ta", "tb"))
+        .filter(F.col("edit_distance") <= max_dist)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("edit_distance").cast("int").alias("edit_distance"),
+        )
+    )

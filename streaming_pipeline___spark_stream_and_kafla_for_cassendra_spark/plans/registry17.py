@@ -700,3 +700,32 @@ def kfold_balance_documents(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     f = kfold_assign(d.select("lang", "doc_id"), "doc_id", k=5)
     return f.groupBy("lang", "fold").agg(F.count("*").alias("n_docs"))
+
+
+@_register(
+    "edit_distance_pairs_parts",
+    """
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER)
+             AS edit_distance
+    FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+    WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+      AND levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    "Edit-distance similarity self-join (typo-tolerant record "
+    "linkage): all part-name pairs within Levenshtein distance 2 via "
+    "operators/strings.py::edit_distance_self_join — an inverted-"
+    "index join on distinct bigrams with the LOSSLESS q-gram count "
+    "filter (k edits change ≤ k·q distinct grams) + length filter, "
+    "then a codegen levenshtein verify on survivors only — never a "
+    "cross product. The oracle states the O(n²) truth; both engines' "
+    "levenshtein is the standard unit-cost distance",
+    ("similarity", "strings", "linkage", "part"),
+)
+def edit_distance_pairs_parts(spark, sf_dir):
+    from ..operators.strings import edit_distance_self_join
+
+    p = _t(spark, sf_dir, "part")
+    return edit_distance_self_join(
+        p, text_col="p_name", id_col="p_partkey", max_dist=2, q=2
+    )

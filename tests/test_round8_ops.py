@@ -226,3 +226,46 @@ def test_kfold_assignment_is_stable_partition_and_key_consistent(spark):
     assert sum(folds.values()) == 5_000
     # hash-uniform: every fold within 20% of the expected 1000
     assert all(800 <= n <= 1200 for n in folds.values())
+
+
+def test_edit_distance_join_prune_is_lossless(spark):
+    """q-gram count + length pruning must not lose any true pair:
+    compare against the quadratic truth on strings with planted
+    substitutions, insertions, and deletions."""
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.strings import (
+        edit_distance_self_join,
+    )
+
+    base = [
+        "alpha bridge", "alpha brigde", "alpha bridges", "alpa bridge",
+        "beta tunnel", "beta tunel", "betta tunnell", "gamma road",
+        "gamma rode", "gama roads", "delta port", "delta fort",
+        "epsilon quay", "epsilonquay", "zeta dock", "zeta docks",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(base)], "pid long, name string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.edit_distance
+        for r in edit_distance_self_join(
+            df, "name", "pid", max_dist=2, q=2
+        ).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = {}
+    for i in range(len(base)):
+        for j in range(i + 1, len(base)):
+            d = lev(base[i], base[j])
+            if d <= 2:
+                want[(i, j)] = d
+    assert got == want
