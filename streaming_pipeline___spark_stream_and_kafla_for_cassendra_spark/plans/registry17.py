@@ -293,9 +293,12 @@ def _benford_oracle() -> str:
 
 
 @_register(
-    "benford_first_digit_orders",
+    "benford_chi2_orders",
     _benford_oracle(),
-    "Benford's-law first-significant-digit audit of order totals — "
+    "Benford's-law first-significant-digit audit of order totals "
+    "with the chi-square deviation statistic (the existing benford_"
+    "first_digit_orders reports per-digit deviations; THIS adds the "
+    "single-number test) — "
     "the fraud/synthetic-data screen: digit frequencies of the "
     "integer-cent amounts vs log10(1+1/d) expectations plus the χ² "
     "deviation statistic. The first digit comes from integer-to-"
@@ -305,7 +308,7 @@ def _benford_oracle() -> str:
     "One map-side-combined digit aggregate; 9-row arithmetic after",
     ("quality", "stats", "audit", "orders"),
 )
-def benford_first_digit_orders(spark, sf_dir):
+def benford_chi2_orders(spark, sf_dir):
     shares = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
     o = _t(spark, sf_dir, "orders")
     digits = o.filter(F.col("o_totalprice") > 0).select(
