@@ -105,8 +105,16 @@ class QueryDef:
 REGISTRY: list[QueryDef] = []
 
 
+_REGISTERED_NAMES: set[str] = set()
+
+
 def _register(name, oracle, description, tags=()):
     def deco(fn):
+        # a duplicate name would silently shadow the earlier query in
+        # the driver's name-keyed dict — refuse at import time instead
+        if name in _REGISTERED_NAMES:
+            raise ValueError(f"duplicate registry query name: {name!r}")
+        _REGISTERED_NAMES.add(name)
         REGISTRY.append(QueryDef(name, fn, oracle, description, tuple(tags)))
         return fn
 
