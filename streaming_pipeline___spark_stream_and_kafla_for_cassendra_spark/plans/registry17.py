@@ -732,3 +732,99 @@ def edit_distance_pairs_parts(spark, sf_dir):
     return edit_distance_self_join(
         p, text_col="p_name", id_col="p_partkey", max_dist=2, q=2
     )
+
+
+@_register(
+    "sketch_distinct_error_floor",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(0.05 AS DOUBLE) AS tolerance,
+           TRUE AS within_tolerance
+    FROM events GROUP BY event_type
+    """,
+    "Driver-visible accuracy gate for the DataSketches HLL tier "
+    "(same contract as the ANN recall floors): per event type, the "
+    "hll_sketch_agg estimate must land within ±5% of the exact "
+    "distinct-user count computed in the SAME Spark job; the oracle "
+    "pins the exact counts and the expectation — the sketch's binary "
+    "image is engine-specific, its ACCURACY CONTRACT is not. A "
+    "regression in sketch config/lgK breaks this row red",
+    ("sketch", "evaluation", "events"),
+)
+def sketch_distinct_error_floor(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    rel_err = (
+        F.abs(F.col("approx") - F.col("exact_users"))
+        / F.col("exact_users").cast("double")
+    )
+    return per_type.select(
+        "event_type",
+        F.col("exact_users").cast("long").alias("exact_users"),
+        F.lit(0.05).cast("double").alias("tolerance"),
+        (rel_err <= F.lit(0.05)).alias("within_tolerance"),
+    )
+
+
+@_register(
+    "cusum_changepoint_daily",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS n FROM daily),
+    dev AS (
+      SELECT day, cents,
+             sum(cents * tot.n - tot.s) OVER (ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS cum_scaled
+      FROM daily CROSS JOIN tot
+    )
+    SELECT d.day AS changepoint_day,
+           CAST(abs(d.cum_scaled) AS BIGINT) AS peak_abs_scaled,
+           t.n AS n_days
+    FROM dev d CROSS JOIN tot t
+    ORDER BY abs(d.cum_scaled) DESC, d.day ASC
+    LIMIT 1
+    """,
+    "CUSUM changepoint LOCATION for daily revenue — the companion "
+    "the drift DETECTORS (Page–Hinkley, PSI, Mann–Kendall) lack: "
+    "the day where the cumulative deviation from the global mean "
+    "peaks is the classic single-changepoint estimator. All "
+    "arithmetic is exact integers (deviations scaled by n to avoid "
+    "any division: cum Σ(x_i·n − S) is the n-scaled CUSUM), the "
+    "running sum is over the days-sized rollup (constant-bounded "
+    "window), and the argmax is a 1-row top-k",
+    ("stats", "drift", "changepoint", "events"),
+)
+def cusum_changepoint_daily(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    tot = daily.agg(
+        F.sum("cents").alias("s"), F.count("*").alias("n")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        F.sum(F.col("cents") * F.col("n") - F.col("s")).over(w).alias(
+            "cum_scaled"
+        ),
+        "n",
+    )
+    return (
+        dev.orderBy(F.abs(F.col("cum_scaled")).desc(), F.col("day").asc())
+        .limit(1)
+        .select(
+            F.col("day").alias("changepoint_day"),
+            F.abs(F.col("cum_scaled")).cast("long").alias("peak_abs_scaled"),
+            F.col("n").cast("long").alias("n_days"),
+        )
+    )
