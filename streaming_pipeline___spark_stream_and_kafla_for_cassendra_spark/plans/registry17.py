@@ -828,3 +828,67 @@ def cusum_changepoint_daily(spark, sf_dir):
             F.col("n").cast("long").alias("n_days"),
         )
     )
+
+
+@_register(
+    "seasonal_naive_mase_daily",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    lagged AS (
+      SELECT day, cents,
+             lag(cents, 7) OVER (ORDER BY day) AS season_pred,
+             lag(cents, 1) OVER (ORDER BY day) AS naive_pred
+      FROM daily
+    ),
+    scored AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_eval_days,
+             CAST(sum(abs(cents - season_pred)) AS BIGINT) AS sae_seasonal,
+             CAST(sum(abs(cents - naive_pred)) AS BIGINT) AS sae_naive
+      FROM lagged WHERE season_pred IS NOT NULL
+    )
+    SELECT n_eval_days, sae_seasonal, sae_naive,
+           floor(sae_seasonal / CAST(sae_naive AS DOUBLE) * 1000000 + 0.5)
+             / 1000000.0 AS mase
+    FROM scored
+    """,
+    "Forecast-accuracy evaluation (MASE): the seasonal-naive "
+    "forecast (value 7 days ago) scored against the one-step naive "
+    "baseline on daily revenue — MASE < 1 means weekly seasonality "
+    "carries real signal; the standard scale-free forecast metric, "
+    "completing the time-series family (STL decomposition, EWMA, "
+    "Bollinger, trend tests) with an EVALUATION operator. Absolute "
+    "errors are exact integer cents summed over the days-sized "
+    "rollup (constant-bounded lag window); one double division at "
+    "the end",
+    ("timeseries", "forecast", "evaluation", "events"),
+)
+def seasonal_naive_mase_daily(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "cents",
+        F.lag("cents", 7).over(w).alias("season_pred"),
+        F.lag("cents", 1).over(w).alias("naive_pred"),
+    ).filter(F.col("season_pred").isNotNull())
+    scored = lagged.agg(
+        F.count("*").alias("n_eval_days"),
+        F.sum(F.abs(F.col("cents") - F.col("season_pred"))).alias(
+            "sae_seasonal"
+        ),
+        F.sum(F.abs(F.col("cents") - F.col("naive_pred"))).alias("sae_naive"),
+    )
+    return scored.select(
+        F.col("n_eval_days").cast("long").alias("n_eval_days"),
+        F.col("sae_seasonal").cast("long").alias("sae_seasonal"),
+        F.col("sae_naive").cast("long").alias("sae_naive"),
+        _r6(
+            F.col("sae_seasonal") / F.col("sae_naive").cast("double")
+        ).alias("mase"),
+    )
