@@ -892,3 +892,133 @@ def seasonal_naive_mase_daily(spark, sf_dir):
             F.col("sae_seasonal") / F.col("sae_naive").cast("double")
         ).alias("mase"),
     )
+
+
+_IPF_ITERS = 4
+
+
+def _ipf_oracle(iters: int = _IPF_ITERS) -> str:
+    """Unrolled iterative-proportional-fitting twin: each iteration is
+    a row-margin scaling then a column-margin scaling; margin sums
+    fold in key order, every literal is DOUBLE-cast."""
+    head = """
+    cells AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells),
+    dims AS (SELECT CAST(count(DISTINCT lang) AS BIGINT) AS nr,
+                    CAST(count(DISTINCT source) AS BIGINT) AS nc
+             FROM cells),
+    w0 AS (SELECT lang, source, n,
+                  CAST(n AS DOUBLE) / tot.nn AS w
+           FROM cells CROSS JOIN tot)"""
+    layers = []
+    prev = "w0"
+    for i in range(iters):
+        r, c = f"wr{i + 1}", f"wc{i + 1}"
+        layers.append(f"""
+    {r} AS (
+      SELECT p.lang, p.source, p.n,
+             p.w * ((CAST(1.0 AS DOUBLE) / d.nr) / rs.s) AS w
+      FROM {prev} p
+      JOIN (SELECT lang,
+                   list_reduce(list_prepend(0.0::DOUBLE,
+                     list(w ORDER BY source)), (a, b) -> a + b) AS s
+            FROM {prev} GROUP BY lang) rs ON rs.lang = p.lang
+      CROSS JOIN dims d
+    ),
+    {c} AS (
+      SELECT p.lang, p.source, p.n,
+             p.w * ((CAST(1.0 AS DOUBLE) / d.nc) / cs.s) AS w
+      FROM {r} p
+      JOIN (SELECT source,
+                   list_reduce(list_prepend(0.0::DOUBLE,
+                     list(w ORDER BY lang)), (a, b) -> a + b) AS s
+            FROM {r} GROUP BY source) cs ON cs.source = p.source
+      CROSS JOIN dims d
+    )""")
+        prev = c
+    return (
+        "    WITH"
+        + head
+        + ","
+        + ",".join(layers)
+        + f"""
+    SELECT p.lang, p.source, p.n AS n_docs,
+           floor(p.w * 1000000 + 0.5) / 1000000.0 AS raked_weight,
+           floor(p.w / (CAST(p.n AS DOUBLE) / t.nn) * 10000 + 0.5)
+             / 10000.0 AS sampling_factor
+    FROM {prev} p CROSS JOIN tot t
+    """
+    )
+
+
+@_register(
+    "ipf_raking_lang_source",
+    _ipf_oracle(),
+    "Iterative proportional fitting (raking) of the (lang × source) "
+    "cell table to UNIFORM marginals — the survey-weighting / "
+    "corpus-rebalancing workhorse: after "
+    f"{_IPF_ITERS} row/column scaling rounds each language and each "
+    "source carries (approximately) equal total weight while cell "
+    "structure is preserved; sampling_factor is the per-cell up/"
+    "down-weight a sampler applies. Margin sums fold in key order "
+    "(F.aggregate ≡ list_reduce) so all "
+    f"{2 * _IPF_ITERS} scaling layers bit-match the unrolled DuckDB "
+    "twin. Everything after the one cells aggregate is "
+    "categories²-sized",
+    ("sampling", "raking", "weighting", "documents"),
+)
+def ipf_raking_lang_source(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    tot = cells.agg(F.sum("n").alias("nn"))
+    nr = cells.select("lang").distinct().count()  # category-sized
+    nc = cells.select("source").distinct().count()
+    w = (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "lang", "source", "n",
+            (F.col("n").cast("double") / F.col("nn")).alias("w"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def fold_by(df, group_col, order_col):
+        return df.groupBy(group_col).agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(order_col, F.col("w").alias("v")))
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x["v"],
+            ).alias("s")
+        )
+
+    for _ in range(_IPF_ITERS):
+        rs = fold_by(w, "lang", "source")
+        w = w.join(F.broadcast(rs), "lang").select(
+            "lang", "source", "n",
+            (F.col("w") * (F.lit(1.0 / nr) / F.col("s"))).alias("w"),
+        )
+        cs = fold_by(w, "source", "lang")
+        w = (
+            w.join(F.broadcast(cs), "source")
+            .select(
+                "lang", "source", "n",
+                (F.col("w") * (F.lit(1.0 / nc) / F.col("s"))).alias("w"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    r4 = lambda col: F.floor(col * 10000 + F.lit(0.5)) / F.lit(10000.0)  # noqa: E731
+    return w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        _r6(F.col("w")).alias("raked_weight"),
+        r4(
+            F.col("w") / (F.col("n").cast("double") / F.col("nn"))
+        ).alias("sampling_factor"),
+    )
