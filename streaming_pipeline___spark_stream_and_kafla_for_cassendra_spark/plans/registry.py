@@ -9239,10 +9239,8 @@ from . import registry14  # noqa: E402,F401  isort:skip
 from . import registry15  # noqa: E402,F401  isort:skip
 from . import registry16  # noqa: E402,F401  isort:skip
 from . import registry17  # noqa: E402,F401  isort:skip
-from . import registry14  # noqa: E402,F401  isort:skip
-from . import registry15  # noqa: E402,F401  isort:skip
-from . import registry16  # noqa: E402,F401  isort:skip
-from . import registry17  # noqa: E402,F401  isort:skip
+from . import registry18  # noqa: E402,F401  isort:skip
+from . import registry19  # noqa: E402,F401  isort:skip
 
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
