@@ -9241,6 +9241,7 @@ from . import registry16  # noqa: E402,F401  isort:skip
 from . import registry17  # noqa: E402,F401  isort:skip
 from . import registry18  # noqa: E402,F401  isort:skip
 from . import registry19  # noqa: E402,F401  isort:skip
+from . import registry20  # noqa: E402,F401  isort:skip
 
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
