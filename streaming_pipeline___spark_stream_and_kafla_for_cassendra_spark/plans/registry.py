@@ -9242,6 +9242,7 @@ from . import registry17  # noqa: E402,F401  isort:skip
 from . import registry18  # noqa: E402,F401  isort:skip
 from . import registry19  # noqa: E402,F401  isort:skip
 from . import registry20  # noqa: E402,F401  isort:skip
+from . import registry21  # noqa: E402,F401  isort:skip
 
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
