@@ -183,7 +183,7 @@ def zorder_pruning_audit(spark, sf_dir):
         .agg(F.count("*").alias("rows_actual"))
     )
     return (
-        touched.join(actual, "probe_id", "left")
+        touched.join(F.broadcast(actual), "probe_id", "left")
         .select(
             "layout",
             "probe_id",
