@@ -129,6 +129,16 @@ HEADLINE = [
     "zipf_slope_vocab",
     "join_cardinality_estimates",
     "kfold_balance_documents",
+    "croston_intermittent_demand",
+    "reco_ndcg_at_k",
+    "holt_winters_daily_revenue",
+    "sprt_langid_early_exit",
+    "kmv_distinct_union_events",
+    "hurst_rs_daily_revenue",
+    "textrank_keywords_documents",
+    "zorder_pruning_audit",
+    "compaction_bin_packing_plan",
+    "bloom_filter_fp_audit",
 ]
 
 

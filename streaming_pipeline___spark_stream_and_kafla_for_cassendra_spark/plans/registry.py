@@ -9244,6 +9244,7 @@ from . import registry19  # noqa: E402,F401  isort:skip
 from . import registry20  # noqa: E402,F401  isort:skip
 from . import registry21  # noqa: E402,F401  isort:skip
 from . import registry22  # noqa: E402,F401  isort:skip
+from . import registry23  # noqa: E402,F401  isort:skip
 
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)

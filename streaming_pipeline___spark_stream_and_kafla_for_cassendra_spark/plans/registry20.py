@@ -290,12 +290,15 @@ def sprt_langid_early_exit(spark, sf_dir):
     s = F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")
     base = d.select("doc_id", s.alias("s")).filter(F.length("s") >= 1)
 
+    # O(1) per-char lookup: the filtered string is [a-z] only, so
+    # ascii(c)-96 indexes a 26-literal array — the same doubles the
+    # oracle's CASE table holds, ~26x cheaper than a comparison chain
+    inc_arr = F.array(
+        *[F.lit(_SPRT_INC[chr(97 + i)]) for i in range(26)]
+    )
+
     def inc_of(c):
-        expr = F.when(c == "a", F.lit(_SPRT_INC["a"]))
-        for k, v in sorted(_SPRT_INC.items()):
-            if k != "a":
-                expr = expr.when(c == k, F.lit(v))
-        return expr.otherwise(F.lit(0.0))
+        return F.element_at(inc_arr, F.ascii(c) - 96)
 
     xs = F.transform(
         F.sequence(F.lit(1), F.least(F.length("s"), F.lit(_SPRT_CAP))),
