@@ -1,0 +1,250 @@
+"""Round-3 wave-2 operators: semantic invariants the DuckDB oracle
+cannot express (the oracle proves cross-engine parity; these prove
+the answers MEAN what the docstrings claim)."""
+
+from __future__ import annotations
+
+import math
+
+from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.plans.registry import (
+    REGISTRY,
+)
+
+BY = {q.name: q for q in REGISTRY}
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _run(spark, name, sf=SF_SMOKE):
+    return BY[name].builder(spark, sf).collect()
+
+
+# --- sketches -------------------------------------------------------------
+
+
+def test_kmv_estimates_exact_below_k(spark):
+    """Any sketch holding fewer than k hashes reports the EXACT
+    distinct count, and estimates are positive and finite."""
+    rows = _run(spark, "kmv_distinct_union_events")
+    for r in rows:
+        assert r["est_distinct"] > 0
+        if "INTERSECT" not in r["key"] and r["n_sketch"] < 256:
+            assert r["est_distinct"] == float(r["exact_distinct"])
+
+
+def test_kmv_union_bounds(spark):
+    rows = {r["key"]: r for r in _run(spark, "kmv_distinct_union_events")}
+    u = next(v for k, v in rows.items() if "UNION" in k)
+    i = next(v for k, v in rows.items() if "INTERSECT" in k)
+    a = rows["view"]
+    b = rows["click"]
+    # inclusion-exclusion on the EXACT side sanity-checks the keys
+    assert (
+        u["exact_distinct"]
+        == a["exact_distinct"] + b["exact_distinct"] - i["exact_distinct"]
+    )
+    # union estimate can't be below either side's (both are k-full
+    # or exact); intersection estimate can't exceed the union's
+    assert i["est_distinct"] <= u["est_distinct"] + 1e-9
+
+
+def test_bloom_filter_never_misses(spark):
+    """Bloom filters have NO false negatives: every exact positive
+    is a bloom positive."""
+    r = _run(spark, "bloom_filter_fp_audit")[0]
+    assert r["bloom_positives"] >= r["exact_positives"]
+    assert (
+        r["false_positives"]
+        == r["bloom_positives"] - r["exact_positives"]
+    )
+
+
+# --- forecasting ----------------------------------------------------------
+
+
+def test_croston_outputs_positive_and_bounded(spark):
+    rows = _run(spark, "croston_intermittent_demand")
+    assert rows
+    for r in rows:
+        assert r["n_demand_days"] >= 3
+        assert r["croston_size"] > 0
+        assert r["croston_interval_days"] >= 1.0 - 1e-9
+        # forecast-per-day can't exceed the smoothed demand size
+        # (intervals are >= 1 day)
+        assert r["forecast_per_day"] <= r["croston_size"] + 1e-6
+
+
+def test_holt_winters_seasonals_and_forecast_consistent(spark):
+    r = _run(spark, "holt_winters_daily_revenue")[0]
+    assert r["n_days"] > 300
+    assert r["level_cents"] > 0
+    svals = [r[f"s{w}"] for w in range(7)]
+    # forecast = level + trend + next weekday's seasonal, within the
+    # 1e-4 rounding the query applies
+    assert any(
+        abs(r["level_cents"] + r["trend_cents"] + s - r["forecast_next_day"])
+        < 2e-4
+        for s in svals
+    )
+
+
+# --- sequential / robust stats -------------------------------------------
+
+
+def test_sprt_decisions_respect_boundaries(spark):
+    upper = math.log(0.99 / 0.01)
+    rows = _run(spark, "sprt_langid_early_exit")
+    assert rows
+    decided = [r for r in rows if r["decision"] != "undecided"]
+    assert decided, "synthetic corpus should trigger decisions"
+    for r in rows:
+        if r["decision"] == "en":
+            assert r["llr"] >= upper - 1e-6
+            assert r["steps_used"] <= r["n_scanned"]
+        elif r["decision"] == "other":
+            assert r["llr"] <= -upper + 1e-6
+        else:
+            assert abs(r["llr"]) < upper
+            assert r["steps_used"] == min(r["n_scanned"], 400)
+
+
+def test_huber_location_between_min_and_mean_side(spark):
+    r = _run(spark, "huber_location_daily_revenue")[0]
+    # a robust location stays within scale of the mean
+    assert abs(r["huber_location_kd"] - r["mean_kd"]) <= 3 * r["scale_kd"]
+
+
+def test_hurst_exponent_in_unit_range(spark):
+    rows = _run(spark, "hurst_rs_daily_revenue")
+    assert len(rows) >= 3
+    h = rows[0]["hurst"]
+    assert 0.0 < h < 1.0
+    for r in rows:
+        assert r["mean_rs"] > 0
+        assert r["hurst"] == h  # constant across block-size rows
+
+
+# --- layout / systems -----------------------------------------------------
+
+
+def test_zorder_beats_linear_on_2d_probes(spark):
+    rows = _run(spark, "zorder_pruning_audit")
+    z = sum(r["files_touched"] for r in rows if r["layout"] == "zorder")
+    lin = sum(r["files_touched"] for r in rows if r["layout"] == "linear")
+    assert z < lin, "Morton layout must touch fewer zone-mapped files"
+    # scanned rows always cover the actual matches
+    for r in rows:
+        assert r["rows_scanned"] >= r["rows_actual"]
+
+
+def test_compaction_plan_conserves_and_reduces(spark):
+    rows = _run(spark, "compaction_bin_packing_plan")
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_bins"] <= r["n_files"]
+        assert r["reduction_ppm"] >= 0
+        # a day with >1 small file must plan at least some merge
+        if r["small_files"] == r["n_files"] and r["n_files"] > 1:
+            assert r["n_bins"] < r["n_files"]
+
+
+def test_consistent_hash_conserves_keys_and_moves_few(spark):
+    rows = _run(spark, "consistent_hash_rebalance")
+    total8 = sum(r["keys_8_servers"] for r in rows)
+    total9 = sum(r["keys_9_servers"] for r in rows)
+    assert total8 == total9 > 0
+    moved = sum(r["gained"] for r in rows)
+    assert moved == sum(r["lost"] for r in rows)
+    # consistent hashing moves roughly 1/9 of keys; assert well
+    # under the ~8/9 a mod-N reshard would move
+    assert moved < 0.35 * total8
+    s8 = {r["server"]: r for r in rows}["s8"]
+    assert s8["keys_8_servers"] == 0 and s8["lost"] == 0
+
+
+# --- sampling / evaluation ------------------------------------------------
+
+
+def test_negative_samples_come_from_vocab_and_are_stable(spark):
+    rows = _run(spark, "negative_sampling_pairs")
+    assert rows
+    again = _run(spark, "negative_sampling_pairs")
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    for r in rows:
+        assert r["slot"] in (0, 1)
+        assert r["pos_idx"] in (1, 11, 21)
+        assert (r["pos_token"] == r["neg_token"]) == r["collision"]
+    # every (doc, pos, slot) draw yields exactly one negative
+    keys = [(r["doc_id"], r["pos_idx"], r["slot"]) for r in rows]
+    assert len(keys) == len(set(keys))
+
+
+def test_ndcg_bounded_by_unit_interval(spark):
+    r = _run(spark, "reco_ndcg_at_k")[0]
+    assert 0.0 <= r["mean_ndcg"] <= 1.0
+    assert r["sum_ndcg_micro"] <= r["n_eval_parts"] * 1_000_000
+
+
+def test_histogram_estimates_conserve_total_mass(spark):
+    rows = {r["pred_id"]: r for r in _run(spark, "histogram_selectivity_audit")}
+    # predicate 5 spans [225k, 600k) — beyond max, so estimate and
+    # actual both land near the tail; q_error must exist where
+    # actual > 0 and estimates are never negative
+    for r in rows.values():
+        assert r["est_rows"] >= 0
+        if r["actual_rows"] > 0:
+            assert r["q_error"] is not None and r["q_error"] > 0
+
+
+def test_watermark_audit_monotone_in_delay(spark):
+    rows = sorted(
+        _run(spark, "watermark_delay_audit_events"),
+        key=lambda r: r["delay_s"],
+    )
+    drops = [r["n_dropped"] for r in rows]
+    assert drops == sorted(drops, reverse=True), (
+        "longer watermark delay can only drop fewer events"
+    )
+    for r in rows:
+        assert r["n_dropped"] <= r["n_events"]
+
+
+def test_uplift_cells_partition_users(spark):
+    rows = _run(spark, "uplift_by_segment_events")
+    treat = sum(r["n_treat"] for r in rows)
+    ctrl = sum(r["n_ctrl"] for r in rows)
+    assert treat > 0 and ctrl > 0
+    for r in rows:
+        assert r["conv_treat"] <= r["n_treat"]
+        assert r["conv_ctrl"] <= r["n_ctrl"]
+
+
+def test_fd_audit_g3_consistency(spark):
+    rows = _run(spark, "functional_dependency_audit")
+    names = {r["fd"] for r in rows}
+    assert len(names) == 6
+    for r in rows:
+        assert 0 <= r["g3_remove_rows"] <= r["n_rows"]
+        assert (r["violating_groups"] == 0) == r["holds"]
+        # an FD that holds needs zero repairs, and vice versa
+        assert (r["g3_remove_rows"] == 0) == r["holds"]
+
+
+def test_adamic_adar_scores_positive_and_symmetric_pairs(spark):
+    rows = _run(spark, "adamic_adar_link_prediction")
+    for r in rows:
+        assert r["part_a"] < r["part_b"]
+        assert r["common_neighbors"] >= 2
+        # each common neighbor contributes at most 1/ln(2)
+        assert r["aa_score"] <= r["common_neighbors"] / math.log(2) + 1e-6
+        assert r["aa_score"] > 0
+
+
+def test_textrank_scores_are_probability_like(spark):
+    rows = _run(spark, "textrank_keywords_documents")
+    assert len(rows) == 30
+    for r in rows:
+        assert r["textrank"] > 0
+        assert r["degree"] >= 1
+    # top keywords should be sorted-equivalent: every score at least
+    # the minimum, and scores sum below 1 (subset of a distribution)
+    assert sum(r["textrank"] for r in rows) <= 1.0 + 1e-6
