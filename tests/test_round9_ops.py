@@ -248,3 +248,80 @@ def test_textrank_scores_are_probability_like(spark):
     # top keywords should be sorted-equivalent: every score at least
     # the minimum, and scores sum below 1 (subset of a distribution)
     assert sum(r["textrank"] for r in rows) <= 1.0 + 1e-6
+
+
+def test_betweenness_matches_pure_python_brandes(spark):
+    """Cross-check the distributed Brandes against a from-scratch
+    Python implementation on the SAME pruned edge set — proving the
+    algorithm, not just engine parity."""
+    from collections import deque
+
+    from pyspark.sql import functions as F
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.sources.tables import (
+        load_table,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    o = load_table(spark, SF_SMOKE, "orders")
+    c = load_table(spark, SF_SMOKE, "customer")
+    s = load_table(spark, SF_SMOKE, "supplier")
+    ew = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.least("c_nationkey", "s_nationkey").alias("a"),
+            F.greatest("c_nationkey", "s_nationkey").alias("b"),
+        )
+        .agg(F.count("*").alias("w"))
+        .orderBy(F.col("w").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(50)
+        .collect()
+    )
+    adj = {}
+    for r in ew:
+        adj.setdefault(r["a"], set()).add(r["b"])
+        adj.setdefault(r["b"], set()).add(r["a"])
+    bc = {v: 0.0 for v in adj}
+    for src in sorted(adj):
+        # standard Brandes single-source phase (depth-capped at 6
+        # to mirror the registry's unroll bound)
+        dist = {src: 0}
+        sigma = {src: 1.0}
+        order = []
+        dq = deque([src])
+        while dq:
+            v = dq.popleft()
+            if dist[v] >= 6:
+                continue
+            for w in sorted(adj[v]):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    sigma[w] = 0.0
+                    dq.append(w)
+                    order.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        delta = {v: 0.0 for v in dist}
+        for w in reversed(order):
+            for v in adj[w]:
+                if v in dist and dist[v] == dist[w] - 1:
+                    delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != src:
+                bc[w] += delta[w] / 2.0
+    got = {
+        r["nation"]: r["betweenness"]
+        for r in _run(spark, "betweenness_centrality_nations")
+    }
+    nation_names = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load_table(spark, SF_SMOKE, "nation").collect()
+    }
+    assert set(got) == {nation_names[v] for v in adj}
+    for v, score in bc.items():
+        assert abs(got[nation_names[v]] - score) < 1e-4, (
+            nation_names[v],
+            got[nation_names[v]],
+            score,
+        )
