@@ -9249,6 +9249,7 @@ from . import registry24  # noqa: E402,F401  isort:skip
 from . import registry25  # noqa: E402,F401  isort:skip
 from . import registry26  # noqa: E402,F401  isort:skip
 from . import registry27  # noqa: E402,F401  isort:skip
+from . import registry28  # noqa: E402,F401  isort:skip
 
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
