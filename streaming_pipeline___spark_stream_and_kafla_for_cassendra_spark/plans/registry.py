@@ -9251,6 +9251,7 @@ from . import registry26  # noqa: E402,F401  isort:skip
 from . import registry27  # noqa: E402,F401  isort:skip
 from . import registry28  # noqa: E402,F401  isort:skip
 from . import registry29  # noqa: E402,F401  isort:skip
+from . import registry30  # noqa: E402,F401  isort:skip
 
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
