@@ -9252,6 +9252,7 @@ from . import registry27  # noqa: E402,F401  isort:skip
 from . import registry28  # noqa: E402,F401  isort:skip
 from . import registry29  # noqa: E402,F401  isort:skip
 from . import registry30  # noqa: E402,F401  isort:skip
+from . import registry31  # noqa: E402,F401  isort:skip
 
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)

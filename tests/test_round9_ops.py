@@ -325,3 +325,28 @@ def test_betweenness_matches_pure_python_brandes(spark):
             got[nation_names[v]],
             score,
         )
+
+
+def test_max_coverage_is_submodular_and_monotone(spark):
+    rows = sorted(
+        _run(spark, "max_coverage_doc_selection"), key=lambda r: r["round"]
+    )
+    assert [r["round"] for r in rows] == list(range(1, 11))
+    gains = [r["gain"] for r in rows]
+    # greedy on a submodular function has non-increasing marginal gains
+    assert gains == sorted(gains, reverse=True)
+    cov = [r["covered"] for r in rows]
+    assert cov == sorted(cov)
+    assert cov[-1] <= rows[0]["vocab_size"]
+    # coverage increments equal the reported gains
+    increments = [cov[0]] + [b - a for a, b in zip(cov, cov[1:])]
+    assert increments == gains
+
+
+def test_random_projection_ratios_center_on_one(spark):
+    rows = _run(spark, "random_projection_distortion")
+    n = sum(r["n_pairs"] for r in rows)
+    mean = sum(r["sum_ratio_micro"] for r in rows) / n / 1e6
+    # E[ratio] = 1 for a JL projection; k=8 keeps the mean loose
+    assert 0.7 < mean < 1.3
+    assert all(0 <= r["bucket"] <= 29 for r in rows)
