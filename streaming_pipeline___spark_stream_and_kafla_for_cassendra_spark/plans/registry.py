@@ -9253,6 +9253,7 @@ from . import registry28  # noqa: E402,F401  isort:skip
 from . import registry29  # noqa: E402,F401  isort:skip
 from . import registry30  # noqa: E402,F401  isort:skip
 from . import registry31  # noqa: E402,F401  isort:skip
+from . import registry32  # noqa: E402,F401  isort:skip
 
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
