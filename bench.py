@@ -139,6 +139,26 @@ HEADLINE = [
     "zorder_pruning_audit",
     "compaction_bin_packing_plan",
     "bloom_filter_fp_audit",
+    "nelson_aalen_hazard",
+    "uplift_by_segment_events",
+    "watermark_delay_audit_events",
+    "huber_location_daily_revenue",
+    "negative_sampling_pairs",
+    "k_anonymity_report",
+    "consistent_hash_rebalance",
+    "histogram_selectivity_audit",
+    "kcenter_coreset_embeddings",
+    "betweenness_centrality_nations",
+    "shapley_attribution_channels",
+    "perceptron_daily_revenue",
+    "lru_cache_hit_rate",
+    "market_basket_triples",
+    "dup_span_extraction_documents",
+    "merkle_chain_events_daily",
+    "max_coverage_doc_selection",
+    "random_projection_distortion",
+    "encoding_size_estimator_lineitem",
+    "boolean_and_query_postings",
 ]
 
 

@@ -9254,6 +9254,7 @@ from . import registry29  # noqa: E402,F401  isort:skip
 from . import registry30  # noqa: E402,F401  isort:skip
 from . import registry31  # noqa: E402,F401  isort:skip
 from . import registry32  # noqa: E402,F401  isort:skip
+from . import registry33  # noqa: E402,F401  isort:skip
 
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)

@@ -373,7 +373,7 @@ def watermark_delay_audit_events(spark, sf_dir):
             )
             for d in _WM_DELAYS
         ],
-    )
+    ).localCheckpoint(eager=False)  # one windowed scan feeds all 4 rows
     out = None
     for d in _WM_DELAYS:
         one = counts.select(
