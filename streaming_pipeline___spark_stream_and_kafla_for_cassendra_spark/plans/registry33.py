@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .registry import _register, _t
+from .registry import _await_stream, _register, _t
 
 # event_type -> one char (sorted by type name for determinism)
 _SESS_CODE = {
@@ -238,4 +238,94 @@ def rate_limiter_token_bucket(spark, sf_dir):
         F.sum(F.when(F.col("rej_n") > 0, 1).otherwise(0))
         .cast("long")
         .alias("users_throttled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin: token-bucket limiter as a live stateful operator
+# ---------------------------------------------------------------------------
+
+@_register(
+    "streaming_rate_limiter",
+    f"""
+    WITH arrivals AS (
+      SELECT user_id,
+             list(epoch_us(CAST(ts AS TIMESTAMP))
+                  ORDER BY ts, event_id) AS ts_us
+      FROM events GROUP BY user_id
+    ),
+    folded AS (
+      SELECT user_id, CAST(len(ts_us) AS BIGINT) AS n_events,
+             list_reduce(
+               list_prepend([CAST({_TB_CAP * _TB_TOKEN_US} AS BIGINT),
+                             ts_us[1], CAST(0 AS BIGINT),
+                             CAST(0 AS BIGINT)],
+                 list_transform(ts_us, t -> [t, CAST(0 AS BIGINT),
+                                             CAST(0 AS BIGINT),
+                                             CAST(0 AS BIGINT)])),
+               (acc, x) -> [
+                 CASE WHEN least(acc[1] + (x[1] - acc[2]),
+                                 {_TB_CAP * _TB_TOKEN_US})
+                           >= {_TB_TOKEN_US}
+                      THEN least(acc[1] + (x[1] - acc[2]),
+                                 {_TB_CAP * _TB_TOKEN_US})
+                           - {_TB_TOKEN_US}
+                      ELSE least(acc[1] + (x[1] - acc[2]),
+                                 {_TB_CAP * _TB_TOKEN_US}) END,
+                 x[1],
+                 acc[3] + CASE WHEN least(acc[1] + (x[1] - acc[2]),
+                                          {_TB_CAP * _TB_TOKEN_US})
+                                    >= {_TB_TOKEN_US}
+                               THEN 1 ELSE 0 END,
+                 acc[4] + CASE WHEN least(acc[1] + (x[1] - acc[2]),
+                                          {_TB_CAP * _TB_TOKEN_US})
+                                    >= {_TB_TOKEN_US}
+                               THEN 0 ELSE 1 END
+               ]) AS st
+      FROM arrivals
+    )
+    SELECT user_id, n_events,
+           CAST(st[3] AS BIGINT) AS accepted,
+           CAST(st[4] AS BIGINT) AS rejected
+    FROM folded
+    """,
+    "LIVE streaming token-bucket limiter (custom stateful operator, "
+    "streaming/stateful.py::rate_limit_stream): four integers of "
+    "state per key carried across micro-batches, update-mode "
+    "emissions of running accepted/rejected counts — the enforcing "
+    "twin of the batch `rate_limiter_token_bucket` audit. Under "
+    "availableNow a single-file parquet stream folds each key in "
+    "(ts, event_id) order exactly like the batch recurrence, so "
+    "the ORACLE is the same per-user integer fold — streaming "
+    "semantics checked bit-exactly through the real "
+    "applyInPandasWithState path.",
+    ("streaming", "stateful", "rate-limit", "events"),
+)
+def streaming_rate_limiter(spark, sf_dir):
+    import uuid
+
+    from pyspark.sql import Window
+
+    from ..sources.tables import load_events_stream
+    from ..streaming.stateful import rate_limit_stream
+
+    stream = load_events_stream(spark, sf_dir)
+    out = rate_limit_stream(
+        stream, capacity_tokens=_TB_CAP, token_us=_TB_TOKEN_US
+    )
+    sink = f"stream_rl_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q, 120)
+    t = spark.table(sink)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        t.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", "accepted", "rejected")
     )

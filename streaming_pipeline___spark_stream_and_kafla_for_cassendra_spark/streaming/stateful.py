@@ -604,3 +604,90 @@ def anomaly_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+RATE_LIMIT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("accepted", LongType()),
+        StructField("rejected", LongType()),
+    ]
+)
+
+_RATE_LIMIT_STATE = StructType(
+    [
+        StructField("balance_us", LongType()),
+        StructField("prev_us", LongType()),
+        StructField("accepted", LongType()),
+        StructField("rejected", LongType()),
+    ]
+)
+
+
+def rate_limit_stream(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    capacity_tokens: int = 5,
+    token_us: int = 60_000_000,
+) -> DataFrame:
+    """Per-key token-bucket rate limiter carried across micro-batches
+    — the streaming twin of the batch ``rate_limiter_token_bucket``
+    fold (plans/registry33.py): identical integer arithmetic
+    (balance in microseconds of token credit, refill = elapsed event
+    time, spend = ``token_us``), identical (ts, id) ordering, so an
+    availableNow run's final per-key emission is bit-identical to
+    the batch fold. State is four integers per key; update-mode
+    emissions carry running accepted/rejected counts — the live
+    throttling decision a gateway would enforce, not just audit.
+    """
+    cap = int(capacity_tokens) * int(token_us)
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        user = key[0]
+        if state.exists:
+            bal, prev, acc, rej = state.get
+        else:
+            bal, prev, acc, rej = None, None, 0, 0
+
+        frames = [pdf for pdf in pdf_iter if not pdf.empty]
+        if frames:
+            pdf = pd.concat(frames).sort_values([ts_col, id_col])
+            us = (
+                pdf[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+            )
+            for t in us:
+                t = int(t)
+                if bal is None:
+                    bal, prev = cap, t
+                bal = min(bal + (t - prev), cap)
+                if bal >= token_us:
+                    bal -= token_us
+                    acc += 1
+                else:
+                    rej += 1
+                prev = t
+
+        if acc + rej:
+            state.update((int(bal), int(prev), int(acc), int(rej)))
+            yield pd.DataFrame(
+                {
+                    "user_id": [user],
+                    "n_events": [acc + rej],
+                    "accepted": [acc],
+                    "rejected": [rej],
+                }
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=RATE_LIMIT_SCHEMA,
+        stateStructType=_RATE_LIMIT_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
