@@ -9255,6 +9255,7 @@ from . import registry30  # noqa: E402,F401  isort:skip
 from . import registry31  # noqa: E402,F401  isort:skip
 from . import registry32  # noqa: E402,F401  isort:skip
 from . import registry33  # noqa: E402,F401  isort:skip
+from . import registry34  # noqa: E402,F401  isort:skip
 
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)

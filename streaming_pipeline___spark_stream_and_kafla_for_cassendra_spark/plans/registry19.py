@@ -145,12 +145,24 @@ def croston_intermittent_demand(spark, sf_dir):
     WITH items AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
     ),
-    edges AS (
-      SELECT a.l_partkey AS src, b.l_partkey AS dst
+    edges_all AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst,
+             CAST(count(*) AS BIGINT) AS w
       FROM items a JOIN items b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2
       HAVING count(*) >= 2
+    ),
+    edges AS (
+      -- 20k-edge cap (weight desc, keys asc): a 10x-denser corpus
+      -- multiplies qualifying edges and the common-neighbor join is
+      -- quadratic in hub degree — the cap bounds the graph at any
+      -- scale (a no-op at current SFs, ~3.5k edges qualify)
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (ORDER BY w DESC, src, dst) AS rk
+        FROM edges_all
+      ) WHERE rk <= 20000
     ),
     adj AS (
       SELECT src AS u, dst AS w FROM edges
@@ -211,6 +223,10 @@ def adamic_adar_link_prediction(spark, sf_dir):
         .groupBy("pa", "pb")
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") >= 2)
+        # TakeOrdered 20k-edge cap: bounds the quadratic-in-degree
+        # common-neighbor join on 10x-denser corpora (no-op today)
+        .orderBy(F.col("cnt").desc(), F.col("pa").asc(), F.col("pb").asc())
+        .limit(20000)
         .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .localCheckpoint(eager=False)
     )

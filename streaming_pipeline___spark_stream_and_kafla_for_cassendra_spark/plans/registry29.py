@@ -179,12 +179,21 @@ _TRIPLE_MIN_SUPPORT = 2
     WITH items AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
     ),
-    pairs AS (
-      SELECT a.l_partkey AS p, b.l_partkey AS q
+    pairs_all AS (
+      SELECT a.l_partkey AS p, b.l_partkey AS q,
+             CAST(count(*) AS BIGINT) AS w
       FROM items a JOIN items b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2
       HAVING count(*) >= {_TRIPLE_MIN_SUPPORT}
+    ),
+    pairs AS (
+      -- 20k cap (support desc, keys asc) bounds the candidate
+      -- self-join on 10x-denser corpora; a no-op at current SFs
+      SELECT p, q FROM (
+        SELECT p, q, row_number() OVER (ORDER BY w DESC, p, q) AS rk
+        FROM pairs_all
+      ) WHERE rk <= 20000
     ),
     cand AS (
       -- apriori: a frequent triple requires ALL THREE sub-pairs
@@ -234,6 +243,10 @@ def market_basket_triples(spark, sf_dir):
         .groupBy("p", "q")
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") >= _TRIPLE_MIN_SUPPORT)
+        # TakeOrdered 20k cap bounds the apriori candidate self-join
+        # on 10x-denser corpora (no-op today)
+        .orderBy(F.col("cnt").desc(), F.col("p").asc(), F.col("q").asc())
+        .limit(20000)
         .select("p", "q")
         .localCheckpoint(eager=False)
     )
