@@ -9256,6 +9256,7 @@ from . import registry31  # noqa: E402,F401  isort:skip
 from . import registry32  # noqa: E402,F401  isort:skip
 from . import registry33  # noqa: E402,F401  isort:skip
 from . import registry34  # noqa: E402,F401  isort:skip
+from . import registry35  # noqa: E402,F401  isort:skip
 
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
