@@ -25,11 +25,13 @@ def _r6(col):
 _LPA_ROUNDS = 4
 
 
-def _lpa_oracle() -> str:
+def _lpa_oracle(tail: str | None = None) -> str:
     """Unrolled synchronous label-propagation CTE chain (same shape as
     the pagerank oracle): each round every node adopts the label with
     the greatest incident edge weight among its neighbors' current
-    labels (tie → smallest label), starting from label = own id."""
+    labels (tie → smallest label), starting from label = own id.
+    ``tail`` replaces the final SELECT (it sees lab{N} and sym) so
+    derived metrics (modularity) can reuse the identical chain."""
     sql = """
     WITH edges_raw AS (
       SELECT c.c_nationkey AS u, s.s_nationkey AS v,
@@ -46,7 +48,7 @@ def _lpa_oracle() -> str:
       UNION ALL
       SELECT v, u, w FROM edges_raw
     ),
-    sym AS (
+    sym AS MATERIALIZED (
       SELECT u, v, CAST(sum(w) AS BIGINT) AS w FROM edges GROUP BY 1, 2
     ),
     lab0 AS (SELECT DISTINCT u AS node, u AS label FROM sym)
@@ -59,7 +61,7 @@ def _lpa_oracle() -> str:
       FROM sym s JOIN lab{r - 1} l ON l.node = s.v
       GROUP BY 1, 2
     ),
-    lab{r} AS (
+    lab{r} AS MATERIALIZED (
       SELECT node, label FROM (
         SELECT node, label,
                row_number() OVER (PARTITION BY node
@@ -68,6 +70,8 @@ def _lpa_oracle() -> str:
       ) WHERE rk = 1
     )
     """
+    if tail is not None:
+        return sql + tail
     sql += f"""
     SELECT CAST(node AS INTEGER) AS nationkey,
            CAST(label AS INTEGER) AS community
