@@ -449,3 +449,126 @@ def runtime_in_filter(
     if len(sample) > max_keys:
         return fact.join(F.broadcast(keys_df), on=fact_key, how="left_semi")
     return fact.filter(F.col(fact_key).isin([r[0] for r in sample]))
+
+
+def cdf_area(
+    df: DataFrame,
+    value_col: str,
+    count_cols: tuple[str, str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed exact area between two empirical CDFs — the 1-D
+    Wasserstein-1 integral — WITHOUT a single-partition window over
+    the value support.
+
+    ``df`` holds one row per DISTINCT support value ``value_col``
+    (integral) with the two per-value counts ``count_cols``. Between
+    consecutive support points both CDFs are constant, so
+
+        W1 * n1 * n2 = sum over gaps of (next_v - v) * |cum1*n2 - cum2*n1|
+
+    stays a pure integer. Same three-step shape as
+    :func:`prefix_sums`:
+
+    1. ``repartitionByRange(value_col)`` + in-partition sort gives
+       the global support order;
+    2. one bounded collect takes each partition's (count sums, last
+       value) → exclusive cumulative carry-ins AND the boundary gap
+       each partition owes to its predecessor's last support point;
+    3. an Arrow pass per partition emits one partial-sum row:
+       in-partition gap terms plus the cross-boundary term, all in
+       int64 (Python ints — overflow-safe beyond 2^63 partials).
+
+    Returns a 1-row DataFrame: total counts n1/n2 and the integer
+    numerator (area * n1 * n2). The caller divides once.
+    """
+    c1, c2 = count_cols
+    rp = df.repartitionByRange(
+        *([num_partitions] if num_partitions else []), value_col
+    ).sortWithinPartitions(value_col)
+    rp = rp.localCheckpoint(eager=False)
+    with_pid = rp.withColumn("_pid", F.spark_partition_id())
+    part_rows = (
+        with_pid.groupBy("_pid")
+        .agg(
+            F.sum(c1).alias("s1"),
+            F.sum(c2).alias("s2"),
+            F.min(value_col).alias("vmin"),
+            F.max(value_col).alias("vmax"),
+        )
+        .collect()
+    )
+    info = {
+        r["_pid"]: (int(r["s1"] or 0), int(r["s2"] or 0),
+                    r["vmin"], r["vmax"])
+        for r in part_rows
+    }
+    carry: dict[int, tuple] = {}
+    a1 = a2 = 0
+    prev_last = None
+    for pid in sorted(info):
+        s1, s2, vmin, vmax = info[pid]
+        if vmin is None:
+            carry[pid] = (a1, a2, prev_last)
+            continue
+        # carry-in cum counts and the predecessor's last support value
+        carry[pid] = (a1, a2, prev_last)
+        a1 += s1
+        a2 += s2
+        prev_last = int(vmax)
+    n1, n2 = a1, a2
+    bc = df.sparkSession.sparkContext.broadcast(carry)
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("num_hi", LongType()),  # numerator div 2^62
+            StructField("num_lo", LongType()),  # numerator mod 2^62
+        ]
+    )
+
+    def partials(batches):
+        import pandas as pd
+
+        carry_map = bc.value
+        # a partition arrives as SEVERAL Arrow batches: thread the
+        # cumulative state across all of them, emit ONE partial row
+        state = None  # (cum1, cum2, prev_v, total)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if state is None:
+                pid = int(pdf["_pid"].iloc[0])
+                cum1, cum2, prev_v = carry_map.get(pid, (0, 0, None))
+                total = 0
+            else:
+                cum1, cum2, prev_v, total = state
+            vs = pdf[value_col].to_list()
+            x1 = pdf[c1].to_list()
+            x2 = pdf[c2].to_list()
+            for v, d1, d2 in zip(vs, x1, x2):
+                v = int(v)
+                if prev_v is not None and v > prev_v:
+                    total += (v - prev_v) * abs(cum1 * n2 - cum2 * n1)
+                cum1 += int(d1)
+                cum2 += int(d2)
+                prev_v = v
+            state = (cum1, cum2, prev_v, total)
+        if state is not None:
+            total = state[3]
+            yield pd.DataFrame(
+                {"num_hi": [total >> 62], "num_lo": [total & ((1 << 62) - 1)]}
+            )
+
+    parts = with_pid.mapInPandas(partials, out_schema)
+    agg = parts.agg(
+        F.sum("num_hi").alias("hi"), F.sum("num_lo").alias("lo")
+    )
+    return agg.select(
+        F.lit(n1).cast("long").alias("n1"),
+        F.lit(n2).cast("long").alias("n2"),
+        ((F.col("hi") * F.lit(2 ** 62)) + F.col("lo"))
+        .cast("long")
+        .alias("numerator"),
+    )

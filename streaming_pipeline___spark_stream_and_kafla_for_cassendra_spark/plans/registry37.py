@@ -82,9 +82,11 @@ from .registry import _register, _t
     "The transport metric completes the distribution-distance "
     "family: KS (`ks_statistic_value_by_type`) takes the max CDF "
     "gap, KL/JS weigh log-ratios, W1 integrates the gap — and is "
-    "the one with units (dollars of movement). The running-CDF "
-    "window orders the DISTINCT price support, and the weekday "
-    "convention is pure integer epoch-day arithmetic.",
+    "the one with units (dollars of movement). The ENGINE computes "
+    "the integral via scale.py::cdf_area (range-partitioned support "
+    "+ per-partition carry-ins — no single-partition window); the "
+    "oracle states the same integer with a plain running-CDF "
+    "window. Weekday convention is integer epoch-day arithmetic.",
     ("stats", "distribution", "transport", "orders"),
 )
 def wasserstein_price_weekday_weekend(spark, sf_dir):
@@ -105,42 +107,28 @@ def wasserstein_price_weekday_weekend(spark, sf_dir):
         F.sum(F.when(F.col("weekend"), 1).otherwise(0)).alias("n_we"),
         F.sum(F.when(F.col("weekend"), 0).otherwise(1)).alias("n_wd"),
     )
+    from ..operators.scale import cdf_area
+
     vals = labeled.groupBy("cents").agg(
         F.sum(F.when(F.col("weekend"), 1).otherwise(0)).alias("c_we"),
         F.sum(F.when(F.col("weekend"), 0).otherwise(1)).alias("c_wd"),
     )
-    w = Window.orderBy("cents")
-    wc = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
-    cum = vals.select(
-        "cents",
-        F.lead("cents").over(w).alias("next_cents"),
-        F.sum("c_we").over(wc).alias("cum_we"),
-        F.sum("c_wd").over(wc).alias("cum_wd"),
-    )
-    segs = (
-        cum.filter(F.col("next_cents").isNotNull())
-        .crossJoin(F.broadcast(tot))
-        .select(
-            (
-                (F.col("next_cents") - F.col("cents"))
-                * F.abs(
-                    F.col("cum_we") * F.col("n_wd")
-                    - F.col("cum_wd") * F.col("n_we")
-                )
-            ).alias("num"),
-            (F.col("n_we") * F.col("n_wd")).alias("den"),
-            "n_we",
-            "n_wd",
-        )
-    )
-    return segs.agg(
-        F.max("n_we").cast("long").alias("n_weekend"),
-        F.max("n_wd").cast("long").alias("n_weekday"),
-        F.sum("num").cast("long").alias("w1_numerator"),
-        F.max("den").cast("long").alias("w1_denominator"),
+    # scale.py::cdf_area computes the CDF-gap integral with range
+    # partitioning + per-partition carry-ins — the oracle states the
+    # same integral with a plain running-CDF window, but the ENGINE
+    # never funnels the support through one partition
+    area = cdf_area(vals, "cents", ("c_we", "c_wd"))
+    return area.select(
+        F.col("n1").alias("n_weekend"),
+        F.col("n2").alias("n_weekday"),
+        F.col("numerator").alias("w1_numerator"),
+        (F.col("n1") * F.col("n2")).cast("long").alias("w1_denominator"),
         (
             F.floor(
-                F.sum("num") / F.max("den").cast("double") / 100.0 * 10000
+                F.col("numerator")
+                / (F.col("n1") * F.col("n2")).cast("double")
+                / 100.0
+                * 10000
                 + F.lit(0.5)
             )
             / 10000.0
