@@ -361,3 +361,38 @@ def test_runtime_in_filter_pushes_predicate_and_falls_back(spark, tmp_path):
         r.id for r in fact.filter(F.col("k").isin([0, 3, 6, 9, 12, 15, 18])).collect()
     )
     assert a == b == want
+
+
+def test_cdf_area_matches_window_twin(spark):
+    """cdf_area (range-partitioned carry-ins) equals the
+    single-partition window formulation on the same support."""
+    from pyspark.sql import Window
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.scale import (
+        cdf_area,
+    )
+
+    rows = [(v, (v * 7) % 5, (v * 3) % 4) for v in range(0, 500, 3)]
+    df = spark.createDataFrame(rows, "v long, c1 long, c2 long")
+    got = cdf_area(df.filter("c1 + c2 > 0"), "v", ("c1", "c2"),
+                   num_partitions=7).collect()[0]
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    from pyspark.sql import functions as F
+
+    src = df.filter("c1 + c2 > 0")
+    n1 = src.agg(F.sum("c1")).collect()[0][0]
+    n2 = src.agg(F.sum("c2")).collect()[0][0]
+    cum = src.select(
+        "v",
+        F.lead("v").over(Window.orderBy("v")).alias("nv"),
+        F.sum("c1").over(w).alias("k1"),
+        F.sum("c2").over(w).alias("k2"),
+    ).filter(F.col("nv").isNotNull())
+    expect = cum.select(
+        F.sum(
+            (F.col("nv") - F.col("v"))
+            * F.abs(F.col("k1") * F.lit(n2) - F.col("k2") * F.lit(n1))
+        ).alias("num")
+    ).collect()[0]["num"]
+    assert got["n1"] == n1 and got["n2"] == n2
+    assert got["numerator"] == expect
