@@ -9259,6 +9259,7 @@ from . import registry34  # noqa: E402,F401  isort:skip
 from . import registry35  # noqa: E402,F401  isort:skip
 from . import registry36  # noqa: E402,F401  isort:skip
 from . import registry37  # noqa: E402,F401  isort:skip
+from . import registry38  # noqa: E402,F401  isort:skip
 
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
