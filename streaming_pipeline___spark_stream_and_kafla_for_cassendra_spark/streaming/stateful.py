@@ -691,3 +691,97 @@ def rate_limit_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_funnel_events", LongType()),
+        StructField("max_stage", LongType()),
+    ]
+)
+
+_FUNNEL_STATE = StructType(
+    [
+        StructField("stage", LongType()),
+        StructField("start_us", LongType()),
+        StructField("best", LongType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+
+def window_funnel_stream(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    stages: tuple = ("view", "click", "purchase"),
+    window_us: int = 24 * 3600 * 1_000_000,
+) -> DataFrame:
+    """Per-key windowFunnel carried across micro-batches — the
+    streaming twin of the batch ``window_funnel_users`` fold
+    (plans/registry34.py): identical [stage, start, best] integer
+    recurrence (restart on stage-1, advance on the exact next stage
+    inside the window), identical (ts, id) ordering, so an
+    availableNow run's final per-key emission is bit-identical to
+    the batch fold. Update-mode emissions carry the running best
+    depth — the live 'how deep is this user in the funnel right
+    now' signal a personalization service consumes.
+    """
+    code = {t: i + 1 for i, t in enumerate(stages)}
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        user = key[0]
+        if state.exists:
+            stage, start, best, n_seen = state.get
+        else:
+            stage, start, best, n_seen = 0, 0, 0, 0
+
+        frames = [pdf for pdf in pdf_iter if not pdf.empty]
+        if frames:
+            pdf = pd.concat(frames)
+            pdf = pdf[pdf[type_col].isin(list(code))]
+            if not pdf.empty:
+                pdf = pdf.sort_values([ts_col, id_col])
+                us = (
+                    pdf[ts_col]
+                    .astype("datetime64[us]")
+                    .astype("int64")
+                    .to_numpy()
+                )
+                codes = pdf[type_col].map(code).to_numpy()
+                for t, s in zip(us, codes):
+                    t, s = int(t), int(s)
+                    if s == 1:
+                        stage, start = 1, t
+                    elif (
+                        s == stage + 1
+                        and stage >= 1
+                        and t - start <= window_us
+                    ):
+                        stage += 1
+                    best = max(best, stage)
+                    n_seen += 1
+
+        if n_seen:
+            state.update((int(stage), int(start), int(best), int(n_seen)))
+            yield pd.DataFrame(
+                {
+                    "user_id": [user],
+                    "n_funnel_events": [n_seen],
+                    "max_stage": [best],
+                }
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=FUNNEL_SCHEMA,
+        stateStructType=_FUNNEL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
