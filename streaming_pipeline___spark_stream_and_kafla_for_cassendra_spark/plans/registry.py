@@ -9261,6 +9261,7 @@ from . import registry36  # noqa: E402,F401  isort:skip
 from . import registry37  # noqa: E402,F401  isort:skip
 from . import registry38  # noqa: E402,F401  isort:skip
 from . import registry39  # noqa: E402,F401  isort:skip
+from . import registry40  # noqa: E402,F401  isort:skip
 
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
