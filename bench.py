@@ -159,6 +159,26 @@ HEADLINE = [
     "random_projection_distortion",
     "encoding_size_estimator_lineitem",
     "boolean_and_query_postings",
+    "session_edit_distance_pairs",
+    "rate_limiter_token_bucket",
+    "streaming_rate_limiter",
+    "window_funnel_users",
+    "inventory_ss_policy_replay",
+    "lfu_cache_hit_rate",
+    "rolling_percentile_rank_daily",
+    "kwic_concordance_documents",
+    "modularity_communities_nations",
+    "calibrated_noise_release_audit",
+    "wasserstein_price_weekday_weekend",
+    "quantile_treatment_effect_ab",
+    "regression_discontinuity_balance",
+    "cohort_ltv_curve",
+    "lexical_richness_by_source",
+    "streaming_window_funnel",
+    "content_defined_chunking_documents",
+    "attribution_time_decay",
+    "decision_stump_returnflag",
+    "post_click_next_action",
 ]
 
 
