@@ -9264,6 +9264,7 @@ from . import registry39  # noqa: E402,F401  isort:skip
 from . import registry40  # noqa: E402,F401  isort:skip
 from . import registry41  # noqa: E402,F401  isort:skip
 from . import registry42  # noqa: E402,F401  isort:skip
+from . import registry43  # noqa: E402,F401  isort:skip
 
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
