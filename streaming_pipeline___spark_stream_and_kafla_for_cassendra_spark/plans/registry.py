@@ -9265,6 +9265,7 @@ from . import registry40  # noqa: E402,F401  isort:skip
 from . import registry41  # noqa: E402,F401  isort:skip
 from . import registry42  # noqa: E402,F401  isort:skip
 from . import registry43  # noqa: E402,F401  isort:skip
+from . import registry44  # noqa: E402,F401  isort:skip
 
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
