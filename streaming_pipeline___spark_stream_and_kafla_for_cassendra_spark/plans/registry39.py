@@ -167,20 +167,26 @@ def content_defined_chunking_documents(spark, sf_dir):
         "doc_id", F.lower(F.col("text")).alias("s")
     ).filter(F.length("s") > _CDC_W)
 
-    def win_hash(i):
+    # substr(s, i, 1) costs O(i) on UTF8 strings — a quadratic trap
+    # on long docs. Split once into an int code array; element_at is
+    # O(1), so the whole rolling-hash pass is linear.
+    codes = F.transform(
+        F.split(F.col("s"), ""), lambda c: F.ascii(c).cast("long")
+    )
+
+    def win_hash(i, carr):
         acc = None
         for k in range(_CDC_W):
-            term = F.ascii(F.col("s").substr(i + k, F.lit(1))).cast(
-                "long"
-            ) * ((_CDC_B ** k) % _CDC_M)
+            term = F.element_at(carr, i + k) * ((_CDC_B ** k) % _CDC_M)
             acc = term if acc is None else acc + term
         return acc
 
+    base = base.withColumn("codes", codes)
     cutpos = F.filter(
         F.transform(
             F.sequence(F.lit(1), F.length("s") - _CDC_W),
             lambda i: F.when(
-                win_hash(i) % _CDC_M % _CDC_MASK == 0,
+                win_hash(i, F.col("codes")) % _CDC_M % _CDC_MASK == 0,
                 (i + (_CDC_W - 1)).cast("long"),
             ).otherwise(F.lit(0).cast("long")),
         ),
