@@ -179,6 +179,15 @@ HEADLINE = [
     "attribution_time_decay",
     "decision_stump_returnflag",
     "post_click_next_action",
+    "soundex_blocking_parts",
+    "aa_test_calibration",
+    "check_constraint_audit",
+    "source_freshness_audit",
+    "ewma_alpha_grid_search",
+    "degree_assortativity_nations",
+    "stratified_ate_discount_returns",
+    "overdispersion_check_events",
+    "streaming_window_funnel",
 ]
 
 
