@@ -9266,6 +9266,7 @@ from . import registry41  # noqa: E402,F401  isort:skip
 from . import registry42  # noqa: E402,F401  isort:skip
 from . import registry43  # noqa: E402,F401  isort:skip
 from . import registry44  # noqa: E402,F401  isort:skip
+from . import registry45  # noqa: E402,F401  isort:skip
 
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
