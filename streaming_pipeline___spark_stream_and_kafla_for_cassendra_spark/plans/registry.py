@@ -9267,6 +9267,7 @@ from . import registry42  # noqa: E402,F401  isort:skip
 from . import registry43  # noqa: E402,F401  isort:skip
 from . import registry44  # noqa: E402,F401  isort:skip
 from . import registry45  # noqa: E402,F401  isort:skip
+from . import registry46  # noqa: E402,F401  isort:skip
 
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
