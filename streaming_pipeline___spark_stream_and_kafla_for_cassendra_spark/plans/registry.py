@@ -9268,6 +9268,7 @@ from . import registry43  # noqa: E402,F401  isort:skip
 from . import registry44  # noqa: E402,F401  isort:skip
 from . import registry45  # noqa: E402,F401  isort:skip
 from . import registry46  # noqa: E402,F401  isort:skip
+from . import registry47  # noqa: E402,F401  isort:skip
 
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
