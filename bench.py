@@ -187,7 +187,18 @@ HEADLINE = [
     "degree_assortativity_nations",
     "stratified_ate_discount_returns",
     "overdispersion_check_events",
-    "streaming_window_funnel",
+    "newsvendor_critical_fractile",
+    "percolation_hub_removal",
+    "cross_source_contamination_matrix",
+    "embedding_drift_centroids",
+    "hierarchical_forecast_reconciliation",
+    "churn_definition_sweep",
+    "event_type_lift_matrix",
+    "dedup_threshold_sensitivity",
+    "quantile_normalization_report",
+    "two_way_effects_decomposition",
+    "binary_segmentation_daily_revenue",
+    "duplicate_payment_screen",
 ]
 
 
