@@ -199,6 +199,10 @@ HEADLINE = [
     "two_way_effects_decomposition",
     "binary_segmentation_daily_revenue",
     "duplicate_payment_screen",
+    "conformal_prediction_intervals",
+    "seasonality_strength_daily",
+    "active_orders_peak",
+    "order_backlog_aging",
 ]
 
 
