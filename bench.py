@@ -203,6 +203,10 @@ HEADLINE = [
     "seasonality_strength_daily",
     "active_orders_peak",
     "order_backlog_aging",
+    "fulfillment_latency_by_priority",
+    "purchase_rate_wilson_by_hour",
+    "day_of_month_uniformity",
+    "supplier_scorecard",
 ]
 
 

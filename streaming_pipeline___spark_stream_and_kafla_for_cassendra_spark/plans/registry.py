@@ -9274,6 +9274,7 @@ from . import registry49  # noqa: E402,F401  isort:skip
 from . import registry50  # noqa: E402,F401  isort:skip
 from . import registry51  # noqa: E402,F401  isort:skip
 from . import registry52  # noqa: E402,F401  isort:skip
+from . import registry53  # noqa: E402,F401  isort:skip
 
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
