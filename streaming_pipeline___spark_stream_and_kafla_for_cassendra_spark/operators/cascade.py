@@ -33,12 +33,40 @@ def cascade_plan(
     ``edges`` entries are ``(parent_table, parent_key, child_table,
     child_fk)``; ``roots`` is a one-column frame of root key values.
     Returns ``{table: affected-row frame}`` — each table's rows that
-    the cascade erases, each derived from ONE left-semi join of the
-    table against its parent's (distinct, key-sized) affected keys.
-    Edges are re-processed until the reachable set closes, so
-    multi-hop chains resolve in any edge order; the FK graph must be
-    acyclic (FK graphs are).
+    the cascade erases. Tables are resolved in TOPOLOGICAL order of
+    the FK graph, so every parent's affected set is final before any
+    of its children is derived, and a child with multiple cascading
+    in-edges (a diamond) takes the OR of ALL of them — rows reachable
+    only via the second parent are erased too, which is the whole
+    compliance property. A single in-edge is one left-semi join; a
+    multi-in-edge child is one scan with one broadcast left join per
+    in-edge (distinct key build sides, so no row fan-out) filtered on
+    any-hit. The FK graph must be acyclic (FK graphs are); a cyclic
+    ``edges`` list raises ``ValueError``.
     """
+    nodes = (
+        {root_table}
+        | {p for p, _, _, _ in edges}
+        | {c for _, _, c, _ in edges}
+    )
+    indeg = {n: 0 for n in nodes}
+    for _, _, child, _ in edges:
+        indeg[child] += 1
+    frontier = sorted(n for n in nodes if indeg[n] == 0)
+    topo: list[str] = []
+    while frontier:
+        n = frontier.pop(0)
+        topo.append(n)
+        for _, _, child, _ in (e for e in edges if e[0] == n):
+            indeg[child] -= 1
+            if indeg[child] == 0:
+                frontier.append(child)
+    if len(topo) < len(nodes):
+        raise ValueError(
+            "cascade_plan requires an acyclic FK graph; cycle through: "
+            + ", ".join(sorted(n for n in nodes if n not in set(topo)))
+        )
+
     affected: dict[str, DataFrame] = {
         root_table: tables[root_table].join(
             F.broadcast(
@@ -48,20 +76,48 @@ def cascade_plan(
             how="left_semi",
         )
     }
-    for _ in range(len(edges) + 1):
-        grew = False
-        for parent, pkey, child, cfk in edges:
-            if parent not in affected or child in affected:
-                continue
+    for node in topo:
+        if node == root_table:
+            continue
+        in_edges = [
+            (p, pk, fk)
+            for p, pk, c, fk in edges
+            if c == node and p in affected
+        ]
+        if not in_edges:
+            continue
+        if len(in_edges) == 1:
+            parent, pkey, cfk = in_edges[0]
             parent_keys = (
                 affected[parent].select(F.col(pkey).alias(cfk)).distinct()
             )
-            affected[child] = tables[child].join(
+            affected[node] = tables[node].join(
                 F.broadcast(parent_keys), on=cfk, how="left_semi"
             )
-            grew = True
-        if not grew:
-            break
+            continue
+        # Diamond: OR the in-edges. Left joins against DISTINCT key
+        # frames never duplicate child rows (at most one match each),
+        # so any-hit filtering is exactly the union of the semi-joins
+        # WITHOUT a full-row distinct (which would collapse genuine
+        # duplicate rows in the child table).
+        frame = tables[node]
+        hit_cols: list[str] = []
+        for i, (parent, pkey, cfk) in enumerate(in_edges):
+            hit = f"_cascade_hit_{i}"
+            keys = (
+                affected[parent]
+                .select(F.col(pkey).alias(cfk))
+                .distinct()
+                .withColumn(hit, F.lit(True))
+            )
+            frame = frame.join(F.broadcast(keys), on=cfk, how="left")
+            hit_cols.append(hit)
+        pred = F.col(hit_cols[0]).isNotNull()
+        for h in hit_cols[1:]:
+            pred = pred | F.col(h).isNotNull()
+        affected[node] = frame.where(pred).drop(*hit_cols).select(
+            *tables[node].columns
+        )
     return affected
 
 

@@ -475,12 +475,17 @@ def cdf_area(
     2. one bounded collect takes each partition's (count sums, last
        value) → exclusive cumulative carry-ins AND the boundary gap
        each partition owes to its predecessor's last support point;
-    3. an Arrow pass per partition emits one partial-sum row:
-       in-partition gap terms plus the cross-boundary term, all in
-       int64 (Python ints — overflow-safe beyond 2^63 partials).
+    3. an Arrow pass per partition emits one partial-sum row split
+       as (hi = total div 2^62, lo = total mod 2^62) — Python ints
+       inside the pass, so per-partition totals never wrap;
+    4. recombination happens in decimal(38,0): SUM(lo) alone can
+       reach P·2^62 and the shifted total can pass 2^63, so a long
+       SUM would wrap silently at large n1·n2·value-range products.
 
-    Returns a 1-row DataFrame: total counts n1/n2 and the integer
-    numerator (area * n1 * n2). The caller divides once.
+    Returns a 1-row DataFrame: total counts n1/n2 (long) and the
+    EXACT integer numerator (area * n1 * n2) as decimal(38,0). The
+    caller divides once (and may cast down when its scale bounds
+    the numerator under 2^63).
     """
     c1, c2 = count_cols
     rp = df.repartitionByRange(
@@ -562,13 +567,24 @@ def cdf_area(
             )
 
     parts = with_pid.mapInPandas(partials, out_schema)
+    # Recombine in decimal(38,0): per-partition (hi, lo) are < 2^62,
+    # but SUM(lo) over P partitions reaches P·2^62 and the shifted
+    # recombination reaches the true numerator, both of which can
+    # pass 2^63 — a long SUM/multiply would wrap silently. decimal
+    # keeps the numerator exact to 10^38 (≫ any achievable n1·n2·
+    # value-range product); callers that know their scale may cast
+    # back down.
     agg = parts.agg(
-        F.sum("num_hi").alias("hi"), F.sum("num_lo").alias("lo")
+        F.sum(F.col("num_hi").cast("decimal(38,0)")).alias("hi"),
+        F.sum(F.col("num_lo").cast("decimal(38,0)")).alias("lo"),
     )
     return agg.select(
         F.lit(n1).cast("long").alias("n1"),
         F.lit(n2).cast("long").alias("n2"),
-        ((F.col("hi") * F.lit(2 ** 62)) + F.col("lo"))
-        .cast("long")
+        (
+            F.col("hi") * F.lit(2 ** 62).cast("decimal(38,0)")
+            + F.col("lo")
+        )
+        .cast("decimal(38,0)")
         .alias("numerator"),
     )

@@ -1116,14 +1116,32 @@ def hard_negatives(
     local top-k so the shuffle stays k-sized), but the similarity
     matrix is masked where labels match BEFORE the local top-k — a
     per-query predicate no candidate pre-filter can express.
+
+    ``id_col`` must be integral (the engine-wide int64-id contract).
+    ``label_col`` may be any type: non-integral labels are mapped to
+    int64 via ``xxhash64`` on BOTH sides before the equality mask —
+    exact for equal labels; a cross-label hash collision (~2^-64)
+    would merely mask one extra candidate.
     """
     import numpy as np
 
     from pyspark.sql.types import (
+        ByteType,
         DoubleType,
+        IntegerType,
         LongType,
+        ShortType,
         StructField,
         StructType,
+    )
+
+    _integral = (ByteType, ShortType, IntegerType, LongType)
+    hash_labels = not (
+        isinstance(candidates.schema[label_col].dataType, _integral)
+        and isinstance(queries.schema[label_col].dataType, _integral)
+    )
+    lab_expr = (
+        F.xxhash64(F.col(label_col)) if hash_labels else F.col(label_col)
     )
 
     n = queries.count()
@@ -1132,7 +1150,9 @@ def hard_negatives(
             f"{n} query vectors exceed the broadcast guard "
             f"({MAX_BROADCAST_VECTORS}); shard the query set"
         )
-    rows = queries.select(id_col, vec_col, label_col).collect()
+    rows = queries.select(
+        F.col(id_col), F.col(vec_col), lab_expr.alias(label_col)
+    ).collect()
     q_ids = np.array([r[0] for r in rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in rows], dtype=np.float64)
     q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-300)
@@ -1189,7 +1209,7 @@ def hard_negatives(
     scored = candidates.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
-        F.col(label_col).alias("_lab"),
+        lab_expr.alias("_lab"),
     ).mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -1225,6 +1245,12 @@ def mmr_select(
     ``applyInPandas`` pass (one shuffle on the group key; group pools
     must fit an Arrow batch — pre-filter to a bounded candidate pool
     per group, e.g. top-N by quality, before calling).
+
+    ``group_col`` may be ANY type — grouping uses the column as-is
+    and the output ``group`` column keeps its input dataType (a
+    string category stays a string; no silent cast-to-NULL collapse).
+    ``id_col`` must be integral (int64 ids are the engine-wide
+    contract for vector tables).
     """
     from pyspark.sql.types import (
         DoubleType,
@@ -1236,7 +1262,7 @@ def mmr_select(
 
     out_schema = StructType(
         [
-            StructField("group", LongType()),
+            StructField("group", df.schema[group_col].dataType),
             StructField(id_col, LongType()),
             StructField("pick_rank", IntegerType()),
             StructField("mmr_score", DoubleType()),
@@ -1258,7 +1284,7 @@ def mmr_select(
         cent /= max(np.linalg.norm(cent), 1e-300)
         rel = mat @ cent
         sims = mat @ mat.T
-        g = int(pdf["_grp"].iloc[0])
+        g = pdf["_grp"].iloc[0]  # passed through at its input type
         selected: list[int] = []
         scores: list[float] = []
         max_to_sel = np.full(len(ids), -np.inf)
@@ -1276,7 +1302,7 @@ def mmr_select(
             max_to_sel = np.maximum(max_to_sel, sims[:, best])
         return pd.DataFrame(
             {
-                "group": np.full(len(selected), g, dtype=np.int64),
+                "group": pd.Series([g] * len(selected)),
                 idc: ids[selected],
                 "pick_rank": np.arange(1, len(selected) + 1, dtype=np.int32),
                 "mmr_score": scores,
@@ -1285,7 +1311,7 @@ def mmr_select(
 
     return (
         df.select(
-            F.col(group_col).cast("long").alias("_grp"),
+            F.col(group_col).alias("_grp"),
             F.col(id_col),
             F.col(vec_col),
         )

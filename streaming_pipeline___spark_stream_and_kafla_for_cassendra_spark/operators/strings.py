@@ -51,7 +51,20 @@ def edit_distance_self_join(
 ) -> DataFrame:
     """All pairs (id_a < id_b) with Levenshtein(text_a, text_b) ≤
     ``max_dist``, via length + q-gram count pruning and a codegen
-    verify. Returns (id_a, id_b, edit_distance)."""
+    verify. Returns (id_a, id_b, edit_distance).
+
+    Losslessness needs one carve-out the count filter alone cannot
+    give: when BOTH strings have ≤ ``max_dist·q`` distinct grams
+    (very short strings — e.g. 'ab' vs 'cd' at q=2, k=2), a true
+    pair may share ZERO grams and never reach the inverted index.
+    Those rows form a bounded "short stratum" (length ≲ q·(k+1)),
+    which is paired exhaustively (length-filtered nested-loop —
+    the stratum is tiny by construction: there are only |Σ|^len
+    such strings) and unioned with the pruned path, which keeps
+    every pair where at least one side is long (threshold ≥ 1 gram
+    shared, guaranteed by the q-gram lemma). The two legs are
+    disjoint (the pruned leg drops short–short pairs), so no
+    dedup shuffle is added."""
     base = with_qgrams(
         df.select(
             F.col(id_col).alias("_id"),
@@ -74,18 +87,37 @@ def edit_distance_self_join(
         F.col("_ng").alias("nb"),
         "_g",
     )
-    candidates = (
+    short_thresh = max_dist * q
+    pruned = (
         a.join(b, "_g")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(F.abs(F.col("la") - F.col("lb")) <= max_dist)
+        # short–short pairs are handled exhaustively below; dropping
+        # them here keeps the union disjoint (no distinct needed)
+        .filter(
+            (F.col("na") > short_thresh) | (F.col("nb") > short_thresh)
+        )
         .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count("*").alias("_shared"))
         .filter(
             F.col("_shared")
-            >= F.greatest(F.col("na"), F.col("nb")) - max_dist * q
+            >= F.greatest(F.col("na"), F.col("nb")) - short_thresh
         )
         .select("id_a", "id_b")
     )
+    shorts = base.filter(F.col("_ng") <= short_thresh)
+    sa = shorts.select(
+        F.col("_id").alias("id_a"), F.col("_len").alias("la")
+    )
+    sb = shorts.select(
+        F.col("_id").alias("id_b"), F.col("_len").alias("lb")
+    )
+    short_pairs = sa.join(
+        sb,
+        (F.col("id_a") < F.col("id_b"))
+        & (F.abs(F.col("la") - F.col("lb")) <= max_dist),
+    ).select("id_a", "id_b")
+    candidates = pruned.unionByName(short_pairs)
     names = base.select("_id", "_txt")
     return (
         candidates.join(

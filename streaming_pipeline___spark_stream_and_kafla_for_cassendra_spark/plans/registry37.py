@@ -118,14 +118,17 @@ def wasserstein_price_weekday_weekend(spark, sf_dir):
     # same integral with a plain running-CDF window, but the ENGINE
     # never funnels the support through one partition
     area = cdf_area(vals, "cents", ("c_we", "c_wd"))
+    # cdf_area returns the numerator as exact decimal(38,0); this
+    # query's oracle contract is BIGINT, which the sf-bounded
+    # cents×rows product fits comfortably
     return area.select(
         F.col("n1").alias("n_weekend"),
         F.col("n2").alias("n_weekday"),
-        F.col("numerator").alias("w1_numerator"),
+        F.col("numerator").cast("long").alias("w1_numerator"),
         (F.col("n1") * F.col("n2")).cast("long").alias("w1_denominator"),
         (
             F.floor(
-                F.col("numerator")
+                F.col("numerator").cast("double")
                 / (F.col("n1") * F.col("n2")).cast("double")
                 / 100.0
                 * 10000

@@ -6,7 +6,6 @@ Same contract as ``registry.py``. Imported at the bottom of
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .registry import _register, _t
@@ -56,8 +55,11 @@ from .registry import _register, _t
     "tie-broken rank. Deliberately integer end to end so the "
     "ranking is bit-deterministic and auditable — composites with "
     "float weights invite 'why did my rank change' tickets. One "
-    "fact join keyed on suppkey; the rank window runs on the "
-    "supplier-grid (never facts). Draws together the quality "
+    "fact join keyed on suppkey; the oracle states the rank with a "
+    "global row_number, the ENGINE ranks the supplier grid with "
+    "operators/scale.py::dense_ids (range-partitioned parallel "
+    "sort + partition-offset ids — same total order, no "
+    "single-partition Exchange). Draws together the quality "
     "(`shrunken_return_rates_parts`), latency "
     "(`fulfillment_latency_by_priority`) and concentration "
     "(`hhi_supplier_concentration`) threads into one operational "
@@ -111,12 +113,24 @@ def supplier_scorecard(spark, sf_dir):
         .cast("long")
         .alias("score_ppm"),
     )
-    w = Window.orderBy(
-        F.col("score_ppm").desc(),
-        F.col("revenue_cents").desc(),
-        F.col("s_suppkey").asc(),
+    # Rank WITHOUT a global single-partition window: the supplier
+    # grid is SF×10k rows (~1B at the 100 TB regime), so
+    # row_number() OVER (ORDER BY ...) would funnel it through one
+    # task. dense_ids orders ascending — negate the DESC keys;
+    # (score_ppm, revenue_cents, s_suppkey) is a unique key so the
+    # total order (and therefore rank) is identical to the oracle's.
+    from ..operators.scale import dense_ids
+
+    ranked = dense_ids(
+        scored.withColumn("_neg_score", -F.col("score_ppm")).withColumn(
+            "_neg_rev", -F.col("revenue_cents")
+        ),
+        "_neg_score",
+        "_neg_rev",
+        "s_suppkey",
+        id_col="_r",
     )
-    return scored.select(
+    return ranked.select(
         "s_suppkey",
         "s_name",
         "n_lines",
@@ -124,5 +138,5 @@ def supplier_scorecard(spark, sf_dir):
         "return_ppm",
         "on_time_ppm",
         "score_ppm",
-        F.row_number().over(w).cast("int").alias("rank"),
+        (F.col("_r") + 1).cast("int").alias("rank"),
     )
