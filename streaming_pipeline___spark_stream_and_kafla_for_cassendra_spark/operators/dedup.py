@@ -244,19 +244,211 @@ def minhash_lsh_pairs(
     )
 
 
+def df_capped_jaccard_pairs(
+    grams: DataFrame,
+    threshold: float,
+    max_gram_df: int,
+) -> DataFrame:
+    """Exact Jaccard pairs from (_id, gram) rows with a FREQUENT-GRAM
+    document-frequency cap on the inverted index — lossless.
+
+    The uncapped inverted-index join is quadratic inside each gram's
+    posting list, so a stop-gram with document frequency D costs
+    D²/2 candidate rows; a stop-gram-heavy corpus inflates the miner
+    quadratically (the heavy-tail-probe finding). The capped miner
+    splits grams by document frequency:
+
+    * RARE grams (df ≤ ``max_gram_df``) drive the main candidate
+      join — each bucket is ≤ cap wide, so total candidate rows are
+      ≤ cap × |gram occurrences| (LINEAR in the corpus);
+    * a qualifying pair with NO shared rare gram intersects only in
+      frequent grams, so ``n_inter ≤ min(f_a, f_b)`` (f = per-doc
+      frequent-gram count) and ``J ≤ min(f_a,f_b)/max(n_a,n_b)``;
+      ``J ≥ t`` then forces ``f_x ≥ t·n_x`` on BOTH sides. Only that
+      stop-gram-heavy stratum H re-joins on frequent grams — tiny in
+      real corpora, and never larger than the uncapped join;
+    * candidates (distinct pairs from both legs) are verified EXACTLY
+      with one in-row ``array_intersect`` against the full sorted
+      gram arrays, so reported jaccard values include frequent grams.
+
+    Returns (id_a, id_b, jaccard ≥ threshold), identical to the
+    uncapped miner for every input.
+    """
+    stats = df_capped_pair_stats(grams, threshold, max_gram_df)
+    jac = F.col("n_inter") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return stats.select(
+        "id_a", "id_b", F.round(jac, 4).alias("jaccard")
+    )
+
+
+def df_capped_pair_stats(
+    grams: DataFrame,
+    threshold: float,
+    max_gram_df: int,
+) -> DataFrame:
+    """Core of :func:`df_capped_jaccard_pairs`: returns (id_a, id_b,
+    n_inter, n_a, n_b) for every pair with Jaccard ≥ ``threshold``,
+    letting callers compute their own score scaling (ppm sweeps,
+    containment, etc.). See the wrapper's docstring for the lossless
+    two-leg candidate argument.
+
+    All intersection accounting is COUNT-based (groupBy over join
+    rows, like the uncapped miner) — never a per-pair gram-array
+    replication, which would make every candidate carry two full
+    documents' worth of gram keys:
+
+    * rare-leg: inverted-index join on rare grams → per-pair shared-
+      rare count (the uncapped shape, minus the stop-gram buckets);
+    * H-leg: the stop-gram-heavy stratum joins on frequent grams for
+      CANDIDATES only (pairs discoverable without any shared rare
+      gram — both sides must have f ≥ t·n);
+    * the frequent-gram part of every candidate's intersection is
+      then counted PAIR-DRIVEN: candidates join each side's frequent
+      postings (per-doc frequent counts are small by definition of
+      the cap in any non-adversarial corpus) and one groupBy counts
+      shared frequent grams. n_inter = rare + frequent, exact.
+
+    The frequent-gram key set is broadcast (≤ total-gram-occurrences
+    / cap entries of 8 bytes — single-digit MBs for natural-language
+    corpora at any df cap ≥ 256; if a corpus ever pushed it past the
+    broadcast budget, swap the two splits to plain shuffle joins —
+    the algorithm is unchanged).
+    """
+    sizes = grams.groupBy("_id").agg(F.count("*").alias("n"))
+    # the FREQUENT gram set is tiny by construction (only grams with
+    # df > cap — stop-grams), so splitting the index is two broadcast
+    # joins against that set, not a full gram-keyed re-shuffle of the
+    # index; the df groupBy itself is map-side combinable
+    freq_keys = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("gdf"))
+        .filter(F.col("gdf") > max_gram_df)
+        .select("gram")
+    )
+    rare = grams.join(F.broadcast(freq_keys), "gram", "left_anti")
+    freq = grams.join(
+        F.broadcast(freq_keys), "gram", "left_semi"
+    ).localCheckpoint(eager=False)
+
+    inter_rare = (
+        rare.alias("ra")
+        .join(
+            rare.alias("rb"),
+            on=[
+                F.col("ra.gram") == F.col("rb.gram"),
+                F.col("ra._id") < F.col("rb._id"),
+            ],
+        )
+        .groupBy(
+            F.col("ra._id").alias("id_a"), F.col("rb._id").alias("id_b")
+        )
+        .agg(F.count("*").alias("cr"))
+    )
+    f_per_doc = freq.groupBy("_id").agg(F.count("*").alias("f"))
+    h_ids = (
+        f_per_doc.join(sizes, "_id")
+        .filter(F.col("f") >= F.lit(threshold) * F.col("n"))
+        .select("_id")
+    )
+    freq_h = freq.join(h_ids, "_id", "left_semi")
+    cand_h = (
+        freq_h.alias("ha")
+        .join(
+            freq_h.alias("hb"),
+            on=[
+                F.col("ha.gram") == F.col("hb.gram"),
+                F.col("ha._id") < F.col("hb._id"),
+            ],
+        )
+        .select(F.col("ha._id").alias("id_a"), F.col("hb._id").alias("id_b"))
+        .distinct()
+    )
+    cand = inter_rare.join(cand_h, ["id_a", "id_b"], "full_outer").select(
+        "id_a", "id_b", F.coalesce("cr", F.lit(0)).alias("cr")
+    )
+
+    # attach sizes + frequent-gram counts, prune on the Jaccard UPPER
+    # BOUND (cf ≤ min(f_a, f_b)) so the pair-driven frequent-count
+    # join below runs only on ~output-sized survivors — this is the
+    # same counts-join the uncapped miner pays, plus one cheap filter
+    meta = sizes.join(f_per_doc, "_id", "left").select(
+        "_id", "n", F.coalesce("f", F.lit(0)).alias("f")
+    )
+    candm = cand.join(
+        meta.select(
+            F.col("_id").alias("id_a"),
+            F.col("n").alias("na"),
+            F.col("f").alias("fa"),
+        ),
+        "id_a",
+    ).join(
+        meta.select(
+            F.col("_id").alias("id_b"),
+            F.col("n").alias("nb"),
+            F.col("f").alias("fb"),
+        ),
+        "id_b",
+    )
+    ub = F.col("cr") + F.least("fa", "fb")
+    pruned = candm.filter(
+        ub / (F.col("na") + F.col("nb") - ub) >= F.lit(threshold)
+    ).localCheckpoint(eager=False)
+
+    # exact frequent-gram intersection, pair-driven over survivors
+    fa_rows = pruned.select("id_a", "id_b").join(
+        freq.select(F.col("_id").alias("id_a"), "gram"), "id_a"
+    )
+    inter_freq = (
+        fa_rows.join(
+            freq.select(F.col("_id").alias("id_b"), "gram"),
+            ["id_b", "gram"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("cf"))
+    )
+    withf = pruned.join(inter_freq, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        (F.col("cr") + F.coalesce("cf", F.lit(0))).alias("n_inter"),
+        "na",
+        "nb",
+    )
+    jac = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return withf.filter(jac >= F.lit(threshold)).select(
+        "id_a",
+        "id_b",
+        F.col("n_inter").cast("long").alias("n_inter"),
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
     shingle_n: int = 3,
     threshold: float = 0.2,
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via inverted-index self-join.
 
     grams → (gram, id) → join on gram (quadratic only inside a gram
     bucket) → |A∩B| per pair → jaccard with per-doc gram counts
     broadcast back in. Returns (id_a, id_b, jaccard) with id_a<id_b.
+
+    ``max_gram_df`` (recommended at corpus scale) caps the inverted
+    index's posting lists LOSSLESSLY via
+    :func:`df_capped_jaccard_pairs` — identical output, linear
+    candidate bound instead of quadratic stop-gram buckets.
     """
+    if max_gram_df is not None:
+        grams = shingle_rows(df, id_col, text_col, shingle_n).localCheckpoint(
+            eager=False
+        )
+        return df_capped_jaccard_pairs(grams, threshold, max_gram_df)
     # join on the 64-bit gram key, not the gram string: the inverted-
     # index shuffle carries (long, long) rows instead of text shingles.
     # Key collisions (~n²/2⁶⁴) are negligible at any real corpus size

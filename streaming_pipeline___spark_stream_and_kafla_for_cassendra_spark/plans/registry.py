@@ -1090,12 +1090,18 @@ def dedup_exact_documents(spark, sf_dir):
     WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.2
     """,
     "Exact 3-gram Jaccard near-dup pairs via inverted-index self-join "
-    "(quadratic only within gram buckets)",
+    "with a LOSSLESS frequent-gram df cap (df_capped_jaccard_pairs: "
+    "rare grams drive the candidate join with ≤cap-wide buckets; the "
+    "stop-gram-heavy stratum that could qualify via frequent grams "
+    "alone re-joins separately; array_intersect verifies exactly) — "
+    "identical output, linear instead of quadratic stop-gram cost",
     ("dedup", "ngram", "documents"),
 )
 def ngram_jaccard_pairs_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.2)
+    return ngram_jaccard_pairs(
+        d, "text", "doc_id", shingle_n=3, threshold=0.2, max_gram_df=256
+    )
 
 
 @_register(
@@ -1138,7 +1144,9 @@ def ngram_jaccard_pairs_q(spark, sf_dir):
 )
 def near_dup_clusters_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.2)
+    pairs = ngram_jaccard_pairs(
+        d, "text", "doc_id", shingle_n=3, threshold=0.2, max_gram_df=256
+    )
     labels = connected_components(pairs, "id_a", "id_b")
     return labels.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
@@ -1574,6 +1582,99 @@ def ann_topk_pq(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 100 == 0)
     return pq_topk(emb, queries_df, k=5, m=8, n_codes=32)
+
+
+def _recall_floor_frame(spark, sf_dir, approx_builder, floor: float, k: int = 5):
+    """One-row frame (n_queries, k, recall_floor, floor_met): recall@k
+    of ``approx_builder`` vs the exact brute-force baseline. All
+    joins are on (query_id, neighbor_id) key pairs — the truth set is
+    q×k rows, so every aggregate here is tiny."""
+    from ..operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    truth = brute_force_topk(emb, queries_df, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = approx_builder(emb, queries_df).select("query_id", "neighbor_id")
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    n_hit = (
+        truth.join(approx, ["query_id", "neighbor_id"])
+        .agg(F.count("*").alias("n_hit"))
+    )
+    n_q = queries_df.agg(F.count("*").alias("n_queries"))
+    return (
+        n_q.crossJoin(n_truth)
+        .crossJoin(n_hit)
+        .select(
+            F.col("n_queries").cast("long").alias("n_queries"),
+            F.lit(k).cast("int").alias("k"),
+            F.lit(floor).cast("double").alias("recall_floor"),
+            (
+                F.col("n_hit").cast("double")
+                / F.col("n_truth").cast("double")
+                >= F.lit(floor)
+            ).alias("floor_met"),
+        )
+    )
+
+
+@_register(
+    "ann_ivf_recall_floor",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(5 AS INTEGER) AS k,
+           CAST(0.5 AS DOUBLE) AS recall_floor,
+           TRUE AS floor_met
+    FROM embeddings WHERE vec_id % 100 = 0
+    """,
+    "Driver-visible quality gate for the IVF ANN tier: recall@5 of "
+    "ivf_topk(n_lists=16, n_probe=4) vs the exact brute-force top-5, "
+    "computed in-Spark with the production seed, must clear the "
+    "pinned 0.5 floor (measured 0.64 on the near-orthogonal sf0.01 "
+    "fixture; a broken index scores ~0.001). The oracle pins the "
+    "expectation — k-means training makes an exact twin impractical, "
+    "so the FLOOR is the cross-engine contract",
+    ("similarity", "ann", "ivf", "evaluation", "embeddings"),
+)
+def ann_ivf_recall_floor(spark, sf_dir):
+    from ..operators.similarity import ivf_topk
+
+    return _recall_floor_frame(
+        spark,
+        sf_dir,
+        lambda emb, q: ivf_topk(emb, q, k=5, n_lists=16, n_probe=4),
+        floor=0.5,
+    )
+
+
+@_register(
+    "ann_pq_recall_floor",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(5 AS INTEGER) AS k,
+           CAST(0.3 AS DOUBLE) AS recall_floor,
+           TRUE AS floor_met
+    FROM embeddings WHERE vec_id % 100 = 0
+    """,
+    "Driver-visible quality gate for the product-quantization ANN "
+    "tier: recall@5 of pq_topk(m=8, n_codes=32) vs exact brute force "
+    "must clear the pinned 0.3 floor (measured 0.44 on the near-"
+    "orthogonal sf0.01 fixture, where ADC distortion dominates; a "
+    "broken codebook scores ~0.001). Oracle pins the expectation — "
+    "codebook training makes an exact twin impractical",
+    ("similarity", "ann", "pq", "evaluation", "embeddings"),
+)
+def ann_pq_recall_floor(spark, sf_dir):
+    from ..operators.similarity import pq_topk
+
+    return _recall_floor_frame(
+        spark,
+        sf_dir,
+        lambda emb, q: pq_topk(emb, q, k=5, m=8, n_codes=32),
+        floor=0.3,
+    )
+
 
 
 @_register(
@@ -5311,7 +5412,9 @@ def dedup_keep_best_documents(spark, sf_dir):
     from ..operators.dedup import connected_components, ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.2)
+    pairs = ngram_jaccard_pairs(
+        d, "text", "doc_id", shingle_n=3, threshold=0.2, max_gram_df=256
+    )
     labels = connected_components(pairs, "id_a", "id_b")
     clustered = (
         d.select("doc_id", "n_chars")
@@ -9275,6 +9378,7 @@ from . import registry50  # noqa: E402,F401  isort:skip
 from . import registry51  # noqa: E402,F401  isort:skip
 from . import registry52  # noqa: E402,F401  isort:skip
 from . import registry53  # noqa: E402,F401  isort:skip
+from . import registry54  # noqa: E402,F401  isort:skip
 
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)

@@ -179,8 +179,13 @@ def price_quantity_slope_by_brand(spark, sf_dir):
             F.count("*").alias("n"),
             F.sum("unit_cents").alias("sx"),
             F.sum("qty").alias("sy"),
-            F.sum(F.col("unit_cents") * F.col("unit_cents")).alias("sxx"),
-            F.sum(F.col("unit_cents") * F.col("qty")).alias("sxy"),
+            F.sum(
+                F.col("unit_cents").cast("decimal(20,0)")
+                * F.col("unit_cents")
+            ).alias("sxx"),
+            F.sum(
+                F.col("unit_cents").cast("decimal(20,0)") * F.col("qty")
+            ).alias("sxy"),
         )
         .filter(
             (F.col("n") > 1)

@@ -182,9 +182,18 @@ def page_hinkley_drift_daily(spark, sf_dir):
     daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
         F.sum(cents).alias("s"), F.count("*").alias("n")
     )
+    # micro-cent staging in decimal: s (daily cents) reaches ~9e13 at
+    # sf100k, so s*1e6 would wrap int64; the div-n quotient itself is
+    # per-order-scale and fits long comfortably
     x = daily.select(
         "day",
-        F.expr("s * 1000000L div n").alias("xq"),
+        F.floor(
+            F.col("s").cast("decimal(25,0)")
+            * F.lit(1000000).cast("decimal(7,0)")
+            / F.col("n")
+        )
+        .cast("long")
+        .alias("xq"),
         F.row_number().over(Window.orderBy("day")).alias("t"),
     )
     cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)

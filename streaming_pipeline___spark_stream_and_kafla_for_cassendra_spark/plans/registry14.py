@@ -1,19 +1,13 @@
-"""Round-3 registry additions, batch 1 — driver-visible recall
-floors for the approximate ANN tiers whose k-means training makes an
-exact cross-engine twin impractical (VERDICT r2 item #3).
+"""Round-3 registry additions, batch 1 — Theil inequality and HHI.
 
 Same contract as ``registry.py``. Imported at the bottom of
 ``registry.py``.
 
-The floor queries compute recall@5 of the approximate tier against
-the in-repo exact baseline (``brute_force_topk``) entirely in Spark
-with the production seeds, and emit ONE row whose ``floor_met``
-column the DuckDB oracle pins to TRUE: if a regression drops recall
-below the pinned floor, the Spark side emits FALSE and the driver
-row goes red. Floors are set from measured fixture recall with
-margin (IVF 0.64@sf0.01 → floor 0.5; PQ 0.44@sf0.01 → floor 0.3 —
-the fixture embeddings are near-orthogonal, so absolute recall is
-structurally low; a broken implementation scores ≈ k/n ≈ 0.001).
+The ANN recall floors (ann_ivf_recall_floor / ann_pq_recall_floor)
+originally lived here; round 4 moved them into ``registry.py``
+directly after ``ann_topk_pq`` so they sit INSIDE the driver's
+first-50 sampled window, adjacent to the two ``no_oracle`` rows they
+guard (VERDICT r3 item #6).
 """
 
 from __future__ import annotations
@@ -25,98 +19,6 @@ from .registry import _register, _t
 
 def _r6(col):
     return F.floor(col * 1000000 + F.lit(0.5)) / F.lit(1000000.0)
-
-
-def _recall_floor_frame(spark, sf_dir, approx_builder, floor: float, k: int = 5):
-    """One-row frame (n_queries, k, recall_floor, floor_met): recall@k
-    of ``approx_builder`` vs the exact brute-force baseline. All
-    joins are on (query_id, neighbor_id) key pairs — the truth set is
-    q×k rows, so every aggregate here is tiny."""
-    from ..operators.similarity import brute_force_topk
-
-    emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
-    truth = brute_force_topk(emb, queries_df, k=k).select(
-        "query_id", "neighbor_id"
-    )
-    approx = approx_builder(emb, queries_df).select("query_id", "neighbor_id")
-    n_truth = truth.agg(F.count("*").alias("n_truth"))
-    n_hit = (
-        truth.join(approx, ["query_id", "neighbor_id"])
-        .agg(F.count("*").alias("n_hit"))
-    )
-    n_q = queries_df.agg(F.count("*").alias("n_queries"))
-    return (
-        n_q.crossJoin(n_truth)
-        .crossJoin(n_hit)
-        .select(
-            F.col("n_queries").cast("long").alias("n_queries"),
-            F.lit(k).cast("int").alias("k"),
-            F.lit(floor).cast("double").alias("recall_floor"),
-            (
-                F.col("n_hit").cast("double")
-                / F.col("n_truth").cast("double")
-                >= F.lit(floor)
-            ).alias("floor_met"),
-        )
-    )
-
-
-@_register(
-    "ann_ivf_recall_floor",
-    """
-    SELECT CAST(count(*) AS BIGINT) AS n_queries,
-           CAST(5 AS INTEGER) AS k,
-           CAST(0.5 AS DOUBLE) AS recall_floor,
-           TRUE AS floor_met
-    FROM embeddings WHERE vec_id % 100 = 0
-    """,
-    "Driver-visible quality gate for the IVF ANN tier: recall@5 of "
-    "ivf_topk(n_lists=16, n_probe=4) vs the exact brute-force top-5, "
-    "computed in-Spark with the production seed, must clear the "
-    "pinned 0.5 floor (measured 0.64 on the near-orthogonal sf0.01 "
-    "fixture; a broken index scores ~0.001). The oracle pins the "
-    "expectation — k-means training makes an exact twin impractical, "
-    "so the FLOOR is the cross-engine contract",
-    ("similarity", "ann", "ivf", "evaluation", "embeddings"),
-)
-def ann_ivf_recall_floor(spark, sf_dir):
-    from ..operators.similarity import ivf_topk
-
-    return _recall_floor_frame(
-        spark,
-        sf_dir,
-        lambda emb, q: ivf_topk(emb, q, k=5, n_lists=16, n_probe=4),
-        floor=0.5,
-    )
-
-
-@_register(
-    "ann_pq_recall_floor",
-    """
-    SELECT CAST(count(*) AS BIGINT) AS n_queries,
-           CAST(5 AS INTEGER) AS k,
-           CAST(0.3 AS DOUBLE) AS recall_floor,
-           TRUE AS floor_met
-    FROM embeddings WHERE vec_id % 100 = 0
-    """,
-    "Driver-visible quality gate for the product-quantization ANN "
-    "tier: recall@5 of pq_topk(m=8, n_codes=32) vs exact brute force "
-    "must clear the pinned 0.3 floor (measured 0.44 on the near-"
-    "orthogonal sf0.01 fixture, where ADC distortion dominates; a "
-    "broken codebook scores ~0.001). Oracle pins the expectation — "
-    "codebook training makes an exact twin impractical",
-    ("similarity", "ann", "pq", "evaluation", "embeddings"),
-)
-def ann_pq_recall_floor(spark, sf_dir):
-    from ..operators.similarity import pq_topk
-
-    return _recall_floor_frame(
-        spark,
-        sf_dir,
-        lambda emb, q: pq_topk(emb, q, k=5, m=8, n_codes=32),
-        floor=0.3,
-    )
 
 
 # ---------------------------------------------------------------------------

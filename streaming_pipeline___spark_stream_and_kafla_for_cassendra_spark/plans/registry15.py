@@ -84,7 +84,9 @@ def near_dup_canonical_docs(spark, sf_dir):
     from ..operators.dedup import connected_components, ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.2)
+    pairs = ngram_jaccard_pairs(
+        d, "text", "doc_id", shingle_n=3, threshold=0.2, max_gram_df=256
+    )
     labels = connected_components(pairs, "id_a", "id_b").select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
     )
@@ -428,7 +430,10 @@ def cohens_kappa_langid(spark, sf_dir):
     pe_num = (
         rt.join(ct, "lang")
         .agg(
-            F.coalesce(F.sum(F.col("r") * F.col("c")), F.lit(0)).alias("rc")
+            F.coalesce(
+                F.sum(F.col("r").cast("decimal(20,0)") * F.col("c")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("rc")
         )
     )
     n_d = F.col("n").cast("double")

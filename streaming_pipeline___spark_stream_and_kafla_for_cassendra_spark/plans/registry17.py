@@ -814,7 +814,9 @@ def cusum_changepoint_daily(spark, sf_dir):
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     dev = daily.crossJoin(F.broadcast(tot)).select(
         "day",
-        F.sum(F.col("cents") * F.col("n") - F.col("s")).over(w).alias(
+        F.sum(
+            F.col("cents").cast("decimal(20,0)") * F.col("n") - F.col("s")
+        ).over(w).alias(
             "cum_scaled"
         ),
         "n",

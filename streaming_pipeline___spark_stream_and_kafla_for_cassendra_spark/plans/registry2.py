@@ -846,7 +846,9 @@ def bollinger_daily_revenue(spark, sf_dir):
         "cents",
         F.count("*").over(w).alias("n"),
         F.sum("cents").over(w).alias("s"),
-        F.sum(F.col("cents") * F.col("cents")).over(w).alias("q"),
+        F.sum(
+            F.col("cents").cast("decimal(20,0)") * F.col("cents")
+        ).over(w).alias("q"),
     )
     mean = F.col("s") / (F.lit(100.0) * F.col("n"))
     var = (
@@ -2631,7 +2633,12 @@ def bootstrap_ci_mean_price(spark, sf_dir):
     per = (
         resampled.select("r", "cents", m.alias("m"))
         .groupBy("r")
-        .agg(F.sum(F.col("cents") * F.col("m")).alias("sc"), F.sum("m").alias("n"))
+        .agg(
+            F.sum(
+                F.col("cents").cast("decimal(20,0)") * F.col("m")
+            ).alias("sc"),
+            F.sum("m").alias("n"),
+        )
         .filter(F.col("n") > 0)
     )
     mean_r = F.col("sc") * F.lit(1.0) / (F.lit(100.0) * F.col("n"))

@@ -352,7 +352,7 @@ def hurst_rs_daily_revenue(spark, sf_dir):
             .agg(
                 F.count("*").alias("cnt"),
                 F.sum("kd").alias("s"),
-                F.sum(F.col("kd") * F.col("kd")).alias("q"),
+                F.sum(F.col("kd").cast("decimal(20,0)") * F.col("kd")).alias("q"),
                 F.max("dev").alias("devmax"),
                 F.min("dev").alias("devmin"),
             )

@@ -482,7 +482,7 @@ def huber_location_daily_revenue(spark, sf_dir):
         ).alias("seq"),
         F.count("*").alias("n"),
         F.sum("rev").alias("sm"),
-        F.sum(F.col("rev") * F.col("rev")).alias("sq"),
+        F.sum(F.col("rev").cast("decimal(20,0)") * F.col("rev")).alias("sq"),
     )
     vals = F.transform(F.col("seq"), lambda x: x["v"])
     nD = F.col("n").cast("double")

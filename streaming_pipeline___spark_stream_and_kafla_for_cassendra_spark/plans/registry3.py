@@ -493,8 +493,8 @@ def cuped_adjusted_ab_events(spark, sf_dir):
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(20,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(20,0)") * F.col("y")).alias("sxy"),
     ).select(
         (F.col("sx") / F.col("n")).alias("mean_x_all"),
         (
@@ -506,9 +506,9 @@ def cuped_adjusted_ab_events(spark, sf_dir):
         F.count("*").alias("n_g"),
         F.sum("x").alias("sx_g"),
         F.sum("y").alias("sy_g"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx_g"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy_g"),
-        F.sum(F.col("y") * F.col("y")).alias("syy_g"),
+        F.sum(F.col("x").cast("decimal(20,0)") * F.col("x")).alias("sxx_g"),
+        F.sum(F.col("x").cast("decimal(20,0)") * F.col("y")).alias("sxy_g"),
+        F.sum(F.col("y").cast("decimal(20,0)") * F.col("y")).alias("syy_g"),
     )
     r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)  # noqa: E731
     mean_y = F.col("sy_g") / F.col("n_g")

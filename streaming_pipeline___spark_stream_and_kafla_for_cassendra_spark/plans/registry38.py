@@ -109,8 +109,8 @@ def regression_discontinuity_balance(spark, sf_dir):
             F.count("*").alias("n"),
             F.sum("x").alias("sx"),
             F.sum("y").alias("sy"),
-            F.sum(F.col("x") * F.col("y")).alias("sxy"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x").cast("decimal(20,0)") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x").cast("decimal(20,0)") * F.col("x")).alias("sxx"),
         )
 
     lo = side(F.col("x") < 0)

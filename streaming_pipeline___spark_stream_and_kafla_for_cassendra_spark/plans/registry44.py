@@ -184,7 +184,7 @@ def overdispersion_check_events(spark, sf_dir):
     m = daily.groupBy("event_type").agg(
         F.count("*").alias("n_days"),
         F.sum("c").alias("s"),
-        F.sum(F.col("c") * F.col("c")).alias("sq"),
+        F.sum(F.col("c").cast("decimal(20,0)") * F.col("c")).alias("sq"),
     )
     nD = F.col("n_days").cast("double")
     sD = F.col("s").cast("double")

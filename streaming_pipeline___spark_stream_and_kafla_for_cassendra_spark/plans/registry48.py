@@ -103,36 +103,35 @@ def dedup_threshold_sensitivity(spark, sf_dir):
         .distinct()
         .localCheckpoint(eager=False)
     )
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = grams.select(F.col("doc_id").alias("da"), "g")
-    b = grams.select(F.col("doc_id").alias("db"), F.col("g").alias("g2"))
-    pairs = (
-        a.join(b, (F.col("g") == F.col("g2")) & (F.col("da") < F.col("db")))
-        .groupBy("da", "db")
-        .agg(F.count("*").alias("inter"))
+    # the sweep only ever counts pairs at or above min(_THRESH_PPM),
+    # so the miner can run the LOSSLESS df-capped path (dedup.py::
+    # df_capped_pair_stats) at that floor: rare grams (df ≤ 256)
+    # drive the candidate join, the stop-gram stratum re-joins
+    # separately, array_intersect verifies exact counts — identical
+    # scored rows, linear instead of quadratic stop-gram cost
+    from ..operators.dedup import df_capped_pair_stats
+
+    # floor sits one ppm-mille BELOW the lowest swept cutoff so the
+    # miner's float division can never drop a boundary pair the
+    # sweep's own jac_ppm comparison would count
+    stats = df_capped_pair_stats(
+        grams.select(
+            F.col("doc_id").alias("_id"), F.xxhash64("g").alias("gram")
+        ),
+        threshold=min(_THRESH_PPM) / 1e6 - 0.001,
+        max_gram_df=256,
     )
-    scored = (
-        pairs.join(
-            sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza")),
-            "da",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("szb")),
-            "db",
-        )
-        .select(
-            (
-                F.col("inter")
-                * 1000000
-                / (F.col("sza") + F.col("szb") - F.col("inter")).cast(
-                    "double"
-                )
-            ).alias("jac_ppm"),
-            "da",
-            "db",
-        )
-        .localCheckpoint(eager=False)
-    )
+    scored = stats.select(
+        (
+            F.col("n_inter")
+            * 1000000
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast(
+                "double"
+            )
+        ).alias("jac_ppm"),
+        F.col("id_a").alias("da"),
+        F.col("id_b").alias("db"),
+    ).localCheckpoint(eager=False)
     n_docs = toks.count()
     out = None
     for t in _THRESH_PPM:

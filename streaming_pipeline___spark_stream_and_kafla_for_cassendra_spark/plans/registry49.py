@@ -96,7 +96,9 @@ def binary_segmentation_daily_revenue(spark, sf_dir):
         "kd",
         F.row_number().over(Window.orderBy("day")).alias("i"),
         F.sum("kd").over(w).alias("ck"),
-        F.sum(F.col("kd") * F.col("kd")).over(w).alias("cq"),
+        F.sum(
+            F.col("kd").cast("decimal(20,0)") * F.col("kd")
+        ).over(w).alias("cq"),
     ).localCheckpoint(eager=False)
     tot = idx.agg(
         F.max("i").alias("n"), F.max("ck").alias("sk"), F.max("cq").alias("sq")

@@ -348,7 +348,7 @@ def fano_burstiness_by_type(spark, sf_dir):
         .agg(
             F.count("*").alias("n_hours"),
             F.sum("c").alias("s1"),
-            F.sum(F.col("c") * F.col("c")).alias("s2"),
+            F.sum(F.col("c").cast("decimal(20,0)") * F.col("c")).alias("s2"),
         )
         .filter(F.col("n_hours") > 1)
     )

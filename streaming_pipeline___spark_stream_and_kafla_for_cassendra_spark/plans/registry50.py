@@ -271,9 +271,9 @@ def seasonality_strength_daily(spark, sf_dir):
     m = resid.agg(
         F.count("*").alias("n"),
         F.sum("r").alias("sr"),
-        F.sum(F.col("r") * F.col("r")).alias("srr"),
+        F.sum(F.col("r").cast("decimal(20,0)") * F.col("r")).alias("srr"),
         F.sum("d7").alias("sd"),
-        F.sum(F.col("d7") * F.col("d7")).alias("sdd"),
+        F.sum(F.col("d7").cast("decimal(20,0)") * F.col("d7")).alias("sdd"),
     )
     var_r = (F.col("n") * F.col("srr") - F.col("sr") * F.col("sr")).cast(
         "double"

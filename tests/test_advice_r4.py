@@ -208,3 +208,45 @@ def test_hard_negatives_string_labels(spark):
         assert labels[r.query_id] != labels[r.neighbor_id]
         seen_q.add(r.query_id)
     assert seen_q == {0, 6, 12}
+
+
+def test_df_capped_jaccard_identical_to_uncapped(spark):
+    """df-capped miner must be LOSSLESS: identical (pair, jaccard)
+    output to the uncapped inverted-index join on a corpus engineered
+    with stop-grams, near-dups, and stop-gram-only docs — with a tiny
+    cap (3) so the rare/H/pair-driven legs all carry weight."""
+    import random
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    rng = random.Random(3)
+    boiler = "the quick brown fox jumps over the lazy dog again today"
+    rows = []
+    for i in range(40):
+        words = " ".join(f"w{rng.randrange(500)}" for _ in range(12))
+        if i % 3 == 0:
+            words = f"{words} {boiler}"
+        if i % 7 == 0:
+            words = boiler  # stop-gram-ONLY docs (the H stratum)
+        rows.append((i, words))
+    # planted exact near-dups
+    rows.append((100, rows[0][1]))
+    rows.append((101, rows[5][1] + " extraz"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(cap):
+        return sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in ngram_jaccard_pairs(
+                df, "text", "doc_id", shingle_n=3, threshold=0.2,
+                max_gram_df=cap,
+            ).collect()
+        )
+
+    uncapped = run(None)
+    assert uncapped, "corpus must produce qualifying pairs"
+    assert run(3) == uncapped
+    assert run(1) == uncapped
+    assert run(1000) == uncapped
