@@ -22,9 +22,18 @@ from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.plans.regis
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline set: one per operator family, weighted toward the
-# shuffle/join/LSH-heavy paths that dominate at scale.
-HEADLINE = [
+# Round 4 (VERDICT r3 #2): the bench covers the FULL registry —
+# every catalog query is timed, not a hand-picked headline subset.
+# EXCLUDE lists the only carve-outs, each with a reason.
+EXCLUDE: dict[str, str] = {
+    # (none currently)
+}
+
+HEADLINE = None  # set in main() from the registry minus EXCLUDE
+
+# The r3 hand-picked headline list is kept for reference/debug runs
+# (SPARK_GRAFT_BENCH_SET=legacy).
+LEGACY_HEADLINE = [
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_region_revenue",
@@ -219,6 +228,10 @@ def materialize(df) -> None:
 
 def main() -> None:
     by_name = {q.name: q for q in REGISTRY}
+    if os.environ.get("SPARK_GRAFT_BENCH_SET") == "legacy":
+        headline = LEGACY_HEADLINE
+    else:
+        headline = [q.name for q in REGISTRY if q.name not in EXCLUDE]
     spark = get_session("spark-graft-bench")
     # keep stderr to genuine errors: a transiently-failed first run of a
     # streaming query (retried below) otherwise dumps a scary WARN/INFO
@@ -233,7 +246,7 @@ def main() -> None:
     # machine's actual capability rather than co-tenant noise.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in headline:
         qd = by_name[name]
         best = float("inf")
         for _ in range(2):

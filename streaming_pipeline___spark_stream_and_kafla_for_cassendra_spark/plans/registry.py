@@ -8457,7 +8457,9 @@ def priority_sample_documents(spark, sf_dir):
     "(greedy epsilon-net, deterministic). O(m^2) similarity only "
     "WITHIN a list (executor-local BLAS), one shuffle keyed by "
     "list_id — the embedding-space dedup pass a training pipeline "
-    "runs after exact/minhash text dedup",
+    "runs after exact/minhash text dedup. The driver-visible oracle "
+    "row `semantic_dedup_net_invariant` (registry54) pins the "
+    "partition/epsilon-net/coverage properties",
     ("dedup", "semantic", "embeddings"),
 )
 def semantic_dedup_embeddings(spark, sf_dir):
@@ -9269,7 +9271,9 @@ def knn_classify_embeddings(spark, sf_dir):
     "(microseconds), and projection is a broadcast GEMM per Arrow "
     "batch with zero shuffle; eigenvector signs pinned "
     "deterministically. Returns each vector's first two principal "
-    "components",
+    "components. The driver-visible oracle row "
+    "`pca_variance_match_floor` (registry54) pins component "
+    "variance ≡ eigenvalue to 1e-6",
     ("embeddings", "linalg", "pca", "pandas_udf"),
 )
 def pca_project_embeddings(spark, sf_dir):

@@ -1601,7 +1601,8 @@ def sliding_distinct_users_7d(spark, sf_dir):
     "sketch build is a map-side-combinable aggregate over the fact "
     "table, and the windowed merge touches #days × sketch_bytes "
     "regardless of cardinality. Accuracy vs the exact rewrite is "
-    "pinned by a test (≤5% HLL error, lgK=12)",
+    "pinned by a test (≤5% HLL error, lgK=12) AND by the driver-"
+    "visible oracle row `hll_sliding_error_bound` (registry54)",
     ("window", "sketch", "distinct", "timeseries", "events"),
 )
 def sliding_distinct_users_7d_hll(spark, sf_dir):
@@ -1636,7 +1637,8 @@ def sliding_distinct_users_7d_hll(spark, sf_dir):
     "recommendations for a fixed user cohort. Convergence, planted- "
     "structure recovery, bit-determinism, and novelty are pytest- "
     "pinned; the registry run is the rows-only smoke of the same "
-    "pipeline",
+    "pipeline; the driver-visible oracle row `als_rmse_floor` "
+    "(registry54) pins train-RMSE ≤ 1.02× the global-mean baseline",
     ("ml", "als", "recommender", "iterative", "lineitem"),
 )
 def als_recommend_parts(spark, sf_dir):
@@ -1675,7 +1677,9 @@ def als_recommend_parts(spark, sf_dir):
     "this query audits the clustering (per-cluster size, mean/min "
     "similarity to centroid, majority label). Assignment determinism "
     "and recall of the underlying quantizer are pytest-pinned in the "
-    "IVF/semantic-dedup suites",
+    "IVF/semantic-dedup suites; the driver-visible oracle row "
+    "`kmeans_inertia_floor` (registry54) pins mean centroid-cosine "
+    "0.15 above the k=1 null",
     ("ml", "kmeans", "clustering", "embeddings"),
 )
 def kmeans_embedding_clusters(spark, sf_dir):
