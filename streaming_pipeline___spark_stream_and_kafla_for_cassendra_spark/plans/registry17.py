@@ -717,12 +717,16 @@ def kfold_balance_documents(spark, sf_dir):
     """,
     "Edit-distance similarity self-join (typo-tolerant record "
     "linkage): all part-name pairs within Levenshtein distance 2 via "
-    "operators/strings.py::edit_distance_self_join — an inverted-"
-    "index join on distinct bigrams with the LOSSLESS q-gram count "
-    "filter (k edits change ≤ k·q distinct grams) + length filter, "
-    "then a codegen levenshtein verify on survivors only — never a "
-    "cross product. The oracle states the O(n²) truth; both engines' "
-    "levenshtein is the standard unit-cost distance",
+    "operators/strings.py::edit_distance_self_join with "
+    "method='deletes' — SymSpell symmetric-delete blocking (ed ≤ k "
+    "⟹ the ≤k-deletion neighborhoods intersect, a LOSSLESS "
+    "candidate join on hashed deletion variants), then a codegen "
+    "levenshtein verify on survivors only — never a cross product. "
+    "Part names are built from a ~90-word vocabulary, so the q-gram "
+    "variant's posting lists collide corpus-wide (305 s at sf0.1); "
+    "deletion blocking keys on near-identity instead (seconds). The "
+    "oracle states the O(n²) truth; both engines' levenshtein is "
+    "the standard unit-cost distance",
     ("similarity", "strings", "linkage", "part"),
 )
 def edit_distance_pairs_parts(spark, sf_dir):
@@ -730,7 +734,8 @@ def edit_distance_pairs_parts(spark, sf_dir):
 
     p = _t(spark, sf_dir, "part")
     return edit_distance_self_join(
-        p, text_col="p_name", id_col="p_partkey", max_dist=2, q=2
+        p, text_col="p_name", id_col="p_partkey", max_dist=2,
+        method="deletes",
     )
 
 

@@ -250,3 +250,33 @@ def test_df_capped_jaccard_identical_to_uncapped(spark):
     assert run(3) == uncapped
     assert run(1) == uncapped
     assert run(1000) == uncapped
+
+
+def test_deletion_neighborhood_matches_qgram_path(spark):
+    """SymSpell deletes blocking must produce exactly the q-gram
+    path's pairs (both lossless), including short strings."""
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.strings import (
+        edit_distance_self_join,
+    )
+
+    base = [
+        "alpha bridge", "alpha brigde", "alpha bridges", "alpa bridge",
+        "beta tunnel", "beta tunel", "ab", "cd", "abc", "",
+        "zeta dock", "zeta docks", "zeta rock",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(base)], "pid long, name string"
+    )
+
+    def run(method):
+        return sorted(
+            (r.id_a, r.id_b, r.edit_distance)
+            for r in edit_distance_self_join(
+                df, "name", "pid", max_dist=2, method=method
+            ).collect()
+        )
+
+    got_q = run("qgram")
+    got_d = run("deletes")
+    assert got_q, "corpus must produce pairs"
+    assert got_d == got_q
