@@ -35,10 +35,6 @@ EXCLUDE: dict[str, str] = {
         "90-word name vocabulary makes the answer itself quadratic); "
         "SymSpell blocking already cut it 9x from 305 s"
     ),
-    "winnow_overlap_pairs": (
-        "99 s: fingerprint-collision-bound on the synthetic spark-word "
-        "corpus (tiny char-5-gram space); PLANS.md audit row"
-    ),
     "bootstrap_ci_mean_price": (
         "56 s: exact seeded bootstrap = B deterministic md5 draws per "
         "fact row; cost is the pinned B x fact-scan by design"

@@ -725,6 +725,188 @@ def winnow_fingerprints(
     )
 
 
+def fingerprint_overlap_pairs(
+    fps: DataFrame,
+    id_col: str,
+    fp_col: str = "fingerprint",
+    threshold: float = 0.8,
+    dense_universe_max: int = 16384,
+    docs_per_block: int = 2048,
+    method: str = "auto",
+) -> DataFrame:
+    """All document pairs whose fingerprint-set containment
+    ``|A ∩ B| / min(|A|, |B|)`` clears ``threshold`` (ratio rounded
+    half-up to 4 decimals before the compare, matching the DuckDB
+    oracle), from a (doc, fingerprint) table such as
+    :func:`winnow_fingerprints` output.
+
+    ADAPTIVE physical strategy — the logical answer is identical:
+
+    - ``inverted`` (the 100 TB default): self-join the fingerprint
+      index on the fingerprint key, count shared values per pair.
+      Shuffle cost is Σ df² over fingerprint document frequencies —
+      the right shape when fingerprints are drawn from a 2^64 space
+      and df tracks true duplicate-family size.
+    - ``dense``: when the DISTINCT fingerprint universe D fits a
+      dense index (D ≤ ``dense_universe_max``), the inverted index
+      degenerates (every posting list is corpus-sized; the synthetic
+      spark-word corpus has D = 834 over 416k fingerprint rows →
+      6.4e8 join rows, 99 s at sf0.1). Instead: map fingerprints to
+      dense columns by binary-searching the sorted universe, pack
+      each doc into a D-bit row, block docs into groups of
+      ``docs_per_block``, replicate each block to its B block-pairs,
+      and compute every pairwise intersection size as one BLAS
+      matmul ``M_a @ M_b.T`` per block-pair (exact: float32 sums of
+      ≤ 2^24 ones). Work is n²·D/2 multiply-adds spread over
+      B(B+1)/2 independent tasks — no shuffle explosion, bounded
+      task memory, and each unordered doc pair lands in exactly one
+      (min-block, max-block) group.
+
+    ``method="auto"`` counts the universe once and picks.
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    fps = fps.select(
+        F.col(id_col).alias("_fid"), F.col(fp_col).alias("_fp")
+    )
+
+    if method == "auto":
+        n_distinct = (
+            fps.agg(F.countDistinct("_fp").alias("d")).collect()[0]["d"]
+        )
+        method = "dense" if n_distinct <= dense_universe_max else "inverted"
+
+    if method == "inverted":
+        counts = fps.groupBy("_fid").agg(F.count("*").alias("n"))
+        a, b = fps.alias("fa"), fps.alias("fb")
+        shared = (
+            a.join(
+                b,
+                on=[
+                    F.col("fa._fp") == F.col("fb._fp"),
+                    F.col("fa._fid") < F.col("fb._fid"),
+                ],
+            )
+            .groupBy(
+                F.col("fa._fid").alias("id_a"),
+                F.col("fb._fid").alias("id_b"),
+            )
+            .agg(F.count("*").alias("shared_fingerprints"))
+        )
+        return (
+            shared.join(
+                counts.select(
+                    F.col("_fid").alias("id_a"), F.col("n").alias("n_a")
+                ),
+                "id_a",
+            )
+            .join(
+                counts.select(
+                    F.col("_fid").alias("id_b"), F.col("n").alias("n_b")
+                ),
+                "id_b",
+            )
+            .withColumn(
+                "overlap_ratio",
+                F.floor(
+                    F.col("shared_fingerprints")
+                    / F.least("n_a", "n_b")
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0),
+            )
+            .filter(F.col("overlap_ratio") >= threshold)
+            .select(
+                "id_a", "id_b", "shared_fingerprints", "overlap_ratio"
+            )
+        )
+    if method != "dense":
+        raise ValueError(f"unknown method {method!r}")
+
+    universe = sorted(
+        r["_fp"] for r in fps.select("_fp").distinct().collect()
+    )
+    docs = fps.groupBy("_fid").agg(F.collect_set("_fp").alias("_fparr"))
+    n_docs = docs.count()
+    n_blocks = max(1, -(-n_docs // docs_per_block))
+    docs = docs.withColumn(
+        "_blk", F.pmod(F.xxhash64("_fid"), F.lit(n_blocks))
+    )
+    pairs = docs.crossJoin(
+        docs.sparkSession.range(n_blocks).select(
+            F.col("id").alias("_other")
+        )
+    ).select(
+        F.least("_blk", "_other").alias("_bi"),
+        F.greatest("_blk", "_other").alias("_bj"),
+        "_blk",
+        "_fid",
+        "_fparr",
+    )
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("shared_fingerprints", LongType()),
+            StructField("overlap_ratio", DoubleType()),
+        ]
+    )
+    thr = float(threshold)
+
+    def block_pair(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        uni = np.array(universe, dtype=np.int64)
+
+        def matrix(sub):
+            m = np.zeros((len(sub), len(uni)), dtype=np.float32)
+            for r, arr in enumerate(sub["_fparr"]):
+                m[r, np.searchsorted(uni, np.asarray(arr, np.int64))] = 1.0
+            return m, sub["_fid"].to_numpy(np.int64)
+
+        bi, bj = key
+        if bi == bj:
+            m, ids = matrix(pdf)
+            ma = mb = m
+            ids_a = ids_b = ids
+        else:
+            ma, ids_a = matrix(pdf[pdf["_blk"] == bi])
+            mb, ids_b = matrix(pdf[pdf["_blk"] == bj])
+        s = np.rint(ma @ mb.T).astype(np.int64)
+        nmin = np.minimum.outer(
+            ma.sum(axis=1).astype(np.int64),
+            mb.sum(axis=1).astype(np.int64),
+        )
+        ratio = np.floor(s / nmin * 10000 + 0.5) / 10000.0
+        mask = (ratio >= thr) & (s > 0)
+        if bi == bj:
+            mask &= np.triu(np.ones_like(mask), k=1)
+        ia, ib = np.nonzero(mask)
+        id_a, id_b = ids_a[ia], ids_b[ib]
+        lo = np.minimum(id_a, id_b)
+        hi = np.maximum(id_a, id_b)
+        return pd.DataFrame(
+            {
+                "id_a": lo,
+                "id_b": hi,
+                "shared_fingerprints": s[ia, ib],
+                "overlap_ratio": ratio[ia, ib],
+            }
+        )
+
+    return pairs.groupBy("_bi", "_bj").applyInPandas(
+        block_pair, out_schema
+    )
+
+
 def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash per document.
 

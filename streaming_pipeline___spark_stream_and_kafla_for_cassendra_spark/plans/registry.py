@@ -2989,61 +2989,33 @@ def _winnow_oracle() -> str:
     "winnow_overlap_pairs",
     _winnow_oracle(),
     "Rolling-hash winnowing fingerprints (MOSS): char-5-gram "
-    "polynomial hashes, per-window rightmost minima, fingerprint-"
-    "index self-join, containment ratio shared/min(|A|,|B|) ≥ 0.8 — "
-    "substring-overlap pairs at ~2/(w+1) fingerprint storage. The "
-    "DuckDB oracle re-derives the fingerprints bit-for-bit (emulated "
-    "uint64 Horner hash, lag/lead rightmost-window-minimum "
-    "selection) and must produce the same pairs and ratios",
+    "polynomial hashes, per-window rightmost minima, containment "
+    "ratio shared/min(|A|,|B|) ≥ 0.8 — substring-overlap pairs at "
+    "~2/(w+1) fingerprint storage. Pair counting is ADAPTIVE "
+    "(operators/dedup.py::fingerprint_overlap_pairs): fingerprint-"
+    "index self-join when the universe is 2^64-sized (the 100 TB "
+    "path, Σdf² tracks true dup density), blocked binary-matmul "
+    "intersection counts when the distinct universe is dense-"
+    "indexable (this synthetic corpus: D=834 → posting lists are "
+    "corpus-sized and the index join degenerates to 6.4e8 rows; the "
+    "matmul path is 9x faster at sf0.1). The DuckDB oracle re-"
+    "derives the fingerprints bit-for-bit (emulated uint64 Horner "
+    "hash, lag/lead rightmost-window-minimum selection) and must "
+    "produce the same pairs and ratios",
     ("dedup", "fingerprint", "documents"),
 )
 def winnow_overlap_pairs(spark, sf_dir):
-    from ..operators.dedup import winnow_fingerprints
+    from ..operators.dedup import (
+        fingerprint_overlap_pairs,
+        winnow_fingerprints,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     fps = winnow_fingerprints(docs, "text", "doc_id").localCheckpoint(
         eager=False
     )
-    counts = fps.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = fps.alias("fa"), fps.alias("fb")
-    shared = (
-        a.join(
-            b,
-            on=[
-                F.col("fa.fingerprint") == F.col("fb.fingerprint"),
-                F.col("fa.doc_id") < F.col("fb.doc_id"),
-            ],
-        )
-        .groupBy(
-            F.col("fa.doc_id").alias("id_a"), F.col("fb.doc_id").alias("id_b")
-        )
-        .agg(F.count("*").alias("shared_fingerprints"))
-    )
-    return (
-        shared.join(
-            counts.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
-                "n", "n_a"
-            ),
-            "id_a",
-        )
-        .join(
-            counts.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
-                "n", "n_b"
-            ),
-            "id_b",
-        )
-        .withColumn(
-            "overlap_ratio",
-            F.floor(
-                F.col("shared_fingerprints")
-                / F.least("n_a", "n_b")
-                * 10000
-                + F.lit(0.5)
-            )
-            / F.lit(10000.0),
-        )
-        .filter(F.col("overlap_ratio") >= 0.8)
-        .select("id_a", "id_b", "shared_fingerprints", "overlap_ratio")
+    return fingerprint_overlap_pairs(
+        fps, id_col="doc_id", threshold=0.8
     )
 
 

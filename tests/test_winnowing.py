@@ -81,3 +81,49 @@ def test_spark_operator_matches_reference(spark):
     for i, t in enumerate(texts):
         expected = ref_winnow(t) if t else set()
         assert got.get(i, set()) == expected
+
+
+def test_overlap_pairs_dense_matches_inverted(spark):
+    """The adaptive dense (blocked-matmul) strategy must produce
+    exactly the inverted-index join's pairs, shared counts, and
+    rounded ratios — including cross-block and self-block pairs
+    (docs_per_block=2 forces several blocks) and sub-threshold
+    exclusions."""
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.dedup import (
+        fingerprint_overlap_pairs,
+    )
+
+    rows = []
+    # family A: docs 0,1,2 share most fingerprints; doc 3 disjoint;
+    # doc 4 overlaps A below threshold; doc 5 tiny subset of doc 0
+    sets = {
+        0: {10, 11, 12, 13, 14},
+        1: {10, 11, 12, 13, 99},
+        2: {10, 11, 12, 77, 88},
+        3: {50, 51, 52},
+        4: {10, 60, 61, 62, 63},
+        5: {11, 12},
+        6: {50, 51, 52, 53},
+    }
+    for d, fs in sets.items():
+        rows += [(d, f) for f in fs]
+    fps = spark.createDataFrame(rows, "doc_id bigint, fingerprint bigint")
+
+    def run(method):
+        return sorted(
+            (r.id_a, r.id_b, r.shared_fingerprints, r.overlap_ratio)
+            for r in fingerprint_overlap_pairs(
+                fps,
+                id_col="doc_id",
+                threshold=0.6,
+                docs_per_block=2,
+                method=method,
+            ).collect()
+        )
+
+    inv = run("inverted")
+    dense = run("dense")
+    assert inv, "fixture must produce pairs"
+    assert (0, 5, 2, 1.0) in inv  # containment uses min(|A|,|B|)
+    assert all(p[0] != 4 and p[1] != 4 for p in inv)  # below threshold
+    assert dense == inv
