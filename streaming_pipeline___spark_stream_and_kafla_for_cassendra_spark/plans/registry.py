@@ -8443,16 +8443,66 @@ def semantic_dedup_embeddings(spark, sf_dir):
 
 @_register(
     "streaming_anomaly_alerts",
-    None,  # alert emission depends on sequential per-key EW state —
-    # covered rows-only here; the recurrence itself is pinned by the
-    # planted-spike test in tests/test_stateful.py
+    """
+    WITH ev AS (
+      SELECT user_id, ts, event_id,
+             coalesce(value, 0.0)::DOUBLE AS v
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id,
+             list(struct_pack(ts := ts, v := v)
+                  ORDER BY ts, event_id) AS xs
+      FROM ev GROUP BY user_id
+    ),
+    idx AS (
+      SELECT user_id, xs,
+             unnest(generate_series(1, len(xs))) AS i
+      FROM seq
+    ),
+    st AS (
+      SELECT user_id, xs[i].ts AS ts, xs[i].v AS v,
+        list_reduce(
+          list_prepend([0.0, 0.0, 0.0]::DOUBLE[],
+                       [[x.v] FOR x IN xs[1:i-1]]),
+          (acc, e) -> [
+            acc[1] + 1.0,
+            CASE WHEN acc[1] = 0.0 THEN e[1]
+                 ELSE acc[2] + 0.1 * (e[1] - acc[2]) END,
+            CASE WHEN acc[1] = 0.0 THEN 0.0
+                 ELSE (1.0 - 0.1)
+                      * (acc[3]
+                         + (e[1] - acc[2]) * (0.1 * (e[1] - acc[2]))) END
+          ]
+        ) AS s
+      FROM idx
+    ),
+    chk AS (
+      SELECT user_id, ts, v, s[2] AS ew,
+             sqrt(greatest(s[3], 0.0)) AS sd, s[1] AS n
+      FROM st
+    )
+    SELECT user_id, ts,
+           floor(v * 10000 + 0.5) / 10000.0 AS value,
+           floor(ew * 10000 + 0.5) / 10000.0 AS expected,
+           floor(abs(v - ew) / sd * 10000 + 0.5) / 10000.0
+             AS deviation_sigmas
+    FROM chk
+    WHERE n >= 5.0 AND sd > 0.0 AND abs(v - ew) > 4.0 * sd
+    """,
     "Streaming anomaly detection (stateful: per-key EWMA + "
     "exponentially-weighted variance, West's recurrence): emits a "
     "row ONLY when an event sits more than 4 EW-sigmas from its "
     "key's expected value after a 5-event warm-up. The alerting "
     "pattern the reference's console monitoring gestures at, as "
     "bounded per-key state; chain the debounce operator downstream "
-    "for one-alert-per-incident",
+    "for one-alert-per-incident. ORACLE (new in r4): availableNow "
+    "on the single-file events stream is deterministic (one data "
+    "micro-batch, per-key (ts, event_id) order), so each alert's "
+    "pre-update state is a left fold over the key's value prefix — "
+    "the DuckDB twin replays West's recurrence per prefix with "
+    "list_reduce (identical IEEE op order; scalar CASE per state "
+    "component) and must reproduce every alert row bit-for-bit",
     ("streaming", "stateful", "anomaly", "events"),
 )
 def streaming_anomaly_alerts(spark, sf_dir):
@@ -8472,12 +8522,16 @@ def streaming_anomaly_alerts(spark, sf_dir):
         .start()
     )
     _await_stream(q, 120)
+
+    def _r4(c):
+        return F.floor(F.col(c) * 10000 + F.lit(0.5)) / F.lit(10000.0)
+
     return spark.table(sink).select(
         "user_id",
         "ts",
-        F.round("value", 4).alias("value"),
-        F.round("expected", 4).alias("expected"),
-        F.round("deviation_sigmas", 4).alias("deviation_sigmas"),
+        _r4("value").alias("value"),
+        _r4("expected").alias("expected"),
+        _r4("deviation_sigmas").alias("deviation_sigmas"),
     )
 
 
@@ -9355,6 +9409,7 @@ from . import registry51  # noqa: E402,F401  isort:skip
 from . import registry52  # noqa: E402,F401  isort:skip
 from . import registry53  # noqa: E402,F401  isort:skip
 from . import registry54  # noqa: E402,F401  isort:skip
+from . import registry55  # noqa: E402,F401  isort:skip
 
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
