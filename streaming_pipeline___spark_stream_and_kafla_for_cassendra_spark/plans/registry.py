@@ -1153,16 +1153,17 @@ def near_dup_clusters_q(spark, sf_dir):
     )
 
 
-def _minhash_lsh_oracle(threshold: float = 0.35) -> str:
-    """DuckDB twin of ``minhash_lsh_pairs``, generated from the SAME
-    hash constants (``operators/dedup.py::minhash_constants``) so the
-    signatures are bit-identical. uint64 wraparound multiplication —
-    which DuckDB's checked integer arithmetic refuses — is emulated as
-    a 32-bit split multiply in HUGEINT (a·b mod 2⁶⁴ = (a_lo·b +
-    ((a_hi·b) mod 2³²)·2³²) mod 2⁶⁴; every term < 2⁹⁷ fits HUGEINT).
-    Candidates are pairs agreeing on ≥1 full band SLICE (list-equality
-    join — semantically what Spark's bucket-hash equi-join computes),
-    verified at the same signature-agreement threshold."""
+def _minhash_banded_ctes() -> str:
+    """Shared CTE prefix (``toks`` … ``banded``) that re-derives the
+    bit-exact MinHash band slices from the SAME hash constants
+    (``operators/dedup.py::minhash_constants``) — consumed by the
+    ``minhash_lsh_pairs`` oracle and the streaming-dedup-survivors
+    oracle. uint64 wraparound multiplication — which DuckDB's checked
+    integer arithmetic refuses — is emulated as a 32-bit split
+    multiply in HUGEINT (a·b mod 2⁶⁴ = (a_lo·b + ((a_hi·b) mod
+    2³²)·2³²) mod 2⁶⁴; every term < 2⁹⁷ fits HUGEINT). Band-slice
+    LIST equality is semantically what Spark's bucket-hash equi-join
+    computes."""
     from ..operators.dedup import minhash_constants
 
     a_ints, b_ints = minhash_constants(64)
@@ -1180,8 +1181,7 @@ def _minhash_lsh_oracle(threshold: float = 0.35) -> str:
             f"% {mod}"
         )
 
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
       SELECT doc_id, unnest(l) AS tok,
              unnest(generate_series(1, len(l))) AS ord
       FROM (
@@ -1219,7 +1219,16 @@ def _minhash_lsh_oracle(threshold: float = 0.35) -> str:
     banded AS (
       SELECT doc_id, j, mh[1 + 4*j : 4 + 4*j] AS slc
       FROM sigs, (SELECT unnest(generate_series(0, 15)) AS j)
-    ),
+    )"""
+
+
+def _minhash_lsh_oracle(threshold: float = 0.35) -> str:
+    """DuckDB twin of ``minhash_lsh_pairs`` — see
+    :func:`_minhash_banded_ctes` for the signature replication;
+    candidates (pairs agreeing on ≥1 full band slice) are verified at
+    the same signature-agreement threshold."""
+    return f"""
+    WITH {_minhash_banded_ctes()},
     cand AS (
       SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
       FROM banded x JOIN banded y
@@ -1469,17 +1478,16 @@ def ann_topk_filtered(spark, sf_dir):
     return brute_force_topk(cands, queries_df, k=5)
 
 
-def _ann_lsh_oracle(n_bands: int = 8, band_bits: int = 8, dim: int = 64,
-                    seed: int = 42, k: int = 5) -> str:
-    """Bit-faithful DuckDB twin of :func:`lsh_topk` via constant
-    replication (the minhash-oracle technique): the seeded numpy
-    hyperplanes are materialized as full-precision SQL literals
+def _hyperplane_sig_ctes(n_bands: int = 8, band_bits: int = 8,
+                         dim: int = 64, seed: int = 42) -> str:
+    """Shared CTE prefix (``planes`` … ``sig``) replicating the seeded
+    hyperplane sign-banding as full-precision SQL literals
     (``repr(float)`` round-trips float64 exactly), so both engines
-    bucket against IDENTICAL planes; signs, band buckets, the
-    bucket equi-join, and the cosine re-rank are then re-derived
-    relationally. The only cross-engine freedom is summation order
-    inside a 64-term dot product — a sign can differ only if
-    |dot| ≲ 1e-13, vanishingly unlikely for unit-scale data."""
+    bucket against IDENTICAL planes. Consumed by the ``ann_topk_lsh``
+    oracle and the streaming vector-dedup oracle. The only
+    cross-engine freedom is summation order inside a ``dim``-term dot
+    product — a sign can differ only if |dot| ≲ 1e-13, vanishingly
+    unlikely for unit-scale data."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
@@ -1490,8 +1498,7 @@ def _ann_lsh_oracle(n_bands: int = 8, band_bits: int = 8, dim: int = 64,
         )
         for p in range(planes.shape[0])
     )
-    return f"""
-    WITH planes AS (
+    return f"""planes AS (
       SELECT * FROM (VALUES
       {rows}
       ) AS p(pid, w)
@@ -1509,7 +1516,16 @@ def _ann_lsh_oracle(n_bands: int = 8, band_bits: int = 8, dim: int = 64,
                       ELSE 0 END) AS bucket
       FROM e CROSS JOIN planes p
       GROUP BY e.vec_id, p.pid // {band_bits}
-    ),
+    )"""
+
+
+def _ann_lsh_oracle(n_bands: int = 8, band_bits: int = 8, dim: int = 64,
+                    seed: int = 42, k: int = 5) -> str:
+    """Bit-faithful DuckDB twin of :func:`lsh_topk` — see
+    :func:`_hyperplane_sig_ctes`; the bucket equi-join and cosine
+    re-rank are re-derived relationally."""
+    return f"""
+    WITH {_hyperplane_sig_ctes(n_bands, band_bits, dim, seed)},
     pairs AS (
       SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
       FROM sig q JOIN sig c ON q.band = c.band AND q.bucket = c.bucket
@@ -7197,10 +7213,17 @@ def benford_first_digit_orders(spark, sf_dir):
 
 @_register(
     "streaming_dedup_lsh_documents",
-    None,  # md5-derived minhash banding is not SQL-expressible; the
-    # accept/drop semantics are property-tested in
-    # tests/test_streaming_dedup.py (cross-batch suppression, replay
-    # idempotency, batch/stream index interop)
+    f"""
+    WITH {_minhash_banded_ctes()},
+    dropped AS (
+      SELECT DISTINCT y.doc_id
+      FROM banded x JOIN banded y
+        ON x.j = y.j AND x.slc = y.slc AND x.doc_id < y.doc_id
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+    """,
     "Streaming near-dup dedup against a PERSISTENT MinHash-LSH band "
     "index (streaming/dedup.py): the documents file stream runs "
     "through a foreachBatch sink that drops arrivals colliding with "
@@ -7209,7 +7232,12 @@ def benford_first_digit_orders(spark, sf_dir):
     "id per bucket, appends survivors + their band rows, and commits "
     "a per-batch ledger marker so at-least-once replays are no-ops — "
     "the ingest-side tier of corpus dedup that the batch pair-miners "
-    "cannot provide",
+    "cannot provide. ORACLE (new in r4): the single-file availableNow "
+    "run is one deterministic batch over an empty index, where the "
+    "owner rule makes a doc drop iff SOME lower-id doc shares a band "
+    "slice — the DuckDB twin re-derives the bit-exact band slices "
+    "(_minhash_banded_ctes) and anti-joins that dropped set; "
+    "unshingleable docs pass through on both sides",
     ("streaming", "dedup", "lsh", "documents"),
 )
 def streaming_dedup_lsh_documents(spark, sf_dir):
@@ -7241,8 +7269,20 @@ def streaming_dedup_lsh_documents(spark, sf_dir):
 
 @_register(
     "streaming_dedup_vectors_embeddings",
-    None,  # hyperplane sign banding is not SQL-expressible; accept/
-    # drop semantics property-tested in tests/test_streaming_dedup.py
+    f"""
+    WITH {_hyperplane_sig_ctes()},
+    neardup AS (
+      SELECT DISTINCT b.vec_id
+      FROM sig a
+      JOIN sig b ON a.band = b.band AND a.bucket = b.bucket
+                AND a.vec_id < b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE list_cosine_similarity(ea.emb, eb.emb) >= 0.9
+    )
+    SELECT vec_id FROM embeddings
+    WHERE vec_id NOT IN (SELECT vec_id FROM neardup)
+    """,
     "Embedding-space streaming dedup (streaming/dedup.py::"
     "VectorDedupSink): the embeddings file stream runs through a "
     "foreachBatch sink that drops arriving vectors whose cosine to "
@@ -7252,7 +7292,12 @@ def streaming_dedup_lsh_documents(spark, sf_dir):
     "index, and every candidate is verified with an exact cosine "
     "before dropping (candidates-sized work); survivors and their "
     "bands append, commit ledger makes replays no-ops. The vector "
-    "twin of the text ingest-dedup tier",
+    "twin of the text ingest-dedup tier. ORACLE (new in r4): the "
+    "single-file availableNow run is one deterministic batch over an "
+    "empty index — a vector drops iff SOME lower-id vector shares a "
+    "sign-band bucket AND verifies at cosine ≥ 0.9; the DuckDB twin "
+    "replays the seeded hyperplanes as full-precision literals "
+    "(_hyperplane_sig_ctes) and anti-joins that dropped set",
     ("streaming", "dedup", "similarity", "embeddings"),
 )
 def streaming_dedup_vectors_embeddings(spark, sf_dir):
