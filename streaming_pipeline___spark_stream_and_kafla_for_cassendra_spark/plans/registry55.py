@@ -4,9 +4,15 @@ gates for the remaining sketch/blocking tiers.
 Same contract as ``registry.py``. Imported at the bottom of
 ``registry.py``.
 
-Three driver-visible floors in the ``registry54`` style (Spark
-computes the quality invariant, the DuckDB oracle pins the
-SQL-derivable counts plus TRUE booleans):
+Driver-visible floors in the ``registry54`` style (Spark computes
+the quality invariant, the DuckDB oracle pins the SQL-derivable
+counts plus TRUE booleans). Besides the three below, the file also
+carries ``ann_ivf_indexed_recall_floor`` (recall@5 of the PERSISTENT
+partition-pruned IVF index vs brute force ≥ 0.5 — covers the frozen-
+quantizer layout and pruned-read path the in-memory ivf floor
+cannot) and ``phash_determinism_gate`` (pHash re-hashed under
+shifted ids + different repartition must agree hash-for-hash —
+catches batch-boundary/carry-state bugs in the Arrow pipeline):
 
 * ``approx_quantile_rank_floor`` — Spark's ``percentile_approx``
   (Greenwald-Khanna style sketch, the 100 TB percentile path: one
@@ -233,4 +239,113 @@ def hll_type_error_bound(spark, sf_dir):
                 )
             ).alias("bound_met"),
         )
+    )
+
+
+@_register(
+    "ann_ivf_indexed_recall_floor",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(5 AS INTEGER) AS k,
+           CAST(0.5 AS DOUBLE) AS recall_floor,
+           TRUE AS floor_met
+    FROM embeddings WHERE vec_id % 100 = 0
+    """,
+    "Driver-visible quality gate for the PERSISTENT IVF index tier "
+    "(ann_topk_ivf_indexed, the index-at-rest deployment): recall@5 "
+    "of a search against a freshly stream-ingested partitioned index "
+    "(quantizer frozen from the first batch, n_probe=4) vs the exact "
+    "brute-force top-5 must clear the pinned 0.5 floor. Covers what "
+    "the in-memory ivf floor cannot: the partition layout, the "
+    "frozen-quantizer assignment path, and partition-pruned reads "
+    "all sit between this query and its floor — a broken index "
+    "layout scores ~0.001. Oracle pins the expectation (k-means "
+    "training makes an exact twin impractical)",
+    ("streaming", "similarity", "ann", "ivf", "evaluation",
+     "embeddings"),
+)
+def ann_ivf_indexed_recall_floor(spark, sf_dir):
+    import os
+    import tempfile
+
+    from ..streaming.ann_index import (
+        IvfVectorIndex,
+        write_stream_to_ivf_index,
+    )
+    from .registry import _await_stream, _recall_floor_frame
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    base = tempfile.mkdtemp(prefix="ivf_floor_")
+    index = IvfVectorIndex(path=os.path.join(base, "idx"), n_lists=16)
+    q = write_stream_to_ivf_index(
+        stream,
+        index,
+        checkpoint_root=os.path.join(base, "ck"),
+        available_now=True,
+    )
+    _await_stream(q, 300)
+    return _recall_floor_frame(
+        spark,
+        sf_dir,
+        lambda emb, qs: index.search(spark, qs, k=5, n_probe=4),
+        floor=0.5,
+    )
+
+
+@_register(
+    "phash_determinism_gate",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(0 AS BIGINT) AS n_mismatches,
+           TRUE AS deterministic
+    FROM documents WHERE text IS NOT NULL
+    """,
+    "Companion gate for the rows-only multimodal_phash_images (float "
+    "DCT thresholds are not SQL-expressible): pHash must be a pure "
+    "function of the payload bytes, independent of partitioning and "
+    "Arrow batch boundaries — the corpus is hashed TWICE, the second "
+    "pass under shifted ids and a different repartition (different "
+    "batch shapes through mapInPandas), and every pair of hashes for "
+    "the same payload must agree. Catches carry-state bugs, batch-"
+    "boundary effects, and nondeterministic numpy paths; the DCT "
+    "algebra itself is property-tested in tests/test_multimodal.py",
+    ("multimodal", "phash", "evaluation", "documents"),
+)
+def phash_determinism_gate(spark, sf_dir):
+    from ..operators.multimodal import (
+        phash_images,
+        synthetic_media_from_documents,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    offset = 10_000_000
+    ph1 = phash_images(synthetic_media_from_documents(d))
+    ph2 = (
+        phash_images(
+            synthetic_media_from_documents(
+                d.withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(offset)
+                ).repartition(7)
+            )
+        )
+        .withColumn("media_id", F.col("media_id") - F.lit(offset))
+        .withColumnRenamed("phash", "phash2")
+    )
+    cmp = ph1.join(ph2, "media_id")
+    return cmp.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(
+            (F.col("phash") != F.col("phash2")).cast("long")
+        ).cast("long").alias("n_mismatches"),
+        (
+            F.sum((F.col("phash") != F.col("phash2")).cast("long")) == 0
+        ).alias("deterministic"),
     )
