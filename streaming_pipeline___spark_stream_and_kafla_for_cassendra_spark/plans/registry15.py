@@ -148,14 +148,103 @@ def hard_negative_mining(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# MMR diverse representatives (rows-only: greedy float argmax chain)
+# MMR diverse representatives (oracle: unrolled greedy rounds)
 # ---------------------------------------------------------------------------
+
+
+def _mmr_oracle(k: int = 5, lam: float = 0.7) -> str:
+    """DuckDB twin of ``mmr_select`` via UNROLLED greedy rounds: the
+    per-group recurrence is deterministic (argmax on scores rounded
+    to 12 dp, ascending-id tie-break — exactly what the numpy side
+    computes), so round r is one CTE that anti-joins the picks so
+    far, takes max-similarity-to-picked, and window-selects the
+    arg-max. Cross-engine float freedom is limited to dot-product
+    summation order (~1e-16), absorbed by the 12-dp argmax rounding
+    and the 4-dp output rounding."""
+    om = repr(1.0 - lam)  # bit-exact same constant as numpy
+    rounds = []
+    for r in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT label, vec_id, v FROM p{i}" for i in range(1, r)
+        )
+        rounds.append(f"""
+    sel{r} AS ({prev}),
+    ms{r} AS (
+      SELECT r.label, r.vec_id, max(list_dot_product(r.v, s.v)) AS ms
+      FROM rel r JOIN sel{r} s ON s.label = r.label
+      GROUP BY 1, 2
+    ),
+    p{r} AS (
+      SELECT r.label, r.vec_id, r.v,
+             {lam} * r.rel - {om} * m.ms AS score
+      FROM rel r
+      JOIN ms{r} m ON m.label = r.label AND m.vec_id = r.vec_id
+      LEFT JOIN sel{r} x ON x.label = r.label AND x.vec_id = r.vec_id
+      WHERE x.vec_id IS NULL
+      QUALIFY row_number() OVER (
+        PARTITION BY r.label
+        ORDER BY round({lam} * r.rel - {om} * m.ms,
+                       12) DESC,
+                 r.vec_id) = 1
+    )""")
+    finals = " UNION ALL ".join(
+        f"SELECT label, vec_id, {i} AS pick_rank, score FROM p{i}"
+        for i in range(1, k + 1)
+    )
+    return f"""
+    WITH pool AS (
+      SELECT label, vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS raw
+      FROM embeddings WHERE vec_id % 4 = 0
+    ),
+    e AS (
+      SELECT label, vec_id,
+             list_transform(
+               raw,
+               x -> x / greatest(sqrt(list_dot_product(raw, raw)),
+                                 1e-300)) AS v
+      FROM pool
+    ),
+    dims AS (
+      SELECT label, vec_id, unnest(v) AS x,
+             unnest(generate_series(1, len(v))) AS d
+      FROM e
+    ),
+    cent AS (
+      SELECT label, list(c ORDER BY d) AS c
+      FROM (SELECT label, d, avg(x) AS c FROM dims GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    centn AS (
+      SELECT label,
+             list_transform(
+               c,
+               x -> x / greatest(sqrt(list_dot_product(c, c)),
+                                 1e-300)) AS c
+      FROM cent
+    ),
+    rel AS (
+      SELECT e.label, e.vec_id, e.v,
+             list_dot_product(e.v, cn.c) AS rel
+      FROM e JOIN centn cn ON cn.label = e.label
+    ),
+    p1 AS (
+      SELECT label, vec_id, v, {lam} * rel AS score
+      FROM rel
+      QUALIFY row_number() OVER (
+        PARTITION BY label
+        ORDER BY round({lam} * rel, 12) DESC, vec_id) = 1
+    ),{",".join(rounds)}
+    SELECT label AS "group", vec_id,
+           CAST(pick_rank AS INTEGER) AS pick_rank,
+           floor(score * 10000 + 0.5) / 10000.0 AS mmr_score
+    FROM ({finals})
+    """
+
 
 @_register(
     "mmr_diverse_representatives",
-    None,  # greedy argmax over float MMR scores — near-tie comparisons
-    # are not pinnable across engines; determinism + diversity are
-    # property-tested in tests/test_round8_ops.py instead
+    _mmr_oracle(k=5, lam=0.7),
     "Maximal-Marginal-Relevance selection of 5 diverse "
     "representatives per embedding label (λ=0.7 relevance-to-"
     "centroid vs similarity-to-already-picked): the data-selection "
@@ -163,7 +252,11 @@ def hard_negative_mining(spark, sf_dir):
     "Sequential greedy recurrence per group → one grouped "
     "applyInPandas pass over a BOUNDED candidate pool (quarter "
     "sample here; top-N-by-quality in production), one shuffle on "
-    "the group key",
+    "the group key. ORACLE (new in r4, was rows-only): the greedy is "
+    "deterministic — argmax on 12-dp-rounded scores with ascending-"
+    "id tie-break — so the DuckDB twin unrolls the 5 rounds as "
+    "chained CTEs (anti-join picks, max-sim-to-picked, windowed "
+    "argmax) and every pick, rank, and 4-dp score must match",
     ("similarity", "selection", "diversity", "embeddings"),
 )
 def mmr_diverse_representatives(spark, sf_dir):
@@ -175,7 +268,8 @@ def mmr_diverse_representatives(spark, sf_dir):
         "group",
         "vec_id",
         "pick_rank",
-        F.round("mmr_score", 4).alias("mmr_score"),
+        (F.floor(F.col("mmr_score") * 10000 + F.lit(0.5)) / F.lit(10000.0))
+        .alias("mmr_score"),
     )
 
 
