@@ -8979,10 +8979,124 @@ def streaming_abandoned_views(spark, sf_dir):
     return spark.table(sink)
 
 
+def _bpe_chain_ctes(num_merges: int = 25) -> str:
+    """Generated CTE chain replaying BPE training EXACTLY: ``wt0`` is
+    the char-split word-frequency table; each round r derives the
+    weighted adjacent-pair counts, arg-maxes (count desc, pair asc —
+    the trainer's total order), and applies the merge left-to-right
+    non-overlapping. Overlapping matches only arise when left==right,
+    where the trainer takes odd positions within each run of
+    consecutive matches — expressed as gaps-and-islands windows
+    (island = i − row_number over matches; take odd in-island ranks;
+    a taken position consumes its right neighbor via lag). Early
+    stop (no pair with weighted count ≥ 2) makes ``m{r}`` empty and
+    every later round a no-op, exactly like the trainer's break."""
+    parts = [
+        """wt0 AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS cnt,
+             string_split(w, '') AS syms
+      FROM (SELECT unnest(list_filter(
+                     string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '')) AS w
+            FROM documents)
+      GROUP BY w
+    )"""
+    ]
+    for r in range(1, num_merges + 1):
+        p = r - 1
+        parts.append(f"""pr{r} AS (
+      SELECT l, r, CAST(sum(cnt) AS BIGINT) AS n
+      FROM (
+        SELECT cnt, syms[i] AS l, syms[i + 1] AS r
+        FROM (SELECT cnt, syms,
+                     unnest(generate_series(1, len(syms) - 1)) AS i
+              FROM wt{p} WHERE len(syms) >= 2)
+      )
+      GROUP BY 1, 2
+    ),
+    m{r} AS MATERIALIZED (
+      SELECT l, r, n FROM pr{r} WHERE n >= 2
+      ORDER BY n DESC, l ASC, r ASC LIMIT 1
+    ),
+    pos{r} AS (
+      SELECT w, cnt, syms, l, r,
+             unnest(generate_series(1, len(syms))) AS i
+      FROM (SELECT t.w, t.cnt, t.syms, m.l, m.r
+            FROM wt{p} t LEFT JOIN m{r} m ON TRUE)
+    ),
+    mt{r} AS (
+      SELECT w, cnt, i, syms[i] AS sym, l || r AS mg,
+             (l IS NOT NULL AND i < len(syms)
+              AND syms[i] = l AND syms[i + 1] = r) AS mt
+      FROM pos{r}
+    ),
+    isl{r} AS (
+      SELECT *, CASE WHEN mt THEN
+          i - row_number() OVER (PARTITION BY w, mt ORDER BY i)
+        END AS g
+      FROM mt{r}
+    ),
+    tk{r} AS (
+      SELECT *, CASE WHEN mt THEN
+          row_number() OVER (PARTITION BY w, g ORDER BY i) % 2 = 1
+        ELSE FALSE END AS taken
+      FROM isl{r}
+    ),
+    ap{r} AS (
+      SELECT w, cnt, i, sym, mg, taken,
+             coalesce(lag(taken) OVER (PARTITION BY w ORDER BY i),
+                      FALSE) AS consumed
+      FROM tk{r}
+    ),
+    wt{r} AS MATERIALIZED (
+      SELECT w, any_value(cnt) AS cnt,
+             list(CASE WHEN taken THEN mg ELSE sym END ORDER BY i)
+               FILTER (WHERE NOT consumed) AS syms
+      FROM ap{r} GROUP BY w
+    )""")
+    return ",\n    ".join(parts)
+
+
+_BPE_ROUNDS = 25
+
+
+def _bpe_merges_oracle() -> str:
+    finals = "\n      UNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS merge_rank, l AS \"left\","
+        f" r AS \"right\", n AS pair_count FROM m{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"""
+    WITH {_bpe_chain_ctes(_BPE_ROUNDS)}
+    SELECT * FROM ({finals})
+    """
+
+
+def _bpe_token_counts_oracle() -> str:
+    return f"""
+    WITH {_bpe_chain_ctes(_BPE_ROUNDS)},
+    final_len AS (SELECT w, len(syms) AS n FROM wt{_BPE_ROUNDS}),
+    docw AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               string_split_regex(lower(text), '\\s+'),
+               x -> x <> '')) AS w
+      FROM documents
+    ),
+    perdoc AS (
+      SELECT d.doc_id, f.n FROM docw d JOIN final_len f USING (w)
+    )
+    SELECT dd.doc_id,
+           CAST(coalesce(sum(p.n), 0) AS INTEGER) AS n_bpe_tokens,
+           CAST(count(p.n) AS INTEGER) AS n_words
+    FROM documents dd LEFT JOIN perdoc p ON p.doc_id = dd.doc_id
+    GROUP BY 1
+    """
+
+
 @_register(
     "bpe_merges_documents",
-    None,  # iterative argmax-per-round training is not SQL-expressible;
-    # exact-match vs a pure-python reference BPE in tests
+    _bpe_merges_oracle(),
     "REAL BPE tokenizer training (Sennrich et al. 2016), distributed: "
     "one corpus pass reduces to the word-frequency table (Heaps-law "
     "sized, never corpus-sized), then each merge round is an in-row "
@@ -8990,7 +9104,11 @@ def streaming_abandoned_views(spark, sf_dir):
     "shuffle) and an Arrow-batched merge application with zero "
     "shuffle; ties broken (count desc, pair asc) so the merge "
     "sequence is total-order deterministic. Returns the learned "
-    "merge table",
+    "merge table. ORACLE (new in r4, was rows-only): the DuckDB twin "
+    "replays ALL 25 training rounds as a generated CTE chain "
+    "(_bpe_chain_ctes — weighted pair counts, the same argmax total "
+    "order, gaps-and-islands left-to-right merge application, "
+    "empty-m{r} early stop) and the merge tables must match exactly",
     ("text", "bpe", "tokenizer", "training", "documents"),
 )
 def bpe_merges_documents(spark, sf_dir):
@@ -9002,12 +9120,17 @@ def bpe_merges_documents(spark, sf_dir):
 
 @_register(
     "bpe_token_counts_documents",
-    None,  # depends on the learned merges above (non-SQL training)
+    _bpe_token_counts_oracle(),
     "Corpus tokenization with the corpus-trained BPE: broadcast the "
     "learned merge ranks, apply greedy-by-rank merging per word in "
     "one mapInPandas pass (zero shuffle). Returns per-doc BPE-token "
     "and word counts — the real sequence-length accounting a "
-    "packing/sharding stage consumes",
+    "packing/sharding stage consumes. ORACLE (new in r4, was rows-"
+    "only): greedy-by-rank encoding equals the training fixpoint — "
+    "one left-to-right pass removes every (l,r) adjacency, and new "
+    "adjacencies always involve the just-created symbol, hence only "
+    "higher ranks — so the twin reuses the training CTE chain's "
+    "final word table and sums per-word symbol counts per doc",
     ("text", "bpe", "tokenizer", "documents"),
 )
 def bpe_token_counts_documents(spark, sf_dir):
