@@ -369,20 +369,33 @@ def _train_spherical_quantizer(
     n_lists: int,
     train_sample: int,
     seed: int,
+    id_col: str = "vec_id",
 ):
-    """Seeded spherical k-means on a bounded sample (driver numpy —
-    the only driver-side work in the IVF family). Returns the
-    unit-norm centroid matrix; deterministic for fixed inputs."""
+    """Spherical k-means on a bounded sample (driver numpy — the only
+    driver-side work in the IVF family). Returns the unit-norm
+    centroid matrix.
+
+    FULLY REPLAYABLE (round 4): the sample is the ``train_sample``
+    LOWEST ids (an unordered ``limit`` depends on partition order —
+    nondeterministic on a real cluster) and the init is the first
+    ``n_lists`` sample rows rather than a seeded ``rng.choice`` draw
+    (whose indices depend on the runtime sample size, so no static
+    oracle could embed them). Ten fixed Lloyd iterations; ``np.argmax``
+    breaks assignment ties toward the lower centroid id. ``seed`` is
+    kept for API stability but no longer used."""
     import numpy as np
 
     sample = [
-        r[0] for r in candidates.select(vec_col).limit(train_sample).collect()
+        r[1]
+        for r in candidates.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(train_sample)
+        .collect()
     ]
     train = np.asarray(sample, dtype=np.float64)
     train /= np.maximum(np.linalg.norm(train, axis=1, keepdims=True), 1e-300)
-    rng = np.random.default_rng(seed)
     n_lists = min(n_lists, len(train))
-    cent = train[rng.choice(len(train), size=n_lists, replace=False)]
+    cent = train[:n_lists].copy()
     for _ in range(10):  # fixed Lloyd iterations, deterministic
         assign = np.argmax(train @ cent.T, axis=1)
         for j in range(n_lists):
@@ -1086,13 +1099,14 @@ def kmeans_assign(
             mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
             sims = mat @ C.T
             best = np.argmax(sims, axis=1)
+            top = sims[np.arange(len(pdf)), best]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].astype("int64"),
                     "cluster_id": best.astype("int64"),
-                    "centroid_sim": np.round(
-                        sims[np.arange(len(pdf)), best], 6
-                    ),
+                    # floor(x*1e6+0.5)/1e6 — the same formula the
+                    # DuckDB twin applies, so 6-dp values hash-match
+                    "centroid_sim": np.floor(top * 1e6 + 0.5) / 1e6,
                 }
             )
 

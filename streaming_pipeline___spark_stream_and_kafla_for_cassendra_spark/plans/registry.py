@@ -1564,13 +1564,141 @@ def ann_topk_lsh(spark, sf_dir):
     return lsh_topk(emb, queries_df, k=5, n_bands=8, band_bits=8)
 
 
+def _kmeans_chain_ctes(k: int = 16, iters: int = 10,
+                       train_sample: int = 2000) -> str:
+    """Generated CTE chain replaying the spherical-k-means coarse
+    quantizer EXACTLY (``_train_spherical_quantizer``): the sample is
+    the ``train_sample`` lowest vec_ids, init = the first ``k``
+    sample rows, then ``iters`` Lloyd rounds — assignment is argmax
+    cosine with lower-centroid-id tie-break (numpy first-max), new
+    centroid = normalized member sum, empty clusters keep their old
+    centroid. ``kc{iters}`` is the final centroid table, ``kalln``
+    the normalized corpus, ``kassign`` the final argmax assignment
+    with the floor-pattern 6-dp similarity. Consumed by the
+    ``kmeans_embedding_clusters`` and ``ann_topk_ivf`` oracles.
+    Cross-engine float freedom (dot/sum order, ~1e-16) only flips an
+    assignment on a near-exact cosine tie — not present in these
+    fixtures; shared CTEs are MATERIALIZED (inlining is exponential
+    in rounds otherwise)."""
+    parts = [
+        f"""ksamp AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS raw
+      FROM embeddings ORDER BY vec_id LIMIT {train_sample}
+    ),
+    ktrain AS MATERIALIZED (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY vec_id) - 1 AS rid,
+             list_transform(raw, x -> x / greatest(
+               sqrt(list_dot_product(raw, raw)), 1e-300)) AS v
+      FROM ksamp
+    ),
+    kc0 AS MATERIALIZED (
+      SELECT rid AS cid, v AS c FROM ktrain WHERE rid < {k}
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(f"""ka{i} AS (
+      SELECT t.vec_id, t.v, c.cid,
+             row_number() OVER (PARTITION BY t.vec_id
+               ORDER BY list_dot_product(t.v, c.c) DESC, c.cid ASC)
+               AS rk
+      FROM ktrain t CROSS JOIN kc{p} c
+    ),
+    ks{i} AS (
+      SELECT cid, d, sum(x) AS sx
+      FROM (SELECT cid, unnest(v) AS x,
+                   unnest(generate_series(1, len(v))) AS d
+            FROM ka{i} WHERE rk = 1)
+      GROUP BY 1, 2
+    ),
+    kn{i} AS (
+      SELECT cid, list(sx ORDER BY d) AS rawc FROM ks{i} GROUP BY 1
+    ),
+    kc{i} AS MATERIALIZED (
+      SELECT p.cid,
+             CASE WHEN n.cid IS NULL THEN p.c
+                  ELSE list_transform(n.rawc, x -> x / greatest(
+                    sqrt(list_dot_product(n.rawc, n.rawc)), 1e-300))
+             END AS c
+      FROM kc{p} p LEFT JOIN kn{i} n ON n.cid = p.cid
+    )""")
+    parts.append(f"""kalln AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)),
+               x -> x / greatest(sqrt(list_dot_product(
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)))),
+                 1e-300)) AS v
+      FROM embeddings
+    ),
+    kassign AS MATERIALIZED (
+      SELECT vec_id, cid AS cluster_id,
+             floor(sim * 1000000 + 0.5) / 1000000.0 AS centroid_sim
+      FROM (
+        SELECT a.vec_id, c.cid,
+               list_dot_product(a.v, c.c) AS sim,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY list_dot_product(a.v, c.c) DESC, c.cid ASC)
+                 AS rk
+        FROM kalln a CROSS JOIN kc{iters} c
+      ) WHERE rk = 1
+    )""")
+    return ",\n    ".join(parts)
+
+
+def _ann_ivf_oracle(k: int = 5, n_probe: int = 4) -> str:
+    # train_sample=4096 — ivf_topk's own default (kmeans_assign uses
+    # 2000; both clamp to the corpus at the compare SFs, but the twin
+    # must state the operator's actual bound)
+    return f"""
+    WITH {_kmeans_chain_ctes(train_sample=4096)},
+    probes AS (
+      SELECT vec_id AS query_id, cid AS list_id FROM (
+        SELECT a.vec_id, c.cid,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY list_dot_product(a.v, c.c) DESC, c.cid ASC)
+                 AS rk
+        FROM kalln a CROSS JOIN kc10 c
+        WHERE a.vec_id % 100 = 0
+      ) WHERE rk <= {n_probe}
+    ),
+    cand AS (
+      SELECT p.query_id, m.vec_id AS neighbor_id
+      FROM probes p JOIN kassign m ON m.cluster_id = p.list_id
+      WHERE m.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_dot_product(qa.v, na.v) AS sim
+      FROM cand c
+      JOIN kalln qa ON qa.vec_id = c.query_id
+      JOIN kalln na ON na.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(sim, 4) AS cosine_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id)
+                AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= {k}
+    """
+
+
 @_register(
     "ann_topk_ivf",
-    None,  # approximate; recall vs brute force asserted in tests
+    _ann_ivf_oracle(),
     "Similarity search scale path #2: IVF — spherical-k-means coarse "
-    "quantizer (seeded, bounded sample), candidates hash to one "
-    "inverted list, queries probe n_probe lists, cogrouped per-list "
-    "BLAS top-k (shuffle carries lists once, output ≤ q×probe×k rows)",
+    "quantizer (replayable, bounded lowest-id sample), candidates "
+    "hash to one inverted list, queries probe n_probe lists, "
+    "cogrouped per-list BLAS top-k (shuffle carries lists once, "
+    "output ≤ q×probe×k rows). ORACLE (new in r4, was no_oracle): "
+    "the quantizer is now fully replayable — lowest-id sample, "
+    "first-k init, 10 fixed Lloyd rounds — so the DuckDB twin "
+    "(_kmeans_chain_ctes) re-derives the centroids, the list "
+    "assignments, the probe sets, and the per-query exact top-5, "
+    "all bit-checked",
     ("similarity", "ann", "ivf", "embeddings"),
 )
 def ann_topk_ivf(spark, sf_dir):
@@ -7551,8 +7679,7 @@ def token_zipf_slope_by_source(spark, sf_dir):
 
 @_register(
     "ann_topk_ivf_indexed",
-    None,  # approximate ANN over a materialized index; recall +
-    # partition pruning asserted in tests/test_ann_index.py
+    _ann_ivf_oracle(k=5, n_probe=4),
     "Similarity search scale path #5: a PERSISTENT IVF index — the "
     "embeddings stream ingests via foreachBatch into parquet "
     "partitioned by coarse-quantizer list (quantizer trained once on "
@@ -7560,7 +7687,13 @@ def token_zipf_slope_by_source(spark, sf_dir):
     "search reads ONLY the probed list partitions (partition pruning "
     "does candidate selection before any vector bytes are scanned) "
     "then re-ranks exactly. ivf_topk rebuilds its lists per run; "
-    "this is the index-at-rest deployment a 100 TB corpus needs",
+    "this is the index-at-rest deployment a 100 TB corpus needs. "
+    "ORACLE (new in r4, was rows-only): the index trainer now uses "
+    "the same replayable recipe as ivf_topk (lowest-id sample, "
+    "first-k init, 10 Lloyd rounds; the single-file stream's first "
+    "batch IS the table), so the same _kmeans_chain_ctes twin that "
+    "checks ann_topk_ivf pins the indexed search bit-for-bit — "
+    "including the frozen layout and pruned-partition read path",
     ("streaming", "similarity", "ann", "ivf", "embeddings"),
 )
 def ann_topk_ivf_indexed(spark, sf_dir):
@@ -8462,11 +8595,56 @@ def priority_sample_documents(spark, sf_dir):
     )
 
 
+def _semantic_dedup_oracle(threshold: float = 0.92) -> str:
+    """DuckDB twin of ``semantic_dedup``: the replayable quantizer
+    chain (``_kmeans_chain_ctes``, train_sample=4096 as the operator
+    uses) derives the lists, then a RECURSIVE CTE replays the per-
+    list ε-net scan — members visited ascending id, state = the kept
+    ids + kept vectors per list, a member drops iff its max cosine
+    to the kept set reaches the threshold, ``dup_of`` = the first
+    max-cosine keeper (numpy first-argmax ≡ list_position's first
+    match)."""
+    return f"""
+    WITH RECURSIVE {_kmeans_chain_ctes(train_sample=4096)},
+    ordered AS (
+      SELECT k.cluster_id AS list_id, k.vec_id, a.v,
+             row_number() OVER (PARTITION BY k.cluster_id
+                                ORDER BY k.vec_id) AS rnk
+      FROM kassign k JOIN kalln a USING (vec_id)
+    ),
+    rec(list_id, rnk, kept_ids, kept_vs, vec_id, keep, dup_of) AS (
+      SELECT list_id, 0, []::BIGINT[], []::DOUBLE[][],
+             NULL::BIGINT, NULL::BOOLEAN, NULL::BIGINT
+      FROM (SELECT DISTINCT list_id FROM ordered)
+      UNION ALL
+      SELECT o.list_id, o.rnk,
+             CASE WHEN s.dropped THEN r.kept_ids
+                  ELSE list_append(r.kept_ids, o.vec_id) END,
+             CASE WHEN s.dropped THEN r.kept_vs
+                  ELSE list_append(r.kept_vs, o.v) END,
+             o.vec_id,
+             NOT s.dropped,
+             CASE WHEN s.dropped
+                  THEN r.kept_ids[list_position(s.sims, s.mx)] END
+      FROM rec r
+      JOIN ordered o ON o.list_id = r.list_id AND o.rnk = r.rnk + 1,
+      LATERAL (
+        SELECT sims, mx,
+               len(sims) > 0 AND mx >= {threshold} AS dropped
+        FROM (SELECT list_transform(r.kept_vs,
+                       kv -> list_dot_product(kv, o.v)) AS sims,
+                     list_max(list_transform(r.kept_vs,
+                       kv -> list_dot_product(kv, o.v))) AS mx)
+      ) s
+    )
+    SELECT vec_id, list_id, keep, dup_of
+    FROM rec WHERE rnk >= 1
+    """
+
+
 @_register(
     "semantic_dedup_embeddings",
-    None,  # the coarse quantizer is driver-side seeded k-means — not
-    # SQL-expressible; the greedy ε-net rule is property-tested on
-    # planted duplicate clusters in tests/test_round3_ops.py
+    _semantic_dedup_oracle(threshold=0.92),
     "SemDeDup-style semantic deduplication: spherical-k-means lists "
     "partition the corpus (same coarse quantizer as the IVF ANN "
     "tier), then ids are visited ascending within each list and a "
@@ -8484,6 +8662,8 @@ def semantic_dedup_embeddings(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     return semantic_dedup(e, threshold=0.92)
+
+
 
 
 @_register(

@@ -25,7 +25,35 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators.joins import asof_join, interval_overlap_join
-from .registry import _register, _t
+from .registry import _kmeans_chain_ctes, _register, _t
+
+_KMEANS_ORACLE = f"""
+    WITH {_kmeans_chain_ctes()},
+    joined AS (
+      SELECT k.vec_id, k.cluster_id, k.centroid_sim, e.label
+      FROM kassign k JOIN embeddings e USING (vec_id)
+    ),
+    top_label AS (
+      SELECT cluster_id, label AS majority_label FROM (
+        SELECT cluster_id, label,
+               row_number() OVER (PARTITION BY cluster_id
+                 ORDER BY count(*) DESC, label) AS rn
+        FROM joined GROUP BY cluster_id, label
+      ) WHERE rn = 1
+    ),
+    stats AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_vectors,
+             floor(sum(CAST(round(centroid_sim * 1000000) AS BIGINT))
+                   / (count(*) * 100.0) + 0.5) / 10000.0
+               AS mean_centroid_sim,
+             floor(min(centroid_sim) * 10000 + 0.5) / 10000.0
+               AS min_centroid_sim
+      FROM joined GROUP BY 1
+    )
+    SELECT s.cluster_id, s.n_vectors, s.mean_centroid_sim,
+           s.min_centroid_sim, t.majority_label
+    FROM stats s JOIN top_label t USING (cluster_id)
+    """
 
 
 def _r6(col):
@@ -1669,17 +1697,19 @@ def als_recommend_parts(spark, sf_dir):
 
 @_register(
     "kmeans_embedding_clusters",
-    None,  # centroids come from seeded driver-side Lloyd; rows-only
+    _KMEANS_ORACLE,
     "Spherical k-means over the embeddings (operators/similarity.py::"
     "kmeans_assign — the IVF/SemDeDup coarse quantizer exposed as a "
-    "first-class clustering operator): bounded-sample seeded "
+    "first-class clustering operator): bounded lowest-id-sample "
     "training, broadcast centroids, zero-shuffle Arrow assignment; "
     "this query audits the clustering (per-cluster size, mean/min "
-    "similarity to centroid, majority label). Assignment determinism "
-    "and recall of the underlying quantizer are pytest-pinned in the "
-    "IVF/semantic-dedup suites; the driver-visible oracle row "
-    "`kmeans_inertia_floor` (registry54) pins mean centroid-cosine "
-    "0.15 above the k=1 null",
+    "similarity to centroid, majority label). ORACLE (new in r4, was "
+    "rows-only): the quantizer is fully replayable — the DuckDB twin "
+    "(_kmeans_chain_ctes) re-derives centroids and assignments, and "
+    "the per-cluster stats use exact integer micro-sims for the mean "
+    "so both engines round identically. The driver-visible "
+    "`kmeans_inertia_floor` (registry54) additionally pins mean "
+    "centroid-cosine 0.15 above the k=1 null",
     ("ml", "kmeans", "clustering", "embeddings"),
 )
 def kmeans_embedding_clusters(spark, sf_dir):
@@ -1703,8 +1733,20 @@ def kmeans_embedding_clusters(spark, sf_dir):
     )
     stats = joined.groupBy("cluster_id").agg(
         F.count("*").alias("n_vectors"),
-        F.round(F.avg("centroid_sim"), 4).alias("mean_centroid_sim"),
-        F.round(F.min("centroid_sim"), 4).alias("min_centroid_sim"),
+        # exact integer micro-sims -> order-free sum -> one rounding:
+        # the identical formula in the DuckDB twin hash-matches
+        (
+            F.floor(
+                F.sum(F.round(F.col("centroid_sim") * 1000000).cast("long"))
+                / (F.count("*") * F.lit(100.0))
+                + F.lit(0.5)
+            )
+            / F.lit(10000.0)
+        ).alias("mean_centroid_sim"),
+        (
+            F.floor(F.min("centroid_sim") * 10000 + F.lit(0.5))
+            / F.lit(10000.0)
+        ).alias("min_centroid_sim"),
     )
     return stats.join(top_label, "cluster_id")
 

@@ -74,21 +74,27 @@ class IvfVectorIndex:
         return np.array([r["centroid"] for r in rows], dtype=np.float64)
 
     def _train(self, batch: DataFrame):
-        """Seeded spherical k-means on a bounded sample (driver numpy —
-        the only driver work, same recipe as ``ivf_topk``)."""
+        """Spherical k-means on a bounded sample (driver numpy — the
+        only driver work, same REPLAYABLE recipe as ``ivf_topk``:
+        lowest-id sample, first-k init — an unordered limit depends
+        on partition order, and rng.choice indices depend on runtime
+        sample size, so neither survives a cluster nor an oracle).
+        ``seed`` kept for index-format compatibility; unused."""
         import numpy as np
 
         sample = [
-            r[0]
-            for r in batch.select(self.vec_col).limit(self.train_sample).collect()
+            r[1]
+            for r in batch.select(self.id_col, self.vec_col)
+            .orderBy(self.id_col)
+            .limit(self.train_sample)
+            .collect()
         ]
         train = np.asarray(sample, dtype=np.float64)
         train /= np.maximum(
             np.linalg.norm(train, axis=1, keepdims=True), 1e-300
         )
-        rng = np.random.default_rng(self.seed)
         k = min(self.n_lists, len(train))
-        cent = train[rng.choice(len(train), size=k, replace=False)]
+        cent = train[:k].copy()
         for _ in range(10):
             assign = np.argmax(train @ cent.T, axis=1)
             for j in range(k):
