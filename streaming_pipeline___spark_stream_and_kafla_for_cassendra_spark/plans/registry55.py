@@ -349,3 +349,71 @@ def phash_determinism_gate(spark, sf_dir):
             F.sum((F.col("phash") != F.col("phash2")).cast("long")) == 0
         ).alias("deterministic"),
     )
+
+
+@_register(
+    "pack_sequences_ffd",
+    """
+    WITH RECURSIVE docs2 AS (
+      SELECT doc_id,
+             CAST(coalesce(len(list_filter(
+               string_split_regex(lower(text), '\\s+'),
+               x -> x <> '')), 0) AS BIGINT) AS n,
+             doc_id % 8 AS shard
+      FROM documents
+    ),
+    ordered AS (
+      SELECT *, row_number() OVER (PARTITION BY shard
+                 ORDER BY n DESC, doc_id ASC) AS rnk
+      FROM docs2
+    ),
+    rec(shard, rnk, rems, doc_id, n, bin_in_shard) AS (
+      SELECT shard, 0, []::BIGINT[], NULL::BIGINT, NULL::BIGINT,
+             NULL::BIGINT
+      FROM (SELECT DISTINCT shard FROM ordered)
+      UNION ALL
+      SELECT o.shard, o.rnk,
+        CASE WHEN s.idx IS NULL THEN list_append(r.rems, 256 - o.n)
+             ELSE list_transform(r.rems,
+                    (x, j) -> CASE WHEN j = s.idx THEN x - o.n
+                              ELSE x END) END,
+        o.doc_id, o.n,
+        coalesce(s.idx, len(r.rems) + 1)
+      FROM rec r
+      JOIN ordered o ON o.shard = r.shard AND o.rnk = r.rnk + 1,
+      LATERAL (SELECT nullif(list_position(
+                 list_transform(r.rems, x -> x >= o.n), true), 0)
+                 AS idx) s
+    )
+    SELECT doc_id, n AS n_tokens, shard, bin_in_shard,
+           shard * 1000000 + bin_in_shard AS bin_id
+    FROM rec WHERE rnk >= 1
+    """,
+    "Sequence packing (first-fit-decreasing) — the step between a "
+    "tokenized corpus and a training dataloader: documents pack into "
+    "capacity-256 context bins, visited (token count desc, id asc), "
+    "each into the FIRST bin that fits, else a new bin; oversize "
+    "docs get their own over-full bin nothing else joins. Exact "
+    "global FFD is inherently sequential, so the operator "
+    "(operators/packing.py) shards by doc_id % 8 and runs exact FFD "
+    "inside each shard as one Arrow-local pass — the bounded-"
+    "sequential-work discipline; quality loss vs global FFD is the "
+    "usual < 1-bin-per-shard tail. The DuckDB oracle replays each "
+    "shard's scan with a recursive CTE carrying the remaining-"
+    "capacity list (first-fit = list_position of the first fitting "
+    "bin) and every assignment must match",
+    ("text", "packing", "training", "documents"),
+)
+def pack_sequences_ffd(spark, sf_dir):
+    from ..functions.text import token_count
+    from ..operators.packing import pack_sequences_ffd as pack
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce(token_count(F.col("text")).cast("long"), F.lit(0))
+        .alias("n_tokens"),
+    )
+    return pack(
+        d, count_col="n_tokens", id_col="doc_id",
+        capacity=256, n_shards=8,
+    )

@@ -280,3 +280,38 @@ def test_deletion_neighborhood_matches_qgram_path(spark):
     got_d = run("deletes")
     assert got_q, "corpus must produce pairs"
     assert got_d == got_q
+
+
+def test_pack_sequences_ffd_invariants(spark):
+    """FFD invariants: every normal bin fits within capacity, every
+    oversize doc sits alone in its own bin, and first-fit order is
+    respected (deterministic assignment)."""
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.packing import (
+        pack_sequences_ffd,
+    )
+
+    rows = [(i, n) for i, n in enumerate(
+        [300, 120, 120, 100, 90, 60, 40, 30, 10, 5]
+    )]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences_ffd(
+        df, count_col="n_tokens", id_col="doc_id",
+        capacity=256, n_shards=1,
+    ).collect()
+    by_bin: dict[int, list] = {}
+    for r in out:
+        by_bin.setdefault(r.bin_id, []).append(r)
+    for b, members in by_bin.items():
+        total = sum(m.n_tokens for m in members)
+        if any(m.n_tokens > 256 for m in members):
+            assert len(members) == 1  # oversize doc is alone
+        else:
+            assert total <= 256
+    # FFD visits 300 first (own bin), then 120+120 share bin 2,
+    # 100+90+60 fill bin 3 to 250, 40+30+10+5 open bin 4
+    assignment = {r.doc_id: r.bin_in_shard for r in out}
+    assert assignment[0] == 1
+    assert assignment[1] == 2 and assignment[2] == 2
+    assert assignment[3] == 3 and assignment[4] == 3
+    assert assignment[5] == 3
+    assert assignment[6] == 4
