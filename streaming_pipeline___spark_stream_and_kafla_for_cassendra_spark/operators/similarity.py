@@ -925,16 +925,21 @@ def pq_topk(
        codebook, m×n_codes dots) and scores every candidate with m
        table lookups + adds — no decompression, no float matmul over
        the corpus;
-    4. the classic PQ deployment re-rank: the ADC shortlist
-       (``rerank_factor``·k per query per batch) is re-scored with
-       exact dots — rerank_factor·k exact dot products per query per
-       batch instead of #candidates — so reported similarities are
-       EXACT cosine and in-cluster orderings survive quantization
-       noise. Each batch then emits only its local top-(k+1) winners,
-       keeping the shuffle k-sized exactly like ``brute_force_topk``.
+    4. the classic PQ deployment re-rank: the GLOBAL ADC shortlist —
+       top ``rerank_factor``·k per query under the total order
+       (adc desc, id asc) — is re-scored with exact dots, so reported
+       similarities are EXACT cosine and in-cluster orderings survive
+       quantization noise. Each batch emits only its local top-S
+       under the SAME total order (a safe prefilter of the global
+       cut), keeping the shuffle S-sized per query per batch AND
+       making the output a pure function of the data — independent
+       of Arrow batch boundaries, hence exactly oracle-able
+       (round 4; it previously cut the shortlist per batch).
 
     Recall is tunable with ``m``/``n_codes``/``rerank_factor``
-    without touching the scan.
+    without touching the scan. Training follows the REPLAYABLE
+    recipe (lowest-id sample, first-n_codes init, 10 fixed Lloyd
+    rounds); ``seed`` kept for API stability, unused.
     """
     import numpy as np
 
@@ -946,7 +951,11 @@ def pq_topk(
     )
 
     sample = [
-        r[0] for r in candidates.select(vec_col).limit(train_sample).collect()
+        r[1]
+        for r in candidates.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(train_sample)
+        .collect()
     ]
     train = np.asarray(sample, dtype=np.float64)
     train /= np.maximum(np.linalg.norm(train, axis=1, keepdims=True), 1e-300)
@@ -954,12 +963,13 @@ def pq_topk(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
-    rng = np.random.default_rng(seed)
     n_codes = min(n_codes, len(train))
     books = np.empty((m, n_codes, dsub), dtype=np.float64)
     for j in range(m):
+        # REPLAYABLE training recipe (see _train_spherical_quantizer):
+        # lowest-id sample, first-n_codes init, 10 fixed Lloyd rounds
         sub = train[:, j * dsub : (j + 1) * dsub]
-        cent = sub[rng.choice(len(sub), size=n_codes, replace=False)]
+        cent = sub[:n_codes].copy()
         for _ in range(10):  # fixed Lloyd iterations, deterministic
             d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
             assign = np.argmin(d2, axis=1)
@@ -979,6 +989,8 @@ def pq_topk(
         ]
     )
 
+    shortlist_size = rerank_factor * k
+
     def score(batches):
         import numpy as np
         import pandas as pd
@@ -988,7 +1000,6 @@ def pq_topk(
         mm, nc_, ds = B.shape
         # per-query ADC tables: T[qi, j, c] = q_sub · codebook entry
         tables = np.einsum("qjd,jcd->qjc", q_mat.reshape(len(q_ids), mm, ds), B)
-        keep = k + 1
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -1008,33 +1019,54 @@ def pq_topk(
             sims = np.zeros((nc, len(q_ids)), dtype=np.float64)
             for j in range(mm):
                 sims += tables[:, j, codes[:, j]].T  # (nc, nq)
-            take = min(keep, nc)
-            shortlist = min(max(rerank_factor * k, keep) + 1, nc)
-            qcol, ncol, scol = [], [], []
+            qcol, ncol, acol, ecol = [], [], [], []
             for qi in range(len(q_ids)):
-                s = sims[:, qi]
-                # ADC shortlist, then exact re-rank of the shortlist
-                cand = np.argpartition(-s, shortlist - 1)[:shortlist]
-                s_exact = c_mat[cand] @ q_mat[qi]
-                idx = cand[np.lexsort((c_ids[cand], -s_exact))[:take]]
-                s_out = c_mat[idx] @ q_mat[qi]
-                qcol.append(np.full(len(idx), q_ids[qi], dtype=np.int64))
-                ncol.append(c_ids[idx])
-                scol.append(s_out)
-            yield pd.DataFrame(
-                {
-                    "query_id": np.concatenate(qcol),
-                    "neighbor_id": np.concatenate(ncol),
-                    "cosine_sim": np.concatenate(scol),
-                }
-            )
+                mask = c_ids != q_ids[qi]
+                s = sims[mask, qi]
+                ids_m = c_ids[mask]
+                # batch-local ADC top-S under the SAME total order
+                # (adc desc, id asc) the global cut uses — a safe
+                # prefilter, so the final result is a pure function
+                # of the data, independent of Arrow batch boundaries
+                take = min(shortlist_size, len(ids_m))
+                idx = np.lexsort((ids_m, -s))[:take]
+                exact = c_mat[mask][idx] @ q_mat[qi]
+                qcol.append(np.full(take, q_ids[qi], dtype=np.int64))
+                ncol.append(ids_m[idx])
+                acol.append(s[idx])
+                ecol.append(exact)
+            if qcol:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(qcol),
+                        "neighbor_id": np.concatenate(ncol),
+                        "adc_sim": np.concatenate(acol),
+                        "cosine_sim": np.concatenate(ecol),
+                    }
+                )
 
+    from pyspark.sql.types import DoubleType as _D
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("adc_sim", _D()),
+            StructField("cosine_sim", _D()),
+        ]
+    )
+    scored = candidates.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    ).mapInPandas(score, out_schema)
+    # global ADC shortlist (total order: adc desc, id asc), THEN the
+    # exact re-rank — deterministic two-stage, batch-independent
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_sim").desc(), F.col("neighbor_id").asc()
+    )
     scored = (
-        candidates.select(
-            F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
-        )
-        .mapInPandas(score, out_schema)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        scored.withColumn("_adc_rn", F.row_number().over(w_adc))
+        .filter(F.col("_adc_rn") <= shortlist_size)
+        .drop("_adc_rn", "adc_sim")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()

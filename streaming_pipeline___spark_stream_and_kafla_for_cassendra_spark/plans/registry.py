@@ -1709,15 +1709,150 @@ def ann_topk_ivf(spark, sf_dir):
     return ivf_topk(emb, queries_df, k=5, n_lists=16, n_probe=4)
 
 
+def _ann_pq_oracle(m: int = 8, n_codes: int = 32, dsub: int = 8,
+                   iters: int = 10, train_sample: int = 4096,
+                   k: int = 5, rerank_factor: int = 4) -> str:
+    """Generated DuckDB twin of the (round-4 deterministic) pq_topk:
+    per-subspace Euclidean k-means replayed with the standard recipe
+    (lowest-id sample, first-n_codes init, argmin-d2 with lower-code
+    tie-break, mean centroids, empty codes keep old), candidates
+    encoded per subspace, ADC = the m LUT terms added in fixed
+    subspace order, GLOBAL shortlist = top rerank_factor·k per query
+    under (adc desc, id asc), exact-cosine re-rank for the top-k."""
+    d2 = ("list_sum(list_transform(generate_series(1, {ds}),"
+          " e -> (t.s[e] - c.c[e]) * (t.s[e] - c.c[e])))")
+    parts = [f"""psamp AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rid,
+             list_transform(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)),
+               x -> x / greatest(sqrt(list_dot_product(
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)))),
+                 1e-300)) AS v
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT {train_sample})
+    ),
+    pnorm AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)),
+               x -> x / greatest(sqrt(list_dot_product(
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)))),
+                 1e-300)) AS v
+      FROM embeddings
+    )"""]
+    adc_terms = []
+    joins = []
+    for j in range(m):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        parts.append(f"""pt{j} AS MATERIALIZED (
+      SELECT rid, v[{lo}:{hi}] AS s FROM psamp
+    ),
+    pc{j}_0 AS MATERIALIZED (
+      SELECT rid AS code, s AS c FROM pt{j} WHERE rid < {n_codes}
+    )""")
+        for i in range(1, iters + 1):
+            p = i - 1
+            dd = d2.format(ds=dsub)
+            parts.append(f"""pa{j}_{i} AS (
+      SELECT t.rid, t.s, c.code,
+             row_number() OVER (PARTITION BY t.rid
+               ORDER BY {dd} ASC, c.code ASC) AS rk
+      FROM pt{j} t CROSS JOIN pc{j}_{p} c
+    ),
+    ps{j}_{i} AS (
+      SELECT code, e, avg(x) AS mx
+      FROM (SELECT code, unnest(s) AS x,
+                   unnest(generate_series(1, {dsub})) AS e
+            FROM pa{j}_{i} WHERE rk = 1)
+      GROUP BY 1, 2
+    ),
+    pm{j}_{i} AS (
+      SELECT code, list(mx ORDER BY e) AS c FROM ps{j}_{i} GROUP BY 1
+    ),
+    pc{j}_{i} AS MATERIALIZED (
+      SELECT o.code,
+             CASE WHEN n.code IS NULL THEN o.c ELSE n.c END AS c
+      FROM pc{j}_{p} o LEFT JOIN pm{j}_{i} n ON n.code = o.code
+    )""")
+        dd_enc = (f"list_sum(list_transform(generate_series(1, {dsub}),"
+                  f" e -> (t.v[{lo} + e - 1] - c.c[e])"
+                  f" * (t.v[{lo} + e - 1] - c.c[e])))")
+        parts.append(f"""pcode{j} AS MATERIALIZED (
+      SELECT vec_id, code FROM (
+        SELECT t.vec_id, c.code,
+               row_number() OVER (PARTITION BY t.vec_id
+                 ORDER BY {dd_enc} ASC, c.code ASC) AS rk
+        FROM pnorm t CROSS JOIN pc{j}_{iters} c
+      ) WHERE rk = 1
+    ),
+    lut{j} AS MATERIALIZED (
+      SELECT q.vec_id AS qid, b.code,
+             list_dot_product(q.v[{lo}:{hi}], b.c) AS t
+      FROM (SELECT * FROM pnorm WHERE vec_id % 100 = 0) q
+      CROSS JOIN pc{j}_{iters} b
+    )""")
+        joins.append(
+            f"JOIN pcode{j} c{j} ON c{j}.vec_id = c0.vec_id\n"
+            f"      JOIN lut{j} l{j} ON l{j}.code = c{j}.code"
+            + ("" if j == 0 else f" AND l{j}.qid = l0.qid")
+        )
+        adc_terms.append(f"l{j}.t")
+    adc = adc_terms[0]
+    for t in adc_terms[1:]:
+        adc = f"({adc} + {t})"
+    join_sql = "\n      ".join(joins[1:])
+    parts_sql = ",\n    ".join(parts)
+    return f"""
+    WITH {parts_sql},
+    adc AS (
+      SELECT l0.qid AS query_id, c0.vec_id AS neighbor_id,
+             {adc} AS adc_sim
+      FROM pcode0 c0
+      JOIN lut0 l0 ON l0.code = c0.code
+      {join_sql}
+      WHERE c0.vec_id <> l0.qid
+    ),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc_sim DESC, neighbor_id ASC) AS rn
+        FROM adc
+      ) WHERE rn <= {rerank_factor * k}
+    ),
+    exact AS (
+      SELECT s.query_id, s.neighbor_id,
+             list_dot_product(qa.v, na.v) AS sim
+      FROM short s
+      JOIN pnorm qa ON qa.vec_id = s.query_id
+      JOIN pnorm na ON na.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(sim, 4) AS cosine_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id)
+                AS INTEGER) AS rank
+    FROM exact
+    QUALIFY rank <= {k}
+    """
+
+
 @_register(
     "ann_topk_pq",
-    None,  # approximate; recall vs brute force asserted in tests
+    _ann_pq_oracle(),
     "Similarity search scale path #4: product quantization (FAISS-"
     "style ADC) — m sub-space codebooks trained on a bounded sample, "
     "candidates compress to m uint8 codes (64× smaller than float64 "
-    "at dim=64/m=8), queries stay exact and score via per-batch "
-    "lookup tables: m table adds per candidate, no decompression, "
-    "no corpus matmul; per-batch winners keep the shuffle k-sized",
+    "at dim=64/m=8), queries stay exact and score via lookup tables: "
+    "m table adds per candidate, no decompression, no corpus matmul; "
+    "each batch pre-filters with the same (adc desc, id asc) total "
+    "order the GLOBAL rerank_factor·k shortlist cut uses, so the "
+    "shuffle stays shortlist-sized AND the output is batch-"
+    "independent. ORACLE (new in r4, was no_oracle): the codebooks "
+    "follow the replayable recipe, so the DuckDB twin "
+    "(_ann_pq_oracle) replays all m sub-space k-means trainings, the "
+    "encodings, the fixed-order ADC sums, the global shortlist, and "
+    "the exact re-rank, bit-checked end to end",
     ("similarity", "ann", "pq", "embeddings"),
 )
 def ann_topk_pq(spark, sf_dir):
