@@ -315,3 +315,28 @@ def test_pack_sequences_ffd_invariants(spark):
     assert assignment[3] == 3 and assignment[4] == 3
     assert assignment[5] == 3
     assert assignment[6] == 4
+
+
+def test_pq_topk_batch_independent(spark):
+    """The round-4 redesign makes pq_topk a pure function of the
+    data: the global ADC shortlist uses a total order and each batch
+    pre-filters with the same order, so output must not change under
+    different partitionings (different Arrow batch boundaries)."""
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.similarity import (
+        pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id % 100 = 0")
+
+    def run(df):
+        return sorted(
+            (r.query_id, r.neighbor_id, r.cosine_sim, r.rank)
+            for r in pq_topk(df, queries, k=5).collect()
+        )
+
+    a = run(emb)
+    b = run(emb.repartition(13))
+    c = run(emb.repartition(1))
+    assert a, "must produce results"
+    assert a == b == c
