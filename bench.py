@@ -59,6 +59,11 @@ EXCLUDE: dict[str, str] = {
         "14 s: re-trains the merge table then tokenizes the corpus; "
         "cost = bpe_merges + one Arrow pass"
     ),
+    "tokenizer_fertility_by_lang": (
+        "8 s: re-trains the BPE merge table then encodes the corpus "
+        "(same cost class as bpe_token_counts; per-language rollup "
+        "on top)"
+    ),
     "streaming_abandoned_views": (
         "14 s: stream-stream outer join runs TWO availableNow "
         "micro-batch executions (state build + eviction)"

@@ -39,6 +39,7 @@ description.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .registry import _register, _t
@@ -416,4 +417,193 @@ def pack_sequences_ffd(spark, sf_dir):
     return pack(
         d, count_col="n_tokens", id_col="doc_id",
         capacity=256, n_shards=8,
+    )
+
+
+def _fertility_oracle() -> str:
+    from .registry import _BPE_ROUNDS, _bpe_chain_ctes
+
+    return f"""
+    WITH {_bpe_chain_ctes(_BPE_ROUNDS)},
+    final_len AS (SELECT w, len(syms) AS n FROM wt{_BPE_ROUNDS}),
+    docw AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               string_split_regex(lower(text), '\\s+'),
+               x -> x <> '')) AS w
+      FROM documents
+    ),
+    perdoc AS (
+      SELECT d.doc_id, f.n FROM docw d JOIN final_len f USING (w)
+    ),
+    langs AS (
+      SELECT dd.lang, dd.doc_id,
+             coalesce(sum(p.n), 0) AS bpe, count(p.n) AS words
+      FROM documents dd LEFT JOIN perdoc p ON p.doc_id = dd.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(words) AS BIGINT) AS n_words,
+           CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens,
+           floor(sum(bpe) / CAST(sum(words) AS DOUBLE) * 10000 + 0.5)
+             / 10000.0 AS fertility
+    FROM langs GROUP BY 1
+    """
+
+
+@_register(
+    "tokenizer_fertility_by_lang",
+    _fertility_oracle(),
+    "Tokenizer fertility by language — BPE pieces per whitespace "
+    "word, the standard multilingual-tokenizer health metric (a "
+    "language with fertility far above the corpus mean is being "
+    "shredded into characters and will train poorly): trains the "
+    "corpus BPE (25 merges), encodes every document, and reports "
+    "per-language doc/word/piece totals and the fertility ratio. "
+    "Oracle: the same generated CTE chain that checks "
+    "bpe_token_counts_documents, aggregated per language with exact "
+    "integer sums and one floor-rounded division. Costed like the "
+    "other BPE queries (re-trains the merge table) — excluded from "
+    "the default bench, fully oracle-checked for correctness",
+    ("text", "bpe", "tokenizer", "multilingual", "documents"),
+)
+def tokenizer_fertility_by_lang(spark, sf_dir):
+    from ..functions.bpe import bpe_encode, bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_train(d, "text", num_merges=25)
+    enc = bpe_encode(d, merges, id_col="doc_id", text_col="text")
+    return (
+        enc.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            (
+                F.floor(
+                    F.sum("n_bpe_tokens")
+                    / F.sum("n_words").cast("double")
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("fertility"),
+        )
+    )
+
+
+@_register(
+    "dedup_survivorship_audit",
+    """
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+             FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+            FROM toks)
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) inter
+      JOIN cnt ca ON ca.doc_id = id_a
+      JOIN cnt cb ON cb.doc_id = id_b
+      WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.2
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges) base
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+    ),
+    clusters AS (SELECT node AS doc_id, min(r) AS cluster_id
+                 FROM reach GROUP BY node),
+    sel AS (
+      SELECT c.cluster_id, d.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, d.doc_id)
+               AS rk
+      FROM clusters c JOIN documents d USING (doc_id)
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_total
+            FROM documents),
+    absorbed AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_absorbed,
+             CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS chars_absorbed
+      FROM sel WHERE rk > 1
+    ),
+    cl AS (SELECT CAST(count(*) AS BIGINT) AS n_clustered,
+                  CAST(count(DISTINCT cluster_id) AS BIGINT)
+                    AS n_canonical
+           FROM sel)
+    SELECT t.n_docs, cl.n_clustered, cl.n_canonical, a.n_absorbed,
+           t.chars_total,
+           t.chars_total - a.chars_absorbed AS chars_retained,
+           CAST(floor((t.chars_total - a.chars_absorbed) * 1000000.0
+                      / t.chars_total) AS BIGINT) AS retention_ppm
+    FROM tot t, absorbed a, cl
+    """,
+    "Dedup survivorship audit — the 'what did dedup cost me' report "
+    "every pipeline run should ship: after near-dup clustering "
+    "(3-gram Jaccard >= 0.2, connected components) and longest-text "
+    "canonical election, one row states corpus docs/chars, clustered "
+    "and canonical counts, absorbed (deleted) docs, retained chars "
+    "and the char-retention ppm — the number that goes on the run "
+    "dashboard next to the dedup threshold. Reuses the exact pair "
+    "graph + components + election of near_dup_canonical_docs; all "
+    "integer arithmetic, exact oracle",
+    ("dedup", "survivorship", "audit", "documents"),
+)
+def dedup_survivorship_audit(spark, sf_dir):
+    from ..operators.dedup import connected_components, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "text", "doc_id", shingle_n=3, threshold=0.2, max_gram_df=256
+    )
+    labels = connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+    sel = labels.join(d.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    ranked = sel.withColumn("rk", F.row_number().over(w))
+    tot = d.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+    )
+    cl = ranked.agg(
+        F.count("*").cast("long").alias("n_clustered"),
+        F.countDistinct("cluster_id").cast("long").alias("n_canonical"),
+        F.coalesce(
+            F.sum(F.when(F.col("rk") > 1, F.col("n_chars"))), F.lit(0)
+        ).cast("long").alias("chars_absorbed"),
+        F.sum((F.col("rk") > 1).cast("long")).cast("long").alias(
+            "n_absorbed"
+        ),
+    )
+    return tot.crossJoin(cl).select(
+        "n_docs",
+        "n_clustered",
+        "n_canonical",
+        "n_absorbed",
+        "chars_total",
+        (F.col("chars_total") - F.col("chars_absorbed")).alias(
+            "chars_retained"
+        ),
+        F.floor(
+            (F.col("chars_total") - F.col("chars_absorbed"))
+            * F.lit(1000000.0)
+            / F.col("chars_total")
+        ).cast("long").alias("retention_ppm"),
     )
