@@ -607,3 +607,70 @@ def dedup_survivorship_audit(spark, sf_dir):
             / F.col("chars_total")
         ).cast("long").alias("retention_ppm"),
     )
+
+
+@_register(
+    "compression_ratio_floor",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           TRUE AS bounds_met,
+           TRUE AS deterministic,
+           TRUE AS mean_ceiling_met
+    FROM documents
+    WHERE text IS NOT NULL AND strlen(text) >= 50
+    """,
+    "Companion gate for the rows-only compression_ratio_documents "
+    "(DEFLATE is not SQL-expressible): over every document of >= 50 "
+    "chars, the zlib ratio must (a) sit in (0, 1.2] with "
+    "ratio == compressed_bytes/n_chars to 1e-6 (the operator rounds "
+    "to 6 dp) — a broken pass emits zeros, inflated sizes, or "
+    "mismatched columns; (b) be "
+    "IDENTICAL when the corpus is re-hashed under a different "
+    "repartition (scan-local purity, the phash-gate discipline); and "
+    "(c) average at most 0.9 — natural-language text compresses far "
+    "below that, so a no-op 'compressor' fails the ceiling. Oracle "
+    "pins the eligible-doc count + the three booleans",
+    ("text", "quality", "compression", "evaluation", "documents"),
+)
+def compression_ratio_floor(spark, sf_dir):
+    from ..functions.text import compression_ratio
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") >= 50)
+    )
+    r1 = compression_ratio(d, "text", "doc_id")
+    r2 = (
+        compression_ratio(d.repartition(7), "text", "doc_id")
+        .withColumnRenamed("compression_ratio", "ratio2")
+        .select("doc_id", "ratio2")
+    )
+    joined = r1.join(r2, "doc_id")
+    return joined.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (
+            F.sum(
+                (
+                    (F.col("compression_ratio") <= 0.0)
+                    | (F.col("compression_ratio") > 1.2)
+                    | (
+                        F.abs(
+                            F.col("compression_ratio")
+                            - F.col("compressed_bytes")
+                            / F.col("n_chars").cast("double")
+                        )
+                        > 1e-6
+                    )
+                ).cast("long")
+            )
+            == 0
+        ).alias("bounds_met"),
+        (
+            F.sum(
+                (
+                    F.col("compression_ratio") != F.col("ratio2")
+                ).cast("long")
+            )
+            == 0
+        ).alias("deterministic"),
+        (F.avg("compression_ratio") <= 0.9).alias("mean_ceiling_met"),
+    )
