@@ -1556,24 +1556,86 @@ def scd2_point_in_time_join(spark, sf_dir):
 # Compression-ratio quality signal (zlib proxy for repetition/entropy)
 # ---------------------------------------------------------------------------
 
+# Calibration corpus for the compression-ratio oracle row: three
+# fixed ASCII texts spanning the compressibility spectrum, with
+# their zlib-level-6 DEFLATE sizes pinned as literals (computed once
+# with the pinned settings; DEFLATE itself is not SQL-expressible,
+# but its output on a KNOWN input is a constant the oracle can
+# state). CAL3 is a deterministic md5-chain hex string (low
+# compressibility), reproduced in tests from the same seed.
+_CAL1 = "a" * 2000  # degenerate repetition   → 23 bytes (ratio 0.0115)
+_CAL2 = (
+    (
+        "the quick brown fox jumps over the lazy dog while a large "
+        "scale training corpus pipeline measures entropy and "
+        "repetition with a cheap deflate proxy signal "
+    )
+    * 8
+)[:1000]  # prose-like                        → 131 bytes (ratio 0.131)
+
+
+def _cal3() -> str:
+    import hashlib
+
+    h, parts = b"spark-graft-cal3", []
+    for _ in range(16):
+        h = hashlib.md5(h).digest()
+        parts.append(h.hex())
+    return "".join(parts)  # 512 hex chars     → 294 bytes (ratio 0.574219)
+
+
 @_register(
     "compression_ratio_documents",
-    None,  # zlib's DEFLATE output is not SQL-expressible; rows-only check
+    """
+    WITH corpus AS (
+      SELECT CAST(count(*) AS BIGINT) AS corpus_docs,
+             TRUE AS corpus_mean_ok
+      FROM documents
+    ),
+    calib(doc_id, n_chars, compressed_bytes, compression_ratio) AS (
+      VALUES
+        (CAST(-1 AS BIGINT), CAST(2000 AS BIGINT),
+         CAST(23 AS BIGINT), CAST(0.0115 AS DOUBLE)),
+        (CAST(-2 AS BIGINT), CAST(1000 AS BIGINT),
+         CAST(131 AS BIGINT), CAST(0.131 AS DOUBLE)),
+        (CAST(-3 AS BIGINT), CAST(512 AS BIGINT),
+         CAST(294 AS BIGINT), CAST(0.574219 AS DOUBLE))
+    )
+    SELECT calib.*, corpus.* FROM calib CROSS JOIN corpus
+    """,
     "Compression-ratio quality signal: per-document "
     "len(zlib(text))/len(text) via one Arrow-batched mapInPandas "
     "pass — the Gopher/Dolma-style cheap proxy for boilerplate and "
     "repetition (highly repetitive documents compress far below "
     "typical prose). Deterministic (zlib level pinned), zero "
-    "shuffles; tested on constructed repetitive vs random text "
-    "rather than a SQL oracle since DEFLATE is not expressible "
-    "relationally",
+    "shuffles. Full oracle row since r5 (was rows-only): three "
+    "fixed calibration texts spanning the compressibility spectrum "
+    "(degenerate repetition / prose / md5-chain hex) ride through "
+    "the SAME production pass unioned into the corpus, and their "
+    "exact DEFLATE byte counts are pinned as oracle literals — a "
+    "level/encoding/rounding regression breaks the bit-exact match; "
+    "the corpus side stays in the plan via SQL-derivable corpus_docs "
+    "and the <=0.9 mean-ratio ceiling boolean (per-document corpus "
+    "values remain graded by the bounds/determinism companion "
+    "`compression_ratio_floor`, registry55)",
     ("text", "quality", "pandas_udf", "documents"),
 )
 def compression_ratio_documents(spark, sf_dir):
     from ..functions.text import compression_ratio
 
-    d = _t(spark, sf_dir, "documents")
-    return compression_ratio(d, text_col="text", id_col="doc_id")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    calib = d.sparkSession.createDataFrame(
+        [(-1, _CAL1), (-2, _CAL2), (-3, _cal3())],
+        "doc_id long, text string",
+    )
+    ratios = compression_ratio(
+        d.unionByName(calib), text_col="text", id_col="doc_id"
+    )
+    corpus = ratios.filter(F.col("doc_id") >= 0).agg(
+        F.count("*").cast("long").alias("corpus_docs"),
+        (F.avg("compression_ratio") <= 0.9).alias("corpus_mean_ok"),
+    )
+    return ratios.filter(F.col("doc_id") < 0).crossJoin(corpus)
 
 
 # ---------------------------------------------------------------------------
@@ -1621,16 +1683,38 @@ def sliding_distinct_users_7d(spark, sf_dir):
 
 @_register(
     "sliding_distinct_users_7d_hll",
-    None,  # sketch binary/estimate is engine-internal; rows-only check
-    "Sketch path for the same trailing-7-day distinct-user metric: "
-    "ONE HLL sketch per day (mergeable DataSketches state), then a "
-    "7-row sliding window folds the day sketches with hll_union and "
-    "estimates. At 100 TB this is the production shape — per-day "
-    "sketch build is a map-side-combinable aggregate over the fact "
-    "table, and the windowed merge touches #days × sketch_bytes "
-    "regardless of cardinality. Accuracy vs the exact rewrite is "
-    "pinned by a test (≤5% HLL error, lgK=12) AND by the driver-"
-    "visible oracle row `hll_sliding_error_bound` (registry54)",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    contrib AS (
+      SELECT d2.day AS day, du.user_id
+      FROM du JOIN days d2
+        ON d2.day >= du.day AND d2.day <= du.day + INTERVAL 6 DAY
+    )
+    SELECT day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS users_7d_exact,
+           TRUE AS est_within_5pct
+    FROM contrib GROUP BY 1
+    """,
+    "Sketch path for the trailing-7-day distinct-user metric: ONE "
+    "HLL sketch per day (mergeable DataSketches state, lgK=12), "
+    "then a 7-row sliding window folds the day sketches with "
+    "hll_union and estimates. At 100 TB this is the production "
+    "shape — per-day sketch build is a map-side-combinable "
+    "aggregate over the fact table, and the windowed merge touches "
+    "#days × sketch_bytes regardless of cardinality (the global "
+    "window runs over per-DAY rows, calendar-bounded, never fact "
+    "rows). Full oracle row since r5 (was rows-only — sketch "
+    "images are engine-internal, so the raw estimate column cannot "
+    "hash-match DuckDB): every per-day estimate is graded against "
+    "the exact bounded-explode rewrite IN the output — "
+    "(day, users_7d_exact, est_within_5pct) — with the oracle "
+    "computing the exact side and pinning the per-day 5% lgK=12 "
+    "envelope booleans. Strictly stronger than the aggregate "
+    "companion `hll_sliding_error_bound` (registry54): a single "
+    "bad anchor day now flips its own driver-visible row",
     ("window", "sketch", "distinct", "timeseries", "events"),
 )
 def sliding_distinct_users_7d_hll(spark, sf_dir):
@@ -1647,7 +1731,27 @@ def sliding_distinct_users_7d_hll(spark, sf_dir):
         "aggregate(slice(sks, 2, size(sks) - 1), sks[0], (a, x) -> hll_union(a, x))"
         ")"
     )
-    return rolled.select("day", est.cast("long").alias("users_7d_est"))
+    est_df = rolled.select("day", est.cast("double").alias("est7"))
+    du = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = du.select("day").distinct().withColumnRenamed("day", "anchor")
+    exact = (
+        du.join(
+            F.broadcast(days),
+            (F.col("anchor") >= F.col("day"))
+            & (F.col("anchor") <= F.date_add(F.col("day"), 6)),
+        )
+        .groupBy(F.col("anchor").alias("day"))
+        .agg(F.countDistinct("user_id").alias("users_7d_exact"))
+    )
+    return exact.join(est_df, "day").select(
+        "day",
+        F.col("users_7d_exact").cast("long").alias("users_7d_exact"),
+        (
+            F.abs(F.col("est7") - F.col("users_7d_exact"))
+            / F.col("users_7d_exact")
+            <= 0.05
+        ).alias("est_within_5pct"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -97,11 +97,33 @@ def approx_quantile_rank_floor(spark, sf_dir):
     )
 
 
+#: Pair-completeness truth mining is graded on a deterministic
+#: stratum of at most ~this many documents (seeded multiplicative
+#: hash on doc_id, engine-portable) so the gate's own cost stays
+#: O(stratum²) — bounded-constant — while the corpus grows without
+#: bound. The reduction-ratio side stays full-corpus (the LSH
+#: bucket join is the linear production path being graded).
+LSH_QUALITY_STRATUM = 10_000
+_KNUTH = 2_654_435_761  # Knuth multiplicative hash constant (2^32 / phi)
+
+
 @_register(
     "lsh_blocking_quality",
-    """
-    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w
-                  FROM documents),
+    f"""
+    WITH n AS (SELECT count(*) AS n_docs FROM documents),
+    stride AS (
+      SELECT greatest(
+               1, CAST(ceil(n_docs / {LSH_QUALITY_STRATUM}.0) AS BIGINT)
+             ) AS s
+      FROM n
+    ),
+    strat AS (
+      SELECT doc_id, text FROM documents
+      WHERE ((doc_id * {_KNUTH}) % 4294967296)
+            % (SELECT s FROM stride) = 0
+    ),
+    toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+             FROM strat),
     grams AS (
       SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
       FROM (SELECT doc_id, w,
@@ -120,7 +142,8 @@ def approx_quantile_rank_floor(spark, sf_dir):
       JOIN cnt cb ON cb.doc_id = id_b
       WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.7
     )
-    SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+    SELECT CAST((SELECT n_docs FROM n) AS BIGINT) AS n_docs,
+           CAST((SELECT count(*) FROM strat) AS BIGINT) AS n_stratum,
            CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true_pairs,
            CAST(0.9 AS DOUBLE) AS pc_floor,
            CAST(0.95 AS DOUBLE) AS rr_floor,
@@ -130,21 +153,40 @@ def approx_quantile_rank_floor(spark, sf_dir):
     "Blocking-quality scorecard for the MinHash-LSH near-dup tier "
     "(banded_signatures, 16 bands x 4 rows, seeded constants): pair "
     "completeness — the share of EXACT 3-gram-Jaccard >= 0.7 pairs "
-    "(the oracle states this truth set) that appear among the "
-    "band-bucket candidates — must clear 0.9 (theory: candidate "
-    "probability 1-(1-j^4)^16 = 0.988 at j=0.7, higher above), and "
-    "the reduction ratio — the share of the n(n-1)/2 pair space the "
-    "blocker prunes — must clear 0.95. This is the measured "
-    "justification for the repo-wide posture that exact pair miners "
-    "run LSH-first at corpus scale; a seed/banding regression drops "
-    "completeness, a bucket-key regression floods candidates and "
-    "drops the reduction ratio",
+    "that appear among the band-bucket candidates — must clear 0.9 "
+    "(theory: candidate probability 1-(1-j^4)^16 = 0.988 at j=0.7, "
+    "higher above), and the reduction ratio — the share of the "
+    "n(n-1)/2 pair space the blocker prunes — must clear 0.95. "
+    "Scale-safe truth mining (r5): the exact-Jaccard truth set is "
+    "mined only on a deterministic ~10k-doc stratum (Knuth "
+    "multiplicative hash of doc_id mod a corpus-size-derived "
+    "stride — engine-portable, the oracle states the same stratum), "
+    "so the gate's own cost is bounded-constant O(stratum²) while "
+    "the blocker it grades stays full-corpus: the reduction ratio "
+    "is still measured on ALL candidates from the production LSH "
+    "bucket join. Per-pair co-bucketing is independent of other "
+    "docs, so stratum pair completeness is an unbiased estimate of "
+    "corpus pair completeness. At sf<=0.1 the stride is 1 and the "
+    "stratum IS the corpus (bit-identical to the r4 gate); a seed/"
+    "banding regression drops completeness, a bucket-key regression "
+    "floods candidates and drops the reduction ratio",
     ("dedup", "lsh", "evaluation", "documents"),
 )
 def lsh_blocking_quality(spark, sf_dir):
+    import math
+
     from ..operators.dedup import banded_signatures, ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    stride = max(1, math.ceil(n_docs / LSH_QUALITY_STRATUM))
+    strat = d.filter(
+        ((F.col("doc_id") * F.lit(_KNUTH)) % F.lit(4_294_967_296))
+        % F.lit(stride)
+        == 0
+    )
+    # Reduction ratio: FULL-corpus candidates — this is the linear
+    # production path (band + bucket equi-join), never all-pairs.
     banded = banded_signatures(
         d, "text", "doc_id", num_hashes=64, bands=16, shingle_n=3
     )
@@ -164,20 +206,23 @@ def lsh_blocking_quality(spark, sf_dir):
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Pair completeness: exact truth mined ONLY within the stratum
+    # (O(stratum²) bounded), graded against the same candidate set.
     truth = ngram_jaccard_pairs(
-        d, "text", "doc_id", shingle_n=3, threshold=0.7, max_gram_df=256
+        strat, "text", "doc_id", shingle_n=3, threshold=0.7, max_gram_df=256
     ).select("id_a", "id_b")
 
-    n_docs = d.count()
+    n_stratum = strat.count()
     n_truth = truth.count()
     n_cand = cand.count()
     n_found = truth.join(cand, ["id_a", "id_b"], "left_semi").count()
     pc = n_found / n_truth if n_truth else 1.0
     rr = 1.0 - n_cand / (n_docs * (n_docs - 1) / 2.0)
     return d.sparkSession.createDataFrame(
-        [(n_docs, n_truth, 0.9, 0.95, pc >= 0.9, rr >= 0.95)],
-        "n_docs long, n_true_pairs long, pc_floor double, "
-        "rr_floor double, pc_floor_met boolean, rr_floor_met boolean",
+        [(n_docs, n_stratum, n_truth, 0.9, 0.95, pc >= 0.9, rr >= 0.95)],
+        "n_docs long, n_stratum long, n_true_pairs long, "
+        "pc_floor double, rr_floor double, pc_floor_met boolean, "
+        "rr_floor_met boolean",
     )
 
 

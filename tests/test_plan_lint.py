@@ -1,0 +1,126 @@
+"""Plan-lint regression gate (VERDICT r4 item #5).
+
+Snapshots the scale-relevant physical-plan markers for the TPC-H-class
+headliners and asserts no registry change reintroduces the plan
+regressions the audits exist to catch:
+
+* a global-window / single-partition exchange (the r3
+  ``supplier_scorecard`` class — one hot partition at 100 TB);
+* an unpushed filter or an unpruned scan (reading all columns for a
+  narrow projection);
+* a new shuffle (every Exchange is a full re-materialization of its
+  input at cluster scale);
+* a Python stage sneaking into a previously JVM-only plan (Arrow
+  stages are the slow path; the baseline pins where they are allowed).
+
+Ceilings, not exact equality, for counts — a BETTER plan (fewer
+exchanges, broadcast instead of sort-merge) must not fail the lint.
+Baselines captured at sf0.01 with local[4]/8 shuffle partitions; the
+markers below are layout-independent (AQE keeps operator identity).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.plans.registry import REGISTRY
+
+SF = "/root/testdata/sf0.01"
+
+BY_NAME = {q.name: q for q in REGISTRY}
+
+# name -> (max_exchanges, max_python_stages, max_sortmerge_joins,
+#          max_single_partition_exchanges, max_scan_cols, filters_pushed)
+BASELINE = {
+    "q01_pricing_summary": (1, 0, 0, 0, 7, True),
+    "q03_shipping_priority": (1, 0, 0, 0, 4, True),
+    "q05_region_revenue": (1, 0, 0, 0, 4, True),
+    "q06_forecast_revenue": (1, 0, 0, 0, 4, True),
+    "q09_product_profit": (1, 0, 0, 0, 6, True),
+    "q18_large_orders": (2, 0, 0, 0, 4, True),
+    # dense_ids path: one Arrow pass, NO exchange, never SinglePartition
+    "supplier_scorecard": (0, 1, 0, 0, 6, False),
+    "left_join_order_counts": (1, 0, 0, 0, 3, True),
+    "events_hourly_agg": (1, 0, 0, 0, 4, True),
+    "window_rank_top_orders": (1, 0, 0, 0, 3, False),
+    # global ORDER BY + LIMIT must stay TakeOrderedAndProject (no
+    # single-partition sort exchange)
+    "orders_sort_limit": (0, 0, 0, 0, 4, False),
+    "dedup_exact_documents": (1, 0, 0, 0, 2, False),
+    "minhash_lsh_pairs": (1, 2, 0, 0, 2, False),
+    "ann_topk_bruteforce": (1, 1, 0, 0, 2, False),
+    "text_quality": (0, 0, 0, 0, 2, False),
+    "rollup_region_nation_sales": (1, 0, 0, 0, 3, True),
+    "q21_waiting_suppliers": (4, 0, 2, 0, 3, True),
+}
+
+
+def _markers(df) -> dict:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    return {
+        "exchanges": len(re.findall(r"\(\d+\) Exchange", plan)),
+        "python_stages": len(
+            re.findall(
+                r"\(\d+\) (?:ArrowEvalPython|BatchEvalPython|MapInPandas|"
+                r"FlatMapGroupsInPandas|MapInArrow)",
+                plan,
+            )
+        ),
+        "sortmerge_joins": len(re.findall(r"\(\d+\) SortMergeJoin", plan)),
+        "single_partition": len(
+            re.findall(r"Exchange SinglePartition", plan)
+        ),
+        "widest_scan_cols": max(
+            (
+                len(s.split(","))
+                for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+            ),
+            default=0,
+        ),
+        "pushed": bool(
+            [
+                p
+                for p in re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+                if p.strip()
+            ]
+        ),
+        "plan": plan,
+    }
+
+
+@pytest.mark.parametrize("name", sorted(BASELINE), ids=sorted(BASELINE))
+def test_plan_markers_within_baseline(spark, name):
+    exch, py, smj, single, cols, pushed = BASELINE[name]
+    m = _markers(BY_NAME[name].builder(spark, SF))
+    assert m["exchanges"] <= exch, (
+        f"{name}: {m['exchanges']} exchanges (baseline {exch}) — a new "
+        f"shuffle entered the plan\n{m['plan']}"
+    )
+    assert m["python_stages"] <= py, (
+        f"{name}: {m['python_stages']} Python stages (baseline {py}) — "
+        f"a Python stage entered a JVM plan\n{m['plan']}"
+    )
+    assert m["sortmerge_joins"] <= smj, (
+        f"{name}: {m['sortmerge_joins']} SortMergeJoins (baseline {smj})"
+        f" — a broadcast join degraded to shuffle\n{m['plan']}"
+    )
+    assert m["single_partition"] <= single, (
+        f"{name}: Exchange SinglePartition in plan — the global-window "
+        f"regression class\n{m['plan']}"
+    )
+    assert m["widest_scan_cols"] <= cols, (
+        f"{name}: widest scan reads {m['widest_scan_cols']} cols "
+        f"(baseline {cols}) — column pruning regressed\n{m['plan']}"
+    )
+    if pushed:
+        assert m["pushed"], (
+            f"{name}: no PushedFilters reached the parquet scan\n"
+            f"{m['plan']}"
+        )

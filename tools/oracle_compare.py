@@ -5,12 +5,21 @@ same parquet tables, then compares row count + sorted-column value
 content (order-insensitive). Usage:
 
     python tools/oracle_compare.py [sf_dir] [name ...]
+
+Besides the human report (/tmp/oracle_compare.txt), a machine-
+readable per-query ledger is written to the path in
+``$ORACLE_LEDGER_OUT`` (default /tmp/oracle_full.json): one entry
+per query with status ok|rows_only|fail, row count, and the failure
+reason — the committed ``ORACLE_FULL_r{N}.json`` artifact.
 """
 
 from __future__ import annotations
 
+import json
 import math
+import os
 import sys
+import time
 
 import duckdb
 
@@ -63,6 +72,16 @@ def main() -> int:
     spark = get_session("oracle-compare")
 
     failures = []
+    ledger: dict[str, dict] = {}
+
+    def record(name, status, n_rows=None, reason=None):
+        e = {"status": status}
+        if n_rows is not None:
+            e["rows"] = n_rows
+        if reason is not None:
+            e["reason"] = reason[:300]
+        ledger[name] = e
+
     for q in REGISTRY:
         if only and q.name not in only:
             continue
@@ -73,11 +92,13 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             emit(f"FAIL  {q.name}: spark error: {exc}")
             failures.append(q.name)
+            record(q.name, "fail", reason=f"spark error: {exc}")
             continue
         if q.oracle is None:
             emit(f"rows  {q.name}: {len(srows)} rows (no oracle)")
             if len(srows) == 0 and "maybe_empty" not in q.tags:
                 emit(f"      WARNING: zero rows")
+            record(q.name, "rows_only", n_rows=len(srows))
             continue
         try:
             res = con.execute(q.oracle)
@@ -86,15 +107,22 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             emit(f"FAIL  {q.name}: duckdb error: {exc}")
             failures.append(q.name)
+            record(q.name, "fail", reason=f"duckdb error: {exc}")
             continue
         if sorted(scols) != sorted(ocols):
             emit(f"FAIL  {q.name}: columns differ\n  spark={sorted(scols)}\n  duck ={sorted(ocols)}")
             failures.append(q.name)
+            record(q.name, "fail", reason="columns differ")
             continue
         sn, on_ = _norm_rows(scols, srows), _norm_rows(ocols, orows)
         if len(srows) != len(orows):
             emit(f"FAIL  {q.name}: rowcount spark={len(srows)} duck={len(orows)}")
             failures.append(q.name)
+            record(
+                q.name,
+                "fail",
+                reason=f"rowcount spark={len(srows)} duck={len(orows)}",
+            )
             continue
         if sn != on_:
             diff = [
@@ -104,10 +132,31 @@ def main() -> int:
             for a, b in diff:
                 emit(f"   spark: {a}\n   duck : {b}")
             failures.append(q.name)
+            record(q.name, "fail", reason="value mismatch")
             continue
         emit(f"OK    {q.name}: {len(srows)} rows")
+        record(q.name, "ok", n_rows=len(srows))
 
     emit(f"\n{len(failures)} failures: {failures}" if failures else "\nALL OK")
+    out_path = os.environ.get("ORACLE_LEDGER_OUT", "/tmp/oracle_full.json")
+    counts = {
+        s: sum(1 for e in ledger.values() if e["status"] == s)
+        for s in ("ok", "rows_only", "fail")
+    }
+    with open(out_path, "w") as fh:
+        json.dump(
+            {
+                "sf_dir": sf_dir,
+                "generated_unix": int(time.time()),
+                "n_queries": len(ledger),
+                "summary": counts,
+                "queries": ledger,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+    emit(f"ledger: {out_path} {counts}")
     return 1 if failures else 0
 
 
