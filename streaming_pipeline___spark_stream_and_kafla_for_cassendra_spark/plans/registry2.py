@@ -1628,14 +1628,19 @@ def compression_ratio_documents(spark, sf_dir):
         [(-1, _CAL1), (-2, _CAL2), (-3, _cal3())],
         "doc_id long, text string",
     )
-    ratios = compression_ratio(
-        d.unionByName(calib), text_col="text", id_col="doc_id"
-    )
-    corpus = ratios.filter(F.col("doc_id") >= 0).agg(
+    # Same production pass for both branches, but each corpus payload
+    # is compressed exactly ONCE: the 3-row calibration frame and the
+    # corpus aggregate run as separate invocations of the same
+    # operator rather than filtering a shared union twice (an
+    # uncached DataFrame referenced by two branches re-executes its
+    # whole lineage per branch — 2× the zlib scan for nothing).
+    corpus = compression_ratio(d, text_col="text", id_col="doc_id").agg(
         F.count("*").cast("long").alias("corpus_docs"),
         (F.avg("compression_ratio") <= 0.9).alias("corpus_mean_ok"),
     )
-    return ratios.filter(F.col("doc_id") < 0).crossJoin(corpus)
+    return compression_ratio(
+        calib, text_col="text", id_col="doc_id"
+    ).crossJoin(corpus)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,57 @@
+"""Round-over-round bench regression diff.
+
+Compares two bench JSON artifacts (the full per-query payloads that
+bench.py writes — BENCH_LOCAL_LATEST.json / BENCH_SLOW_r{N}.json /
+BENCH_SF1_r{N}.json) and reports per-query deltas, flagging queries
+slower than ``--threshold`` (default 1.5×, with a 0.3 s absolute
+floor so sub-second jitter doesn't flag).
+
+Usage: python tools/bench_diff.py OLD.json NEW.json [threshold]
+Exit code 1 if any regression clears the threshold.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main() -> int:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 2
+    old = json.load(open(sys.argv[1]))
+    new = json.load(open(sys.argv[2]))
+    thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    oq, nq = old.get("queries", {}), new.get("queries", {})
+    common = sorted(set(oq) & set(nq))
+    added = sorted(set(nq) - set(oq))
+    removed = sorted(set(oq) - set(nq))
+    regressions = []
+    improvements = []
+    for name in common:
+        a, b = oq[name], nq[name]
+        if b > a * thr and b - a > 0.3:
+            regressions.append((name, a, b))
+        elif a > b * thr and a - b > 0.3:
+            improvements.append((name, a, b))
+    print(
+        f"old: {len(oq)} queries {old.get('value')}s | "
+        f"new: {len(nq)} queries {new.get('value')}s | "
+        f"common {len(common)}, +{len(added)}, -{len(removed)}"
+    )
+    for name, a, b in sorted(regressions, key=lambda r: r[1] - r[2]):
+        print(f"REGRESSION {name}: {a:.2f}s -> {b:.2f}s ({b / a:.2f}x)")
+    for name, a, b in sorted(improvements, key=lambda r: r[2] - r[1]):
+        print(f"improved   {name}: {a:.2f}s -> {b:.2f}s ({b / a:.2f}x)")
+    if added:
+        print("added:", ", ".join(added))
+    if removed:
+        print("removed:", ", ".join(removed))
+    if not regressions:
+        print("no regressions above threshold")
+    return 1 if regressions else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
