@@ -296,12 +296,16 @@ def main() -> None:
     # Two timed runs per query, keep the min: single-JVM wall times on
     # a shared host see multi-x transient steal; min-of-2 reports the
     # machine's actual capability rather than co-tenant noise.
+    # SPARK_GRAFT_BENCH_RUNS overrides for long campaigns (e.g. the
+    # full-catalog true-sf1 sweep runs min-of-1 to halve wall time —
+    # it hunts >5x nonlinearity, where co-tenant jitter is immaterial).
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in headline:
         qd = by_name[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(runs):
             try:
                 t0 = time.perf_counter()
                 df = qd.builder(spark, SF_DIR)
@@ -320,7 +324,7 @@ def main() -> None:
         "metric": "headline_query_wall_seconds",
         "value": total,
         "unit": "sec",
-        "runs_per_query": 2,
+        "runs_per_query": runs,
         "aggregation": "min",
         "queries": timings,
         "sf": sf_val,
@@ -333,7 +337,7 @@ def main() -> None:
     # per-query payload to a file, echo the map EARLY in small chunks,
     # and make the LAST stdout line a compact summary the tail capture
     # can always recover.
-    report_path = os.path.join(
+    report_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL_LATEST.json"
     )
     try:
@@ -351,12 +355,12 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "n_errors": len(errors),
-        "runs_per_query": 2,
+        "runs_per_query": runs,
         "aggregation": "min",
         # brief schema compliance without tail overflow: only the 10
         # slowest queries inline; the full map is in queries_file
         "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10]),
-        "queries_file": "BENCH_LOCAL_LATEST.json",
+        "queries_file": os.path.basename(report_path),
     }
     # stop any stream a failed builder left behind BEFORE spark.stop()
     # kills it mid-batch (that race prints a JVM interrupt stack trace)

@@ -5689,31 +5689,70 @@ def dedup_keep_best_documents(spark, sf_dir):
 
 @_register(
     "sketch_distinct_users_by_type",
-    None,  # Apache DataSketches HLL binary images are engine-specific;
-    # accuracy + lossless mergeability proven in tests/test_sketches.py
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(count(*) AS BIGINT) AS n_events,
+           TRUE AS est_within_5pct
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__total__',
+           CAST(count(DISTINCT user_id) AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           TRUE
+    FROM events
+    """,
     "Mergeable distinct-count sketches (Apache DataSketches HLL via "
     "hll_sketch_agg/hll_sketch_estimate): per-event-type distinct "
     "users plus a grand total from hll_union_agg over the per-type "
     "partial sketches — the re-aggregatable rollup pattern that lets "
-    "1000 executors sketch locally and merge losslessly, impossible "
-    "with exact distinct counts",
+    "1000 executors sketch locally and merge losslessly. Full oracle "
+    "row (was rows-only through r4): each row carries the exact "
+    "distinct count plus a per-row boolean pinning the HLL estimate "
+    "inside the lgK=12 5% envelope (theory ~1.6% standard error; "
+    "sparse-mode-exact at the oracle SF) — the oracle recomputes the "
+    "exact side and pins the boolean, so ONE bad type or a lossy "
+    "hll_union_agg merge flips its own driver-visible row. The "
+    "aggregate companion hll_type_error_bound (registry55) predates "
+    "this conversion and stays as a second witness",
     ("sketch", "agg", "events"),
 )
 def sketch_distinct_users_by_type(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     per_type = e.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sketch"),
+        F.count_distinct("user_id").alias("exact_users"),
         F.count("*").alias("n_events"),
+    )
+    within = (
+        F.abs(
+            F.hll_sketch_estimate("sketch")
+            - F.col("exact_users").cast("double")
+        )
+        <= F.lit(0.05) * F.col("exact_users").cast("double")
     )
     return per_type.select(
         "event_type",
-        F.hll_sketch_estimate("sketch").alias("approx_users"),
+        F.col("exact_users").cast("long").alias("exact_users"),
         "n_events",
+        within.alias("est_within_5pct"),
     ).unionByName(
         per_type.agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"),
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"),
             F.sum("n_events").alias("n_events"),
-        ).select(F.lit("__total__").alias("event_type"), "approx_users", "n_events")
+        )
+        .crossJoin(
+            e.agg(F.count_distinct("user_id").alias("exact_users"))
+        )
+        .select(
+            F.lit("__total__").alias("event_type"),
+            F.col("exact_users").cast("long").alias("exact_users"),
+            "n_events",
+            (
+                F.abs(F.col("est") - F.col("exact_users").cast("double"))
+                <= F.lit(0.05) * F.col("exact_users").cast("double")
+            ).alias("est_within_5pct"),
+        )
     )
 
 

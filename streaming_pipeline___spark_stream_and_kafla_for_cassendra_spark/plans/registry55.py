@@ -235,9 +235,10 @@ def lsh_blocking_quality(spark, sf_dir):
            TRUE AS bound_met
     FROM events
     """,
-    "Companion gate for the rows-only sketch_distinct_users_by_type "
-    "(DataSketches HLL images are engine-specific, so that row "
-    "cannot hash-match an oracle): every per-type hll_sketch_agg "
+    "Second witness for sketch_distinct_users_by_type (rows-only "
+    "through r4; converted to a full oracle row in r5 by grading "
+    "each estimate against the in-query exact rewrite): every "
+    "per-type hll_sketch_agg "
     "estimate AND the hll_union_agg-merged grand total must sit "
     "within 5% relative error of the exact distinct counts — both "
     "sides computed in-Spark in one pass each, the exact total "

@@ -43,16 +43,16 @@ def test_every_oracle_plans(con):
 
 def test_rows_only_set_is_exactly_the_documented_four():
     # r5 converted sliding_distinct_users_7d_hll (per-day exact +
-    # 5%-envelope booleans) and compression_ratio_documents (pinned
-    # DEFLATE calibration literals) to full oracle rows; the four
-    # below are the documented engine-internal holdouts, each with a
-    # driver-visible companion gate (als_rmse_floor,
-    # phash_determinism_gate, pca_variance_match_floor,
-    # hll_type_error_bound).
+    # 5%-envelope booleans), compression_ratio_documents (pinned
+    # DEFLATE calibration literals) and sketch_distinct_users_by_type
+    # (per-type exact rewrite + 5%-envelope booleans) to full oracle
+    # rows; the three below are the documented engine-internal
+    # holdouts, each with a driver-visible companion gate
+    # (als_rmse_floor, phash_determinism_gate,
+    # pca_variance_match_floor).
     no_oracle = sorted(q.name for q in REGISTRY if q.oracle is None)
     assert no_oracle == [
         "als_recommend_parts",
         "multimodal_phash_images",
         "pca_project_embeddings",
-        "sketch_distinct_users_by_type",
     ]

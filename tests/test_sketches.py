@@ -70,8 +70,12 @@ def test_sketch_registry_query_totals_consistent(spark):
     total = by_type.pop("__total__")
     assert total["n_events"] == sum(r["n_events"] for r in by_type.values())
     # the merged-union distinct cannot exceed the sum of per-type distincts
-    assert total["approx_users"] <= sum(r["approx_users"] for r in by_type.values())
-    assert total["approx_users"] > 0
+    assert total["exact_users"] <= sum(r["exact_users"] for r in by_type.values())
+    assert total["exact_users"] > 0
+    # every HLL estimate (per-type AND the union-merged total) sits
+    # inside the 5% envelope the oracle pins
+    assert all(r["est_within_5pct"] for r in rows)
+    assert total["est_within_5pct"]
 
 
 def test_count_min_sketch_bounds(spark):
