@@ -197,9 +197,13 @@ def als_recommend(
     is novel. Deterministic tie order (score desc, item id)."""
     from pyspark.sql import Window
 
+    # Broadcast the item-factor side explicitly: it is k floats per
+    # item (tiny next to the user side), and without the hint Spark
+    # plans a CartesianProduct — a full shuffle-and-pair of both
+    # sides — instead of BroadcastNestedLoopJoin.
     scored = (
         user_f.withColumnRenamed("factors", "_u")
-        .crossJoin(item_f.withColumnRenamed("factors", "_i"))
+        .crossJoin(F.broadcast(item_f.withColumnRenamed("factors", "_i")))
         .select(
             user_col,
             item_col,

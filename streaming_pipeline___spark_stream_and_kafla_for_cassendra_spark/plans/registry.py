@@ -6292,9 +6292,12 @@ def heavy_hitters_tokens_sketch(spark, sf_dir):
     "Python UDTF surface (Spark 4): a table function expanding each "
     "document into positioned trigrams, LATERAL-joined per row — the "
     "one-row-to-many-rows shape (§2.11) that scalar/agg UDFs can't "
-    "express. The class is defined inside the builder so cloudpickle "
-    "ships it by value to workers. Oracle replays the expansion with "
-    "DuckDB lateral UNNEST + list_slice",
+    "express. Arrow-optimized (useArrow=True) so rows cross the "
+    "Python boundary in batches, not one at a time — the catalog's "
+    "no-BatchEvalPython contract (tests/test_plan_lint.py) holds "
+    "for the UDTF surface too. The class is defined inside the "
+    "builder so cloudpickle ships it by value to workers. Oracle "
+    "replays the expansion with DuckDB lateral UNNEST + list_slice",
     ("udf", "udtf", "documents"),
 )
 def udtf_trigram_documents(spark, sf_dir):
@@ -6302,7 +6305,7 @@ def udtf_trigram_documents(spark, sf_dir):
 
     from ..sources.tables import register_views
 
-    @udtf(returnType="pos int, ngram string")
+    @udtf(returnType="pos int, ngram string", useArrow=True)
     class Trigrams:
         def eval(self, text: str):
             toks = [t for t in (text or "").split(" ") if t]

@@ -124,3 +124,47 @@ def test_plan_markers_within_baseline(spark, name):
             f"{name}: no PushedFilters reached the parquet scan\n"
             f"{m['plan']}"
         )
+
+
+# ---------------------------------------------------------------------------
+# Catalog-wide lint (round 5): two markers are red flags at 100 TB no
+# matter the query — a row-at-a-time Python UDF (BatchEvalPython; the
+# catalog's contract is Arrow-vectorized-or-JVM only) and a
+# non-broadcast CartesianProduct (the broadcast variant plans as
+# BroadcastNestedLoopJoin and is fine for tiny build sides). Queries
+# whose BUILDER executes work (streaming availableNow runs, lake/SCD2
+# writers, persistent index builds, IVM views) are skipped — their
+# cost is execution, not plan shape, and each is audited individually
+# in PLANS.md. tools/plan_sweep.py runs the same scan standalone.
+# ---------------------------------------------------------------------------
+
+EXEC_AT_BUILD_TAGS = {
+    "streaming",
+    "lake",
+    "ivm",
+    "materialized-view",
+    "index",
+    "scd2",
+    "time-travel",
+    "kappa",
+    "backfill",
+}
+
+
+def test_catalog_wide_no_row_udf_or_cartesian(spark):
+    bad = {}
+    for q in REGISTRY:
+        if EXEC_AT_BUILD_TAGS & set(q.tags):
+            continue
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            q.builder(spark, SF).explain("formatted")
+        plan = buf.getvalue()
+        row_udf = len(re.findall(r"BatchEvalPython", plan))
+        cartesian = len(re.findall(r"\(\d+\) CartesianProduct", plan))
+        if row_udf or cartesian:
+            bad[q.name] = {"row_udf": row_udf, "cartesian": cartesian}
+    assert not bad, (
+        "row-at-a-time Python UDFs / non-broadcast cartesian products "
+        f"entered the catalog: {bad}"
+    )
