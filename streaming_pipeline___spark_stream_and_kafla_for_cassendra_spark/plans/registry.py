@@ -9936,6 +9936,7 @@ from . import registry53  # noqa: E402,F401  isort:skip
 from . import registry54  # noqa: E402,F401  isort:skip
 from . import registry55  # noqa: E402,F401  isort:skip
 from . import registry56  # noqa: E402,F401  isort:skip
+from . import registry57  # noqa: E402,F401  isort:skip
 
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)

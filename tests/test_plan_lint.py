@@ -148,6 +148,7 @@ EXEC_AT_BUILD_TAGS = {
     "time-travel",
     "kappa",
     "backfill",
+    "bucketed-write",
 }
 
 
@@ -168,3 +169,23 @@ def test_catalog_wide_no_row_udf_or_cartesian(spark):
         "row-at-a-time Python UDFs / non-broadcast cartesian products "
         f"entered the catalog: {bad}"
     )
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    """The bucketed_join_exchange_free row's contract: after the
+    bucketBy(8, key) writes, the merge join itself requires NO
+    exchange on either side — the only shuffle in the whole plan is
+    the final per-segment aggregate. A regression (bucket spec lost
+    in the catalog round-trip, mismatched bucket counts, join key
+    drift) re-introduces a per-side hash exchange."""
+    m = _markers(
+        BY_NAME["bucketed_join_exchange_free"].builder(spark, SF)
+    )
+    assert m["exchanges"] <= 1, (
+        f"bucketed join shuffled: {m['exchanges']} exchanges\n"
+        f"{m['plan']}"
+    )
+    assert "SortMergeJoin" in m["plan"]
+    assert "Exchange hashpartitioning(o_custkey" not in m["plan"]
+    assert "Exchange hashpartitioning(c_custkey" not in m["plan"]
+    assert m["single_partition"] == 0

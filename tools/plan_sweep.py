@@ -48,6 +48,7 @@ EXEC_AT_BUILD_TAGS = {
     "time-travel",
     "kappa",
     "backfill",
+    "bucketed-write",
 }
 
 
