@@ -695,6 +695,7 @@ def quantize_int8(
     vec_col: str = "embedding",
     qvec_col: str = "qvec",
     scale_col: str = "qscale",
+    keep_norm_col: str | None = None,
 ) -> DataFrame:
     """Symmetric per-vector int8 quantization of unit-normalized
     embeddings — the memory/bandwidth scale path for vector search.
@@ -712,40 +713,54 @@ def quantize_int8(
     dot(q_a, q_b) * scale_a * scale_b ≈ cosine(a, b) with error
     bounded by the quantization step (≤ 1/254 per axis).
     """
-    nrm = F.sqrt(
-        F.aggregate(
-            F.col(vec_col).cast("array<double>"),
-            F.lit(0.0),
-            lambda acc, x: acc + x * x,
-        )
+    # One fold computes BOTH per-row scalars (Σx² and max|x|) as a
+    # struct. The naive chain (alias _nrm → transform(_unit) → …)
+    # gets project-collapsed by Catalyst, and a non-trivial alias
+    # referenced inside an HOF lambda is re-evaluated PER ELEMENT:
+    # the O(d) norm fold inlined into a d-element lambda is O(d²)
+    # per row — measured 24 s at sf1 (20.6× sf0.1) for what is a
+    # linear scan. The struct alias is referenced multiple times
+    # below, so CollapseProject keeps its projection boundary and
+    # every scalar is computed once per row; the lambdas only touch
+    # row-level fields. max|x|/nrm ≡ max|x/nrm| (IEEE division is
+    # monotone and exact under abs), and codes keep the exact
+    # (e / nrm) / scale operand order, so the DuckDB twin that
+    # replays the unit-vector formulation still matches bit-for-bit.
+    xd = F.col(vec_col).cast("array<double>")
+    stats = F.aggregate(
+        xd,
+        F.struct(F.lit(0.0).alias("ss"), F.lit(0.0).alias("ma")),
+        lambda acc, x: F.struct(
+            (acc.ss + x * x).alias("ss"),
+            F.greatest(acc.ma, F.abs(x)).alias("ma"),
+        ),
     )
     return (
-        df.withColumn("_nrm", F.greatest(nrm, F.lit(1e-300)))
+        df.withColumn("_qst", stats)
         .withColumn(
-            "_unit",
-            F.transform(
-                F.col(vec_col).cast("array<double>"),
-                lambda x: x / F.col("_nrm"),
-            ),
+            "_nrm",
+            F.greatest(F.sqrt(F.col("_qst.ss")), F.lit(1e-300)),
         )
         .withColumn(
             scale_col,
             F.greatest(
-                F.array_max(F.transform("_unit", lambda x: F.abs(x)))
-                / F.lit(127.0),
+                F.col("_qst.ma") / F.col("_nrm") / F.lit(127.0),
                 F.lit(1e-30),
             ),
         )
         .withColumn(
             qvec_col,
             F.transform(
-                "_unit",
-                lambda x: F.floor(x / F.col(scale_col) + F.lit(0.5)).cast(
-                    "tinyint"
-                ),
+                xd,
+                lambda x: F.floor(
+                    x / F.col("_nrm") / F.col(scale_col) + F.lit(0.5)
+                ).cast("tinyint"),
             ),
         )
-        .drop("_nrm", "_unit")
+        .withColumnsRenamed(
+            {"_nrm": keep_norm_col} if keep_norm_col else {}
+        )
+        .drop("_qst", *([] if keep_norm_col else ["_nrm"]))
     )
 
 

@@ -5806,16 +5806,13 @@ def embedding_quantize_error(spark, sf_dir):
     from ..operators.similarity import quantize_int8
 
     emb = _t(spark, sf_dir, "embeddings")
-    qd = quantize_int8(emb)
+    # keep_norm_col: reuse the operator's ONE materialized per-row
+    # norm — recomputing it as a fresh fold alias referenced inside
+    # the zip_with lambda gets project-collapsed and re-evaluated
+    # per element (O(d²)/row; the 20.6× sf1 finding)
+    qd = quantize_int8(emb, keep_norm_col="_nrm")
     # reconstruct from the int8 codes and measure per-vector worst error
-    nrm = F.sqrt(
-        F.aggregate(
-            F.col("embedding").cast("array<double>"),
-            F.lit(0.0),
-            lambda acc, x: acc + x * x,
-        )
-    )
-    qd = qd.withColumn("_nrm", F.greatest(nrm, F.lit(1e-300))).withColumn(
+    qd = qd.withColumn(
         "_err",
         F.array_max(
             F.zip_with(
@@ -7010,6 +7007,17 @@ def blocking_candidate_pairs(spark, sf_dir):
         "tok",
         "p_brand",
     )
+    # sf1 cost note (r5 sweep, 111×): OUTPUT-BOUND on this fixture —
+    # the fixed 90-word name vocabulary over 200k parts makes the
+    # TRUE answer 13.5M ed≤2 pairs at sf1 (~100× the sf0.1 answer),
+    # the same fixture property as edit_distance_pairs_parts. A/B'd
+    # lossless "optimizations" and kept the plain kernel: the ±2
+    # length-band prunes nothing here (uniform name lengths; 148 →
+    # 229 s) and Spark's thresholded levenshtein(_,_,2) is SLOWER
+    # than the full kernel on these short strings (148 → 190 s).
+    # At real-corpus vocabularies the block key scales with the
+    # entity space and per-block cost stays bounded — that contract
+    # is the row's point.
     return (
         a.join(c, ["tok", "p_brand"])
         .filter(F.col("key_a") < F.col("key_b"))
@@ -9742,11 +9750,20 @@ def bigram_surprisal_documents(spark, sf_dir):
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
       FROM embeddings
     ),
+    stride AS (
+      SELECT greatest(1, CAST(ceil(count(*) / 2000.0) AS BIGINT)) AS s
+      FROM embeddings
+    ),
+    q AS (
+      SELECT * FROM v
+      WHERE ((vec_id * 2654435761) % 4294967296)
+            % (SELECT s FROM stride) = 0
+    ),
     scored AS (
       SELECT a.vec_id AS qid, a.label AS true_label,
              b.vec_id AS nid, b.label AS nbr_label,
              list_cosine_similarity(a.emb, b.emb) AS sim
-      FROM v a, v b WHERE a.vec_id <> b.vec_id
+      FROM q a, v b WHERE a.vec_id <> b.vec_id
     ),
     top AS (
       SELECT * FROM (
@@ -9770,20 +9787,37 @@ def bigram_surprisal_documents(spark, sf_dir):
     ) WHERE pick = 1
     """,
     "k-NN label classification over the embedding table (the "
-    "label-propagation / auto-labeling primitive): every vector is "
-    "classified by majority vote of its 10 exact-cosine nearest "
-    "neighbors (self excluded, ties sim-desc→id, vote ties "
-    "count-desc→label). Built on the same batched-GEMM top-k as the "
-    "ANN baseline — queries broadcast, shuffle carries k-sized "
-    "winners, never the N² score matrix",
+    "label-propagation / auto-labeling primitive): each query vector "
+    "is classified by majority vote of its 10 exact-cosine nearest "
+    "neighbors in the FULL corpus (self excluded, ties sim-desc→id, "
+    "vote ties count-desc→label). Built on the same batched-GEMM "
+    "top-k as the ANN baseline — queries broadcast, shuffle carries "
+    "k-sized winners, never the N² score matrix. Scale-safe query "
+    "side (r5, same pattern as lsh_blocking_quality): classifying "
+    "EVERY vector is O(n²) in corpus size, so the query set is a "
+    "deterministic ~2k-vector Knuth-hash stratum (stride derived "
+    "from corpus size, oracle states the same stratum) while the "
+    "corpus side stays full — cost grows linearly with the corpus, "
+    "and at sf<=0.1 the stride is 1 so the stratum IS every vector "
+    "(bit-identical to the r4 row). Measured sf1/sf0.1: 67x -> "
+    "~linear. The production batch-labeling shape is exactly this: "
+    "classify a batch of queries against the full labeled corpus",
     ("similarity", "embeddings", "classify", "knn"),
 )
 def knn_classify_embeddings(spark, sf_dir):
+    import math
+
     from pyspark.sql import Window
 
     emb = _t(spark, sf_dir, "embeddings")
     labels = emb.select("vec_id", "label")
-    nbrs = brute_force_topk(emb, emb, k=10)
+    stride = max(1, math.ceil(emb.count() / 2000))
+    qside = emb.filter(
+        ((F.col("vec_id") * F.lit(2_654_435_761)) % F.lit(4_294_967_296))
+        % F.lit(stride)
+        == 0
+    )
+    nbrs = brute_force_topk(emb, qside, k=10)
     votes = nbrs.join(
         labels.select(
             F.col("vec_id").alias("neighbor_id"),
