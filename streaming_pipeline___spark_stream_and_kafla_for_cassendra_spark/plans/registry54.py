@@ -16,8 +16,11 @@ Floors were measured on the sf0.001/sf0.01 fixtures this round:
 * PCA projected-component variance / eigenvalue = 1.0 ± 1e-15 →
   tolerance 1e-6 (an eigensolver/projection mismatch shows up as a
   ratio far from 1);
-* ALS train-RMSE / global-mean-baseline-RMSE = 0.73 (sf0.001) /
-  0.982 (sf0.01) → ceiling 1.02 (random factors score ≈ 4);
+* ALS train-RMSE / global-mean-baseline-RMSE over MEAN-CENTERED
+  ratings (r5; the uncentered r4 gate failed at sf0.1, ratio 1.60)
+  = 0.64-0.68 flat across sf0.001/0.01/0.1 → ceiling 1.02, now
+  guaranteed by the ridge feasibility of u=0 (random factors score
+  ≈ 4);
 * HLL trailing-7d estimate vs the exact rewrite: max relative error
   0.0 at both SFs (sparse-mode-exact cardinalities) → bound 0.05
   (the lgK=12 theoretical envelope);
@@ -183,11 +186,19 @@ def pca_variance_match_floor(spark, sf_dir):
     """,
     "Driver-visible quality gate for ALS (als_recommend_parts): "
     "train RMSE of the rank-8/2-iteration factorization over the "
-    "customer × part log1p-quantity matrix must not exceed 1.02× the "
-    "global-mean baseline RMSE (measured ratio 0.73 at sf0.001, "
-    "0.982 at sf0.01; random factors score ≈ 4×). n_ratings is the "
-    "SQL-derivable distinct (customer, part) pair count. Oracle pins "
-    "the expectation — iterative least squares is not SQL-"
+    "MEAN-CENTERED customer × part log1p-quantity matrix must not "
+    "exceed 1.02× the global-mean baseline RMSE. Centering (r5) "
+    "makes the gate sf-robust BY ALGEBRA, not by tuning: u=0 is "
+    "feasible in every per-user ridge solve, so the first "
+    "alternation already fits the centered ratings at least as well "
+    "as predicting the mean — the uncentered r4 gate spent factor "
+    "capacity reconstructing the rank-1 mean component and failed "
+    "at sf0.1 sparsity (ratio 1.60; the sf0.1 oracle sweep finding)."
+    " Measured centered ratios: 0.64 sf0.001 / 0.67 sf0.01 / 0.68 "
+    "sf0.1 — flat across SFs, as the algebra predicts; random "
+    "factors still score ≈ 4×. n_ratings is the "
+    "SQL-derivable distinct (customer, part) pair count. Oracle "
+    "pins the expectation — iterative least squares is not SQL-"
     "expressible",
     ("ml", "als", "evaluation", "lineitem"),
 )
@@ -204,8 +215,12 @@ def als_rmse_floor(spark, sf_dir):
         )
         .agg(F.log1p(F.sum("l_quantity")).alias("rating"))
     ).cache()
-    user_f, item_f = als_train(ratings, rank=8, iterations=2)
-    j = ratings.join(
+    mu = ratings.agg(F.avg("rating")).first()[0]
+    centered = ratings.withColumn(
+        "rating", F.col("rating") - F.lit(float(mu))
+    )
+    user_f, item_f = als_train(centered, rank=8, iterations=2)
+    j = centered.join(
         user_f.withColumnRenamed("factors", "_u"), on="user_id"
     ).join(item_f.withColumnRenamed("factors", "_i"), on="item_id")
     pred = F.aggregate(
@@ -213,9 +228,9 @@ def als_rmse_floor(spark, sf_dir):
         F.lit(0.0),
         lambda a, x: a + x,
     )
+    # full-model error: (rating − (μ + u·v)) == (centered − u·v)
     err = F.col("rating") - pred
-    mu = ratings.agg(F.avg("rating")).first()[0]
-    base_err = F.col("rating") - F.lit(float(mu))
+    base_err = F.col("rating")
     stats = j.agg(
         F.sqrt(F.avg(err * err)).alias("rmse_als"),
         F.sqrt(F.avg(base_err * base_err)).alias("rmse_base"),
