@@ -5719,10 +5719,17 @@ def dedup_keep_best_documents(spark, sf_dir):
 )
 def sketch_distinct_users_by_type(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
-    per_type = e.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sketch"),
-        F.count_distinct("user_id").alias("exact_users"),
-        F.count("*").alias("n_events"),
+    # lazy localCheckpoint: BOTH union branches read per_type, and
+    # without it the sketch+count_distinct aggregation (an extra
+    # expand/shuffle next to the sketch agg) runs twice per execution
+    per_type = (
+        e.groupBy("event_type")
+        .agg(
+            F.hll_sketch_agg("user_id").alias("sketch"),
+            F.count_distinct("user_id").alias("exact_users"),
+            F.count("*").alias("n_events"),
+        )
+        .localCheckpoint(eager=False)
     )
     within = (
         F.abs(

@@ -393,11 +393,16 @@ def semantic_dedup_net_invariant(spark, sf_dir):
             np.linalg.norm(mat, axis=1, keepdims=True), 1e-300
         )
         sims = mat @ mat.T
-        np.fill_diagonal(sims, 0.0)
+        # grade each unordered pair ONCE via the upper triangle: a
+        # threaded/blocked GEMM is not guaranteed exactly symmetric,
+        # so (sims >= t).sum() // 2 could floor an odd count when a
+        # borderline pair straddles the threshold asymmetrically
+        # (matches the old _ida < _idb join semantics)
+        iu = np.triu_indices(len(mat), k=1)
         return pd.DataFrame(
             {
                 "list_id": [int(pdf["_l"].iloc[0])],
-                "viol": [int((sims >= 0.92).sum()) // 2],
+                "viol": [int((sims[iu] >= 0.92).sum())],
             }
         )
 

@@ -56,29 +56,44 @@ _N_BUCKETS = 8
     ("join", "storage", "layout", "bucketed-write", "tpch"),
 )
 def bucketed_join_exchange_free(spark, sf_dir):
+    import re
+
     o = _t(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_totalprice"
     )
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    base = tempfile.mkdtemp(prefix="bucketed_join_")
-    for name in ("bkt_orders", "bkt_customer"):
+    # STABLE per-(sf, session) location + session-unique table names:
+    # a fresh mkdtemp per invocation leaked orders+customer copies on
+    # every bench sweep (DROP TABLE on an external table keeps the
+    # data dir), and fixed global names race if two sessions share a
+    # metastore. Overwrite-in-place at a deterministic path instead.
+    sf_tag = re.sub(r"[^A-Za-z0-9]+", "_", os.path.abspath(sf_dir)).strip("_")
+    app_tag = re.sub(
+        r"[^A-Za-z0-9]+", "_", spark.sparkContext.applicationId
+    ).strip("_")
+    base = os.path.join(
+        tempfile.gettempdir(), f"bucketed_join_{sf_tag}_{app_tag}"
+    )
+    t_orders = f"bkt_orders_{app_tag}"
+    t_customer = f"bkt_customer_{app_tag}"
+    for name in (t_orders, t_customer):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
     (
         o.write.bucketBy(_N_BUCKETS, "o_custkey")
         .sortBy("o_custkey")
         .option("path", os.path.join(base, "orders"))
         .mode("overwrite")
-        .saveAsTable("bkt_orders")
+        .saveAsTable(t_orders)
     )
     (
         c.write.bucketBy(_N_BUCKETS, "c_custkey")
         .sortBy("c_custkey")
         .option("path", os.path.join(base, "customer"))
         .mode("overwrite")
-        .saveAsTable("bkt_customer")
+        .saveAsTable(t_customer)
     )
-    ob = spark.table("bkt_orders")
-    cb = spark.table("bkt_customer")
+    ob = spark.table(t_orders)
+    cb = spark.table(t_customer)
     return (
         ob.hint("merge")
         .join(cb, ob.o_custkey == cb.c_custkey)
