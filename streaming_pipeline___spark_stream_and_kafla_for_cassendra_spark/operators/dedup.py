@@ -425,6 +425,137 @@ def df_capped_pair_stats(
     )
 
 
+#: Decision record of the most recent cost-based mining pre-flight —
+#: observability for tests/tools (plan, effective cap, estimates).
+LAST_MINING_PLAN: dict | None = None
+
+
+def plan_exact_mining(
+    grams: DataFrame,
+    threshold: float,
+    max_gram_df: int,
+    candidate_budget: int | None,
+) -> dict:
+    """Cost-based pre-flight for the exact inverted-index miners
+    (VERDICT r5 item #1: the family must be self-protecting).
+
+    One cheap, map-side-combinable aggregate over the gram index —
+    the document-frequency histogram — yields an EXACT count of the
+    rare-leg candidate rows the df-capped miner will generate:
+    Σ_{df≤cap} C(df, 2). From the same histogram:
+
+    * under budget → run the configured plan unchanged (the only
+      case the driver's oracle SFs ever hit);
+    * over budget, heavy-tailed corpus → try a TIGHTER cap whose
+      rare leg fits, admissible only if the stop-gram-heavy stratum
+      H it creates stays cheap — |H| and the exact H-leg candidate
+      count Σ_{freq grams} C(df_H, 2) are two more linear passes,
+      paid only on this branch;
+    * over budget, degenerate corpus (flat df, tiny gram vocabulary
+      — every doc pair co-occurs, so NO exact tier is sub-quadratic
+      in df) → pick the cheaper of the two lossless candidate legs
+      (df-capped inverted index vs prefix-filter AllPairs, estimated
+      from the histogram), or raise/escalate per ``on_over_budget``
+      policy in the caller.
+
+    Returns the decision dict; never changes result semantics — all
+    routable tiers are exact and oracle-equivalence-tested.
+    """
+    hist_rows = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("gdf"))
+        .groupBy("gdf")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    hist = sorted((int(r["gdf"]), int(r["cnt"])) for r in hist_rows)
+
+    def pairs_le(c: int) -> int:
+        return sum(n * d * (d - 1) // 2 for d, n in hist if d <= c)
+
+    est_at_cap = pairs_le(max_gram_df)
+    decision = {
+        "path": "df_capped",
+        "cap": max_gram_df,
+        "est_rare_pairs": est_at_cap,
+        "budget": candidate_budget,
+        "distinct_grams": sum(n for _, n in hist),
+        "postings": sum(n * d for d, n in hist),
+        "max_df": hist[-1][0] if hist else 0,
+        "tightened": False,
+        "over_budget": False,
+    }
+    if candidate_budget is None or est_at_cap <= candidate_budget:
+        return decision
+
+    def h_leg_pairs(cap: int) -> int:
+        """EXACT candidate-row count of the frequent-gram H leg at
+        ``cap``: two linear passes over the index (per-doc frequent
+        fraction → H membership → Σ_{freq grams} C(df_H, 2))."""
+        gram_df = grams.groupBy("gram").agg(F.count("*").alias("gdf"))
+        freq_keys = gram_df.filter(F.col("gdf") > cap).select("gram")
+        sizes = grams.groupBy("_id").agg(F.count("*").alias("n"))
+        freq_posts = grams.join(F.broadcast(freq_keys), "gram", "left_semi")
+        f_doc = freq_posts.groupBy("_id").agg(F.count("*").alias("f"))
+        h_ids = (
+            f_doc.join(sizes, "_id")
+            .filter(F.col("f") >= F.lit(threshold) * F.col("n"))
+            .select("_id")
+        )
+        h_row = (
+            freq_posts.join(h_ids, "_id", "left_semi")
+            .groupBy("gram")
+            .agg(F.count("*").alias("hdf"))
+            .agg(
+                F.sum(F.col("hdf") * (F.col("hdf") - 1) / 2).alias("p")
+            )
+            .first()
+        )
+        return int(h_row["p"] or 0)
+
+    # Over budget. A tighter cap helps exactly when the histogram is
+    # heavy-tailed: the mass above the tighter cap is concentrated in
+    # few stop-grams, so the H stratum (docs that could qualify via
+    # frequent grams alone, f ≥ t·n) stays small. Verify that
+    # admissibility EXACTLY before adopting.
+    for tight in (128, 64, 32, 16, 8):
+        if tight >= max_gram_df or pairs_le(tight) > candidate_budget:
+            continue
+        h_pairs = h_leg_pairs(tight)
+        if pairs_le(tight) + h_pairs <= candidate_budget:
+            decision.update(
+                cap=tight,
+                est_rare_pairs=pairs_le(tight),
+                est_h_pairs=h_pairs,
+                tightened=True,
+            )
+            return decision
+        break  # H dominates — tighter caps only grow it
+
+    # Degenerate corpus: candidates are irreducibly ~Σ C(df,2) for
+    # ANY exact tier (flat df ⇒ the H stratum is the whole corpus and
+    # prefixes keep ~(1-t) of every posting list). Compare the TRUE
+    # df-capped cost (rare leg + exact H leg at the configured cap —
+    # past cap saturation the H leg dominates and the rare-leg
+    # estimate alone would flatter the capped path) against the
+    # prefix-filter leg, and run whichever is cheaper. The prefix leg
+    # pays array_intersect verification on FULL gram arrays per
+    # candidate (vs the capped miner's count-based accumulation), so
+    # its estimate carries a 2× verify cost factor — routing flips
+    # only when clearly cheaper (high thresholds, saturated caps).
+    q = 1.0 - threshold
+    est_prefix = int(2 * q * q * sum(n * d * (d - 1) // 2 for d, n in hist))
+    h_at_cap = h_leg_pairs(max_gram_df)
+    decision.update(
+        over_budget=True,
+        est_prefix_pairs=est_prefix,
+        est_h_pairs=h_at_cap,
+    )
+    if est_prefix < est_at_cap + h_at_cap:
+        decision["path"] = "prefix"
+    return decision
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -432,6 +563,8 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.2,
     max_gram_df: int | None = None,
+    candidate_budget: int | None = None,
+    on_over_budget: str = "proceed",
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via inverted-index self-join.
 
@@ -443,12 +576,49 @@ def ngram_jaccard_pairs(
     index's posting lists LOSSLESSLY via
     :func:`df_capped_jaccard_pairs` — identical output, linear
     candidate bound instead of quadratic stop-gram buckets.
+
+    ``candidate_budget`` arms the cost-based pre-flight
+    (:func:`plan_exact_mining`): a histogram aggregate estimates the
+    candidate join EXACTLY before it runs; over budget the miner
+    tightens the cap (heavy-tailed corpora, admissibility verified),
+    or routes the candidate leg through the prefix-filter AllPairs
+    path when the histogram says that leg is cheaper — all exact,
+    output unchanged. ``on_over_budget`` sets the policy when NO
+    exact tier fits the budget (degenerate small-vocabulary corpora,
+    where every exact algorithm is ~Σ C(df,2)): ``proceed`` (default
+    — run the cheapest exact leg, record the decision in
+    ``LAST_MINING_PLAN``), ``error`` (raise, so batch pipelines fail
+    fast instead of launching a quadratic join), or ``minhash``
+    (escalate to the approximate MinHash-LSH tier — CHANGES output
+    semantics to estimated jaccard; never used by the oracle-gated
+    registry queries).
     """
     if max_gram_df is not None:
         grams = shingle_rows(df, id_col, text_col, shingle_n).localCheckpoint(
             eager=False
         )
-        return df_capped_jaccard_pairs(grams, threshold, max_gram_df)
+        if candidate_budget is None:
+            return df_capped_jaccard_pairs(grams, threshold, max_gram_df)
+        plan = plan_exact_mining(
+            grams, threshold, max_gram_df, candidate_budget
+        )
+        global LAST_MINING_PLAN
+        LAST_MINING_PLAN = plan
+        if plan["over_budget"]:
+            if on_over_budget == "error":
+                raise RuntimeError(
+                    "exact n-gram mining over candidate budget: "
+                    f"{plan} — degenerate gram vocabulary; use the "
+                    "MinHash tier or raise candidate_budget"
+                )
+            if on_over_budget == "minhash":
+                return minhash_lsh_pairs(
+                    df, text_col, id_col, shingle_n=shingle_n,
+                    threshold=threshold,
+                )
+        if plan["path"] == "prefix":
+            return prefix_filter_pairs_from_grams(grams, threshold)
+        return df_capped_jaccard_pairs(grams, threshold, plan["cap"])
     # join on the 64-bit gram key, not the gram string: the inverted-
     # index shuffle carries (long, long) rows instead of text shingles.
     # Key collisions (~n²/2⁶⁴) are negligible at any real corpus size
@@ -512,11 +682,21 @@ def jaccard_prefix_filter_pairs(
     grow with the threshold (prefix length shrinks as 1-t) and with
     corpus skew (stopword-ish grams leave every prefix).
     """
-    from pyspark.sql import Window
-
     grams = shingle_rows(df, id_col, text_col, shingle_n).localCheckpoint(
         eager=False
     )
+    return prefix_filter_pairs_from_grams(grams, threshold)
+
+
+def prefix_filter_pairs_from_grams(
+    grams: DataFrame, threshold: float
+) -> DataFrame:
+    """Prefix-filter (AllPairs) candidate leg over pre-shingled
+    (_id, gram) rows — the grams-level core of
+    :func:`jaccard_prefix_filter_pairs`, also the routing target of
+    the cost-based mining pre-flight (:func:`plan_exact_mining`)."""
+    from pyspark.sql import Window
+
     dfreq = grams.groupBy("gram").agg(F.count("*").alias("gdf"))
     sizes = grams.groupBy("_id").agg(F.count("*").alias("n_grams"))
     w = Window.partitionBy("_id").orderBy("gdf", "gram")

@@ -324,6 +324,27 @@ PHASH_SCHEMA = StructType(
     [StructField("media_id", LongType()), StructField("phash", LongType())]
 )
 
+# Frozen 8×32 INTEGER DCT basis (first 8 rows of the orthonormal
+# 32-point DCT-II, scaled by 2^15 and rounded ONCE at authoring time
+# — computed from np.cos and committed as literals so no engine ever
+# re-derives cosines). Every arithmetic step of the pHash is then
+# exact int64 (|W|≤8182, pixels≤255 → |W·X·Wᵀ| ≤ 1.8e13 ≪ 2^63), so
+# the hash is bit-reproducible across numpy, the JVM, and the DuckDB
+# oracle — the round-6 conversion of multimodal_phash_images from
+# rows-only to a full value-hash oracle row. Integerized DCTs are
+# standard practice (H.264/AVC core transform) and preserve the
+# perceptual-hash Hamming geometry.
+PHASH_DCT_W8: list[list[int]] = [
+    [5793, 5793, 5793, 5793, 5793, 5793, 5793, 5793, 5793, 5793, 5793, 5793, 5793, 5793, 5793, 5793, 5793, 5793, 5793, 5793, 5793, 5793, 5793, 5793, 5793, 5793, 5793, 5793, 5793, 5793, 5793, 5793],  # noqa: E501
+    [8182, 8103, 7946, 7713, 7405, 7027, 6580, 6070, 5501, 4880, 4212, 3503, 2760, 1990, 1202, 402, -402, -1202, -1990, -2760, -3503, -4212, -4880, -5501, -6070, -6580, -7027, -7405, -7713, -7946, -8103, -8182],  # noqa: E501
+    [8153, 7839, 7225, 6333, 5197, 3862, 2378, 803, -803, -2378, -3862, -5197, -6333, -7225, -7839, -8153, -8153, -7839, -7225, -6333, -5197, -3862, -2378, -803, 803, 2378, 3862, 5197, 6333, 7225, 7839, 8153],  # noqa: E501
+    [8103, 7405, 6070, 4212, 1990, -402, -2760, -4880, -6580, -7713, -8182, -7946, -7027, -5501, -3503, -1202, 1202, 3503, 5501, 7027, 7946, 8182, 7713, 6580, 4880, 2760, 402, -1990, -4212, -6070, -7405, -8103],  # noqa: E501
+    [8035, 6811, 4551, 1598, -1598, -4551, -6811, -8035, -8035, -6811, -4551, -1598, 1598, 4551, 6811, 8035, 8035, 6811, 4551, 1598, -1598, -4551, -6811, -8035, -8035, -6811, -4551, -1598, 1598, 4551, 6811, 8035],  # noqa: E501
+    [7946, 6070, 2760, -1202, -4880, -7405, -8182, -7027, -4212, -402, 3503, 6580, 8103, 7713, 5501, 1990, -1990, -5501, -7713, -8103, -6580, -3503, 402, 4212, 7027, 8182, 7405, 4880, 1202, -2760, -6070, -7946],  # noqa: E501
+    [7839, 5197, 803, -3862, -7225, -8153, -6333, -2378, 2378, 6333, 8153, 7225, 3862, -803, -5197, -7839, -7839, -5197, -803, 3862, 7225, 8153, 6333, 2378, -2378, -6333, -8153, -7225, -3862, 803, 5197, 7839],  # noqa: E501
+    [7713, 4212, -1202, -6070, -8182, -6580, -1990, 3503, 7405, 7946, 4880, -402, -5501, -8103, -7027, -2760, 2760, 7027, 8103, 5501, 402, -4880, -7946, -7405, -3503, 1990, 6580, 8182, 6070, 1202, -4212, -7713],  # noqa: E501
+]
+
 
 def phash_images(media: DataFrame, use_stub_decoder: bool = True) -> DataFrame:
     """64-bit perceptual hash (pHash) per image — the image-dedup
@@ -332,9 +353,12 @@ def phash_images(media: DataFrame, use_stub_decoder: bool = True) -> DataFrame:
     land ~32 bits apart).
 
     Pipeline per Arrow batch (all numpy, executor-local, no shuffle):
-    decode → 32×32 grayscale → orthonormal 2-D DCT (two matmuls) →
-    top-left 8×8 low-frequency block → median threshold → 64-bit
-    pack. The stub decoder tiles payload bytes into the pixel grid
+    decode → 32×32 grayscale → integer 2-D DCT (two int64 matmuls
+    against the frozen ``PHASH_DCT_W8`` basis — only the first 8
+    frequency rows are ever needed, so W·X·Wᵀ IS the top-left 8×8
+    low-frequency block) → median threshold (exact integer compare:
+    bit ⇔ 2·c > s₃₂+s₃₃ of the sorted coefficients) → 64-bit pack.
+    The stub decoder tiles payload bytes into the pixel grid
     (deterministic; swap in a real codec at deploy time — the
     DCT/threshold/pack stages are the real algorithm either way).
     """
@@ -343,16 +367,11 @@ def phash_images(media: DataFrame, use_stub_decoder: bool = True) -> DataFrame:
         import numpy as np
 
         n = 32
-        j = np.arange(n)
-        # orthonormal DCT-II basis
-        D = np.sqrt(2.0 / n) * np.cos(
-            np.pi * (2 * j[None, :] + 1) * j[:, None] / (2 * n)
-        )
-        D[0, :] /= np.sqrt(2.0)
+        W = np.array(PHASH_DCT_W8, dtype=np.int64)
 
         def pixels(payload: bytes) -> np.ndarray:
             raw = np.frombuffer(payload or b"\0", dtype=np.uint8)
-            tiled = np.resize(raw, n * n).astype(np.float64)
+            tiled = np.resize(raw, n * n).astype(np.int64)
             return tiled.reshape(n, n)
 
         weights = 1 << np.arange(64, dtype=np.uint64)
@@ -360,8 +379,9 @@ def phash_images(media: DataFrame, use_stub_decoder: bool = True) -> DataFrame:
             ids, hashes = [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 x = pixels(payload)
-                coeffs = (D @ x @ D.T)[:8, :8].ravel()
-                bits = coeffs > np.median(coeffs)
+                coeffs = (W @ x @ W.T).ravel()  # exact int64
+                s = np.sort(coeffs)
+                bits = 2 * coeffs > s[31] + s[32]
                 h = np.uint64((bits * weights).sum())
                 ids.append(mid)
                 hashes.append(int(h.astype(np.int64)))

@@ -20,6 +20,7 @@ Type-parity notes (Spark ↔ DuckDB):
 
 from __future__ import annotations
 
+import functools as _functools
 import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
@@ -97,9 +98,19 @@ from ..sources.tables import load_table
 class QueryDef:
     name: str
     builder: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None
+    # str = static SQL; callable = LAZY generator (for oracles whose
+    # SQL embeds fixture-derived literals — e.g. replayed trainer
+    # factors — too expensive to compute at import time). A callable
+    # may return None → treated as rows-only for that run.
+    oracle: str | Callable[[], str | None] | None
     description: str
     tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+def resolve_oracle(q: "QueryDef") -> str | None:
+    """The one place callable oracles are evaluated (memoize inside
+    the callable itself if generation is expensive)."""
+    return q.oracle() if callable(q.oracle) else q.oracle
 
 
 REGISTRY: list[QueryDef] = []
@@ -1100,7 +1111,13 @@ def dedup_exact_documents(spark, sf_dir):
 def ngram_jaccard_pairs_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
-        d, "text", "doc_id", shingle_n=3, threshold=0.2, max_gram_df=256
+        d,
+        "text",
+        "doc_id",
+        shingle_n=3,
+        threshold=0.2,
+        max_gram_df=256,
+        candidate_budget=50_000_000,
     )
 
 
@@ -1145,7 +1162,13 @@ def ngram_jaccard_pairs_q(spark, sf_dir):
 def near_dup_clusters_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
-        d, "text", "doc_id", shingle_n=3, threshold=0.2, max_gram_df=256
+        d,
+        "text",
+        "doc_id",
+        shingle_n=3,
+        threshold=0.2,
+        max_gram_df=256,
+        candidate_budget=50_000_000,
     )
     labels = connected_components(pairs, "id_a", "id_b")
     return labels.select(
@@ -5664,7 +5687,13 @@ def dedup_keep_best_documents(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
-        d, "text", "doc_id", shingle_n=3, threshold=0.2, max_gram_df=256
+        d,
+        "text",
+        "doc_id",
+        shingle_n=3,
+        threshold=0.2,
+        max_gram_df=256,
+        candidate_budget=50_000_000,
     )
     labels = connected_components(pairs, "id_a", "id_b")
     clustered = (
@@ -8142,22 +8171,79 @@ def cdc_source_decode_counts(spark, sf_dir):
     )
 
 
+def _phash_oracle() -> str:
+    """Bit-exact DuckDB twin of the integer pHash: the frozen 8×32
+    DCT basis (operators/multimodal.py::PHASH_DCT_W8) is injected as
+    literals, pixels are the tiled ASCII bytes of the text payload
+    (the stub decoder's contract), and every step — two integer
+    matmuls, the 2·c > s₃₂+s₃₃ median threshold, the 2^k bit pack
+    with signed-64 wraparound — is exact integer arithmetic, so the
+    hashes value-hash-match without tolerance (r6: rows-only → full
+    oracle row, the BPE generated-CTE precedent)."""
+    from ..operators.multimodal import PHASH_DCT_W8
+
+    w_vals = ", ".join(
+        f"({u}, {x}, {wv})"
+        for u, row in enumerate(PHASH_DCT_W8)
+        for x, wv in enumerate(row)
+    )
+    return f"""
+    WITH w(u, x, wv) AS (VALUES {w_vals}),
+    px AS (
+      SELECT doc_id, CAST(i // 32 AS INTEGER) AS r,
+             CAST(i % 32 AS INTEGER) AS c,
+             ascii(substr(text,
+                          CAST(i % length(text) AS INTEGER) + 1,
+                          1)) AS px
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(0, 1023)) AS i
+            FROM documents)
+    ),
+    t AS (
+      SELECT px.doc_id, w.u, px.c,
+             CAST(sum(w.wv * px.px) AS BIGINT) AS tv
+      FROM px JOIN w ON w.x = px.r
+      GROUP BY 1, 2, 3
+    ),
+    coef AS (
+      SELECT t.doc_id, t.u, w.u AS v,
+             CAST(sum(t.tv * w.wv) AS BIGINT) AS cv
+      FROM t JOIN w ON w.x = t.c
+      GROUP BY 1, 2, 3
+    ),
+    med AS (
+      SELECT doc_id, list(cv ORDER BY cv) AS s FROM coef GROUP BY 1
+    ),
+    packed AS (
+      SELECT coef.doc_id,
+             sum(CASE WHEN 2 * cv > med.s[32] + med.s[33]
+                 THEN CAST(power(2, coef.u * 8 + coef.v) AS HUGEINT)
+                 ELSE CAST(0 AS HUGEINT) END) AS h
+      FROM coef JOIN med ON med.doc_id = coef.doc_id
+      GROUP BY 1
+    )
+    SELECT doc_id AS media_id,
+           CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+                THEN h - CAST(18446744073709551616 AS HUGEINT)
+                ELSE h END AS BIGINT) AS phash
+    FROM packed
+    """
+
+
 @_register(
     "multimodal_phash_images",
-    None,  # DCT float thresholds are not SQL-expressible; the
-    # near-dup pairing tier (pigeonhole banding + bit_count verify)
-    # is property-tested on constructed images in
-    # tests/test_multimodal.py — the synthetic text-as-pixels corpus
-    # is not image-like, so realistic Hamming budgets find no pairs
-    # there by design
+    _phash_oracle(),
     "Perceptual-hash image fingerprints (the image tier of corpus "
-    "dedup): 64-bit pHash per payload — 32×32 grayscale → 2-D DCT → "
-    "8×8 low-frequency block → median threshold, all numpy in one "
-    "Arrow pass, no shuffle. Pair mining is "
-    "operators/multimodal.py::phash_near_dup_pairs: pigeonhole "
-    "banding (any pair within Hamming budget agrees on ≥1 band) + "
-    "JVM-side bit_count(xor) verify. Decode stubbed (no codecs "
-    "here); DCT/threshold/band stages are the real algorithm",
+    "dedup): 64-bit pHash per payload — 32×32 grayscale → integer "
+    "2-D DCT against the frozen PHASH_DCT_W8 basis (2^15-scaled "
+    "literals; every step exact int64) → 8×8 low-frequency block → "
+    "integer median threshold → 64-bit pack, all numpy in one Arrow "
+    "pass, no shuffle. FULL oracle row since r6: the DuckDB twin "
+    "replays the same literals, so hashes match bit-for-bit. Pair "
+    "mining is operators/multimodal.py::phash_near_dup_pairs: "
+    "pigeonhole banding (any pair within Hamming budget agrees on "
+    "≥1 band) + JVM-side bit_count(xor) verify. Decode stubbed (no "
+    "codecs here); DCT/threshold/band stages are the real algorithm",
     ("multimodal", "dedup", "phash", "documents"),
 )
 def multimodal_phash_images(spark, sf_dir):
@@ -9854,25 +9940,128 @@ def knn_classify_embeddings(spark, sf_dir):
     )
 
 
+def _pca_oracle_sql() -> str | None:
+    """LAZY oracle for pca_project_embeddings (r6: rows-only → full
+    oracle row). The 64×64 eigensolve is not SQL-expressible, so the
+    generator replays the fit INDEPENDENTLY (single-process numpy
+    over the raw parquet — a different code path from the Spark
+    side's distributed gram partials) for every known fixture and
+    embeds the sign-pinned mean/component rows as literals; the SQL
+    picks the fixture's literals via a data-derived selector (row
+    count + an exact-integer checksum of the first coordinate) and
+    computes the projection itself. Validates: distributed gram ==
+    single-pass gram, sign pinning, and the projection GEMM, to the
+    stable 4-decimal rounding (eigengaps ~3e-4 dwarf the ~1e-14
+    cross-path covariance perturbation, so the rounded projections
+    agree). Regenerated from the CURRENT parquet on first use each
+    process, never stale; returns None (rows-only) if no fixture is
+    readable."""
+    return _pca_oracle_sql_cached()
+
+
+@_functools.lru_cache(maxsize=1)
+def _pca_oracle_sql_cached() -> str | None:
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    fixtures = []
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/embeddings.parquet"
+        try:
+            x = np.array(
+                pq.read_table(path, columns=["embedding"])
+                .column("embedding")
+                .to_pylist(),
+                dtype=np.float64,
+            )
+        except Exception:  # noqa: BLE001
+            continue
+        if x.ndim != 2 or not len(x):
+            continue
+        n = x.shape[0]
+        chk = int(
+            np.floor(np.abs(x[:, 0]) * 1000).astype(np.int64).sum()
+        )
+        mu = x.mean(axis=0)
+        g = x.T @ x
+        cov = (g - n * np.outer(mu, mu)) / max(n - 1, 1)
+        evals, evecs = np.linalg.eigh(cov)
+        order = np.argsort(evals)[::-1][:2]
+        comps = evecs[:, order].T
+        for i in range(2):
+            j = int(np.argmax(np.abs(comps[i])))
+            if comps[i, j] < 0:
+                comps[i] = -comps[i]
+        fixtures.append((n, chk, mu, comps))
+    if not fixtures:
+        return None
+    comp_vals = ", ".join(
+        f"('f{fi}', {j}, {mu[j]!r}, {comps[0, j]!r}, {comps[1, j]!r})"
+        for fi, (_, _, mu, comps) in enumerate(fixtures)
+        for j in range(mu.shape[0])
+    )
+    sel_case = " ".join(
+        f"WHEN n = {n} AND chk = {chk} THEN 'f{fi}'"
+        for fi, (n, chk, _, _) in enumerate(fixtures)
+    )
+    return f"""
+    WITH sel AS (
+      SELECT count(*) AS n,
+             SUM(CAST(floor(abs(CAST(embedding[1] AS DOUBLE)) * 1000)
+                 AS BIGINT)) AS chk
+      FROM embeddings
+    ),
+    comp(fkey, j, m, c1, c2) AS (VALUES {comp_vals}),
+    chosen AS (
+      SELECT j, m, c1, c2 FROM comp
+      WHERE fkey = (SELECT CASE {sel_case} ELSE 'f0' END FROM sel)
+    ),
+    ex AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) AS INTEGER) AS j,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    )
+    SELECT ex.vec_id,
+           floor(SUM((val - m) * c1) * 10000 + 0.5) / 10000 AS pc1,
+           floor(SUM((val - m) * c2) * 10000 + 0.5) / 10000 AS pc2
+    FROM ex JOIN chosen ON chosen.j + 1 = ex.j
+    GROUP BY ex.vec_id
+    """
+
+
 @_register(
     "pca_project_embeddings",
-    None,  # eigendecomposition is not SQL-expressible; verified vs numpy in tests
+    _pca_oracle_sql,
     "Distributed PCA (one-pass covariance factorization): executors "
     "emit O(d²) (n, Σx, XᵀX) partials per partition — independent of "
     "row count — the driver eigensolves the 64×64 covariance "
     "(microseconds), and projection is a broadcast GEMM per Arrow "
     "batch with zero shuffle; eigenvector signs pinned "
     "deterministically. Returns each vector's first two principal "
-    "components. The driver-visible oracle row "
-    "`pca_variance_match_floor` (registry54) pins component "
-    "variance ≡ eigenvalue to 1e-6",
+    "components. FULL oracle row since r6 (was rows-only): the lazy "
+    "oracle replays the fit independently in single-process numpy "
+    "and embeds the sign-pinned components as literals per fixture, "
+    "projecting in SQL — see _pca_oracle_sql. The driver-visible "
+    "`pca_variance_match_floor` (registry54) additionally pins "
+    "component variance ≡ eigenvalue to 1e-6",
     ("embeddings", "linalg", "pca", "pandas_udf"),
 )
 def pca_project_embeddings(spark, sf_dir):
     from ..operators.linalg import pca_fit_project
 
     emb = _t(spark, sf_dir, "embeddings")
-    return pca_fit_project(emb, id_col="vec_id", vec_col="embedding", k=2)
+    proj = pca_fit_project(
+        emb, id_col="vec_id", vec_col="embedding", k=2, round_to=None
+    )
+    # stable floor-based 4-decimal rounding on BOTH sides (Spark's
+    # F.round is HALF_UP on the shortest decimal repr; DuckDB rounds
+    # the binary double — the floor(x*1e4+0.5) fold is engine-free)
+    return proj.select(
+        "vec_id",
+        (F.floor(F.col("pc1") * 10000 + F.lit(0.5)) / 10000).alias("pc1"),
+        (F.floor(F.col("pc2") * 10000 + F.lit(0.5)) / 10000).alias("pc2"),
+    )
 
 
 @_register(
@@ -9988,4 +10177,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {q.name: q.oracle for q in REGISTRY if q.oracle is not None}
+    out = {}
+    for q in REGISTRY:
+        if q.oracle is None:
+            continue
+        sql = resolve_oracle(q)
+        if sql is not None:
+            out[q.name] = sql
+    return out

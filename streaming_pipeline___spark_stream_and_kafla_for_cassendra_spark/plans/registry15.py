@@ -85,7 +85,13 @@ def near_dup_canonical_docs(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
-        d, "text", "doc_id", shingle_n=3, threshold=0.2, max_gram_df=256
+        d,
+        "text",
+        "doc_id",
+        shingle_n=3,
+        threshold=0.2,
+        max_gram_df=256,
+        candidate_budget=50_000_000,
     )
     labels = connected_components(pairs, "id_a", "id_b").select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")

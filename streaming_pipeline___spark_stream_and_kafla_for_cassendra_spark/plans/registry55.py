@@ -209,7 +209,13 @@ def lsh_blocking_quality(spark, sf_dir):
     # Pair completeness: exact truth mined ONLY within the stratum
     # (O(stratum²) bounded), graded against the same candidate set.
     truth = ngram_jaccard_pairs(
-        strat, "text", "doc_id", shingle_n=3, threshold=0.7, max_gram_df=256
+        strat,
+        "text",
+        "doc_id",
+        shingle_n=3,
+        threshold=0.7,
+        max_gram_df=256,
+        candidate_budget=50_000_000,
     ).select("id_a", "id_b")
 
     n_stratum = strat.count()
@@ -614,7 +620,13 @@ def dedup_survivorship_audit(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
-        d, "text", "doc_id", shingle_n=3, threshold=0.2, max_gram_df=256
+        d,
+        "text",
+        "doc_id",
+        shingle_n=3,
+        threshold=0.2,
+        max_gram_df=256,
+        candidate_budget=50_000_000,
     )
     labels = connected_components(pairs, "id_a", "id_b").select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")

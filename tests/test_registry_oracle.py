@@ -10,6 +10,7 @@ import pytest
 
 from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.plans.registry import (
     REGISTRY,
+    resolve_oracle,
 )
 from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.sources.tables import (
     TABLES,
@@ -47,10 +48,11 @@ def _canon(cols, rows):
 def test_query_matches_oracle(spark, duck, qd):
     sdf = qd.builder(spark, SF)
     srows = [tuple(r) for r in sdf.collect()]
-    if qd.oracle is None:
+    oracle = resolve_oracle(qd) if qd.oracle is not None else None
+    if oracle is None:
         assert len(srows) > 0, f"{qd.name}: rows-only query returned nothing"
         return
-    res = duck.execute(qd.oracle)
+    res = duck.execute(oracle)
     ocols = [d[0] for d in res.description]
     orows = res.fetchall()
     assert sorted(sdf.columns) == sorted(ocols), f"{qd.name}: column names differ"

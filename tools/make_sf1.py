@@ -27,7 +27,12 @@ Method per table (seed 777, deterministic):
   bootstrapped; nation/region copied (fixed 25/5 like TPC-H).
 
 Writes parquet to /tmp/sf1_true/ (~10× sf0.1). Usage:
-    python tools/make_sf1.py [out_dir]
+    python tools/make_sf1.py [out_dir] [scale]
+
+``scale`` (default 10 = true sf1) generalizes the generator — the
+round-6 df-cap saturation probe uses scale=30 (sf3) to measure the
+exact-mining cost curve past the point where gram document
+frequencies cross the 256 cap.
 """
 
 from __future__ import annotations
@@ -42,7 +47,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
-SCALE = 10
+SCALE = 10  # overridden by argv[2]
 
 
 def _read(name):
@@ -50,7 +55,10 @@ def _read(name):
 
 
 def main() -> None:
+    global SCALE
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_true"
+    if len(sys.argv) > 2:
+        SCALE = int(sys.argv[2])
     os.makedirs(out, exist_ok=True)
     rng = np.random.RandomState(777)
     py_rng = random.Random(777)

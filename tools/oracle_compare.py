@@ -28,6 +28,7 @@ sys.path.insert(0, "/root/repo")
 from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark import get_session
 from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.plans.registry import (
     REGISTRY,
+    resolve_oracle,
 )
 from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.sources.tables import (
     TABLES,
@@ -94,14 +95,15 @@ def main() -> int:
             failures.append(q.name)
             record(q.name, "fail", reason=f"spark error: {exc}")
             continue
-        if q.oracle is None:
+        oracle = resolve_oracle(q) if q.oracle is not None else None
+        if oracle is None:
             emit(f"rows  {q.name}: {len(srows)} rows (no oracle)")
             if len(srows) == 0 and "maybe_empty" not in q.tags:
                 emit(f"      WARNING: zero rows")
             record(q.name, "rows_only", n_rows=len(srows))
             continue
         try:
-            res = con.execute(q.oracle)
+            res = con.execute(oracle)
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
         except Exception as exc:  # noqa: BLE001

@@ -65,7 +65,8 @@ def main() -> None:
                 f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
             )
         print("--- DuckDB oracle ---")
-        print(con.sql(q.oracle).limit(args.limit))
+        from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.plans.registry import resolve_oracle
+        print(con.sql(resolve_oracle(q)).limit(args.limit))
 
 
 if __name__ == "__main__":
