@@ -21,6 +21,8 @@ Determinism notes (same discipline as registry.py):
 
 from __future__ import annotations
 
+import functools as _functools
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -1763,9 +1765,183 @@ def sliding_distinct_users_7d_hll(spark, sf_dir):
 # ALS collaborative filtering (iterative distributed factorization)
 # ---------------------------------------------------------------------------
 
+
+def _als_oracle_sql() -> str | None:
+    """LAZY oracle for als_recommend_parts (r6: rows-only → full
+    oracle row). The rank-8/2-iteration trainer is REPLAYED
+    independently in single-process numpy — deterministic init via
+    the JVM-parity xxhash64 port (functions/xxh64.py, pinned by
+    tests/test_xxh64.py), identical alternation/ridge algebra, exact
+    integer quantity sums — and the resulting factors are embedded
+    as per-fixture literals (selected by an exact-integer pair-count
+    + checksum). The SERVE stage (score every unseen item per cohort
+    user, rank, top-3) is then plain SQL over the raw tables, so the
+    oracle validates the distributed trainer end-to-end against an
+    independent implementation AND the serve join against relational
+    algebra. Cross-path factor noise is ~1e-12 (float-sum order),
+    far inside the 4-decimal score rounding; exact score ties are
+    broken by item_id on both sides."""
+    return _als_oracle_sql_cached()
+
+
+def _als_replay(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..functions.xxh64 import xxhash64
+
+    li = (
+        pq.read_table(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_partkey", "l_quantity"],
+        )
+        .to_pandas()
+    )
+    o = (
+        pq.read_table(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        )
+        .to_pandas()
+    )
+    m = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    g = (
+        m.groupby(["o_custkey", "l_partkey"], sort=True)["l_quantity"]
+        .sum()
+        .reset_index()
+    )
+    user_ids = g["o_custkey"].to_numpy(dtype=np.int64)
+    item_ids = g["l_partkey"].to_numpy(dtype=np.int64)
+    # quantities are integral → the sum is order-free exact, so the
+    # ratings match Spark's groupBy bit-for-bit
+    r = np.log1p(g["l_quantity"].to_numpy(dtype=np.float64))
+    chk = int((user_ids * 7 + item_ids).sum())
+    users = np.unique(user_ids)
+    items = np.unique(item_ids)
+    u_of = np.searchsorted(users, user_ids)
+    i_of = np.searchsorted(items, item_ids)
+    k, lam, seed = 8, 0.1, 7
+
+    def init(ids: np.ndarray, s: int) -> np.ndarray:
+        return np.array(
+            [
+                [
+                    (
+                        xxhash64(("long", int(e)), ("int", j), ("int", s))
+                        % 1000
+                    )
+                    / 10000.0
+                    - 0.05
+                    for j in range(k)
+                ]
+                for e in ids
+            ],
+            dtype=np.float64,
+        )
+
+    item_f = init(items, seed)
+    user_f = init(users, seed + 1)
+    lam_eye = lam * np.eye(k)
+
+    def solve(fixed_f, fix_idx, sol_idx, n_sol):
+        order = np.argsort(sol_idx, kind="stable")
+        P = fixed_f[fix_idx][order]
+        rr = r[order]
+        groups = sol_idx[order]
+        starts = np.flatnonzero(
+            np.r_[True, groups[1:] != groups[:-1]]
+        )
+        outer = (P[:, :, None] * P[:, None, :]).reshape(len(P), k * k)
+        A = np.add.reduceat(outer, starts, axis=0).reshape(-1, k, k)
+        b = np.add.reduceat(P * rr[:, None], starts, axis=0)
+        out = np.zeros((n_sol, k))
+        out[groups[starts]] = np.linalg.solve(A + lam_eye, b)
+        return out
+
+    for _ in range(2):
+        user_f = solve(item_f, i_of, u_of, len(users))
+        item_f = solve(user_f, u_of, i_of, len(items))
+    cohort = users % 300 == 0
+    return {
+        "n": int(len(g)),
+        "chk": chk,
+        "users": users[cohort],
+        "user_f": user_f[cohort],
+        "items": items,
+        "item_f": item_f,
+    }
+
+
+@_functools.lru_cache(maxsize=1)
+def _als_oracle_sql_cached() -> str | None:
+    fixtures = []
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        try:
+            fixtures.append(_als_replay(f"/root/testdata/{sf}"))
+        except Exception:  # noqa: BLE001
+            continue
+    if not fixtures:
+        return None
+
+    def fvals(fi, ids, mat):
+        return ", ".join(
+            "('f%d', %d, %s)"
+            % (fi, int(e), ", ".join(repr(float(v)) for v in row))
+            for e, row in zip(ids, mat)
+        )
+
+    uf_vals = ", ".join(
+        fvals(fi, fx["users"], fx["user_f"])
+        for fi, fx in enumerate(fixtures)
+    )
+    itf_vals = ", ".join(
+        fvals(fi, fx["items"], fx["item_f"])
+        for fi, fx in enumerate(fixtures)
+    )
+    sel_case = " ".join(
+        f"WHEN n = {fx['n']} AND chk = {fx['chk']} THEN 'f{fi}'"
+        for fi, fx in enumerate(fixtures)
+    )
+    score = "0.0"
+    for j in range(1, 9):
+        score = f"({score} + u{j} * v{j})"
+    ucols = ", ".join(f"u{j}" for j in range(1, 9))
+    vcols = ", ".join(f"v{j}" for j in range(1, 9))
+    return f"""
+    WITH pairs AS (
+      SELECT o.o_custkey AS user_id, l.l_partkey AS item_id
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ),
+    sel AS (
+      SELECT count(*) AS n, SUM(user_id * 7 + item_id) AS chk FROM pairs
+    ),
+    fkey AS (SELECT CASE {sel_case} ELSE 'f0' END AS k FROM sel),
+    uf(f, user_id, {ucols}) AS (VALUES {uf_vals}),
+    itf(f, item_id, {vcols}) AS (VALUES {itf_vals}),
+    scored AS (
+      SELECT u.user_id, i.item_id, {score} AS score
+      FROM uf u JOIN fkey ON u.f = fkey.k
+      JOIN itf i ON i.f = fkey.k
+    ),
+    unseen AS (
+      SELECT s.user_id, s.item_id, s.score
+      FROM scored s ANTI JOIN pairs p USING (user_id, item_id)
+    ),
+    ranked AS (
+      SELECT user_id, item_id, score,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY score DESC, item_id) AS rnk
+      FROM unseen
+    )
+    SELECT user_id, item_id, round(score, 4) AS score,
+           CAST(rnk AS INTEGER) AS rank
+    FROM ranked WHERE rnk <= 3
+    """
+
+
 @_register(
     "als_recommend_parts",
-    None,  # iterative least-squares factors are not SQL-expressible
+    _als_oracle_sql,
     "ALS collaborative filtering over the customer × part purchase "
     "matrix (operators/als.py): normal-equation terms assembled by a "
     "position-exploded grouped sum (shuffle = #entities × k² rows, "
@@ -1773,9 +1949,12 @@ def sliding_distinct_users_7d_hll(spark, sf_dir):
     "Arrow pass, deterministic init — then top-3 novel part "
     "recommendations for a fixed user cohort. Convergence, planted- "
     "structure recovery, bit-determinism, and novelty are pytest- "
-    "pinned; the registry run is the rows-only smoke of the same "
-    "pipeline; the driver-visible oracle row `als_rmse_floor` "
-    "(registry54) pins train-RMSE ≤ 1.02× the global-mean baseline",
+    "pinned. FULL oracle row since r6 (was rows-only): the lazy "
+    "oracle replays the trainer independently in numpy (xxhash64 "
+    "port for the init, identical alternation) and embeds the "
+    "factors as literals, serving in SQL — see _als_oracle_sql. The "
+    "driver-visible oracle row `als_rmse_floor` (registry54) pins "
+    "train-RMSE ≤ 1.02× the global-mean baseline",
     ("ml", "als", "recommender", "iterative", "lineitem"),
 )
 def als_recommend_parts(spark, sf_dir):

@@ -11,6 +11,9 @@ import pytest
 from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.plans import (
     REGISTRY,
 )
+from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.plans.registry import (
+    resolve_oracle,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 TABLES = (
@@ -32,27 +35,23 @@ def con():
 def test_every_oracle_plans(con):
     failures = []
     for q in REGISTRY:
-        if q.oracle is None:
+        oracle = resolve_oracle(q) if q.oracle is not None else None
+        if oracle is None:
             continue
         try:
-            con.execute(f"EXPLAIN {q.oracle}")
+            con.execute(f"EXPLAIN {oracle}")
         except Exception as exc:  # noqa: BLE001 - collect all
             failures.append(f"{q.name}: {type(exc).__name__}: {exc}")
     assert not failures, "\n".join(failures[:10])
 
 
-def test_rows_only_set_is_exactly_the_documented_four():
-    # r5 converted sliding_distinct_users_7d_hll (per-day exact +
-    # 5%-envelope booleans), compression_ratio_documents (pinned
-    # DEFLATE calibration literals) and sketch_distinct_users_by_type
-    # (per-type exact rewrite + 5%-envelope booleans) to full oracle
-    # rows; the three below are the documented engine-internal
-    # holdouts, each with a driver-visible companion gate
-    # (als_rmse_floor, phash_determinism_gate,
-    # pca_variance_match_floor).
+def test_rows_only_set_is_empty():
+    # r6 converted the last three holdouts: multimodal_phash_images
+    # (frozen integer DCT, bit-exact twin), pca_project_embeddings
+    # (independent numpy refit embedded as per-fixture literals) and
+    # als_recommend_parts (numpy trainer replay via the xxhash64
+    # port + SQL serve join) — every registered query now has an
+    # oracle. Lazy oracles (callables) count as present; they may
+    # return None only when NO fixture is readable.
     no_oracle = sorted(q.name for q in REGISTRY if q.oracle is None)
-    assert no_oracle == [
-        "als_recommend_parts",
-        "multimodal_phash_images",
-        "pca_project_embeddings",
-    ]
+    assert no_oracle == []
