@@ -35,10 +35,6 @@ EXCLUDE: dict[str, str] = {
         "90-word name vocabulary makes the answer itself quadratic); "
         "SymSpell blocking already cut it 9x from 305 s"
     ),
-    "bootstrap_ci_mean_price": (
-        "56 s: exact seeded bootstrap = B deterministic md5 draws per "
-        "fact row; cost is the pinned B x fact-scan by design"
-    ),
     "als_recommend_parts": (
         "36 s: iterative ALS training (2 full alternating solves); "
         "convergence/perf characterized in pytest + PLANS.md"

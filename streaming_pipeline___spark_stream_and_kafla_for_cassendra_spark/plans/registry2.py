@@ -2880,21 +2880,34 @@ def ts_subsequence_match_hourly(spark, sf_dir):
              CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
       FROM lineitem
     ),
-    resampled AS (
+    mix AS (
       SELECT r, cents,
-             (CAST(('0x' || substr(md5('boot-v1' || CAST(r AS VARCHAR) || ':'
-                     || CAST(l_orderkey AS VARCHAR) || ':'
-                     || CAST(l_linenumber AS VARCHAR)), 1, 8)) AS UBIGINT)
-              + 1) / 4294967296.0 AS u
-      FROM base, (SELECT unnest(range(1, 101)) AS r)
+             xor(s2 * 1597334677 % 2147483648,
+                 (s2 * 1597334677 % 2147483648) >> 16) AS s
+      FROM (
+        SELECT r, cents,
+               xor(s1 * 2654435761 % 2147483648,
+                   (s1 * 2654435761 % 2147483648) >> 13) AS s2
+        FROM (
+          SELECT r, cents, xor(s0, s0 >> 16) AS s1
+          FROM (
+            SELECT r, cents,
+                   ((l_orderkey % 2147483648) * 2654435761 % 2147483648
+                    + (l_linenumber % 2147483648) * 2246822519 % 2147483648
+                    + r * 3266489917 % 2147483648
+                    + 1013904223) % 2147483648 AS s0
+            FROM base, (SELECT unnest(range(1, 101)) AS r)
+          )
+        )
+      )
     ),
     mult AS (
       SELECT r, cents,
-             CASE WHEN u <= 0.36787944117144233 THEN 0
-                  WHEN u <= 0.7357588823428847 THEN 1
-                  WHEN u <= 0.919698602928606 THEN 2
+             CASE WHEN s < 790015084 THEN 0
+                  WHEN s < 1580030168 THEN 1
+                  WHEN s < 1975037710 THEN 2
                   ELSE 3 END AS m
-      FROM resampled
+      FROM mix
     ),
     per_resample AS (
       SELECT r, CAST(sum(cents * m) AS BIGINT) AS sc,
@@ -2922,14 +2935,18 @@ def ts_subsequence_match_hourly(spark, sf_dir):
     "scalable bootstrap: instead of resampling n rows with "
     "replacement (which needs global coordination), every row draws "
     "an independent multiplicity per resample from a truncated "
-    "Poisson(1) (P=e⁻¹ ladder), so 100 resamples are one ×100 "
-    "map-side explode feeding a 100-group partial-aggregated sum — "
-    "shuffle carries 100 rows per partition, never data. "
-    "Multiplicities come from salted md5 uniforms (deterministic "
-    "across runs AND engines, same discipline as priority "
-    "sampling); prices are integer cents, so every resample mean is "
-    "an exact integer ratio and the CI bounds are order statistics "
-    "of identical doubles",
+    "Poisson(1) (P=e⁻¹ ladder on an exact 2³¹ integer lattice), so "
+    "100 resamples are one map-side explode of (r, cents) longs "
+    "feeding a 100-group partial-aggregated sum — shuffle carries "
+    "100 rows per partition, never data. Multiplicities come from a "
+    "3-round multiply-xorshift integer mixer over (orderkey, "
+    "linenumber, r) — pure 64-bit-safe arithmetic, identical in "
+    "both engines and fully inside JVM whole-stage codegen (r6: "
+    "replaced the salted-md5 string draws, whose 100 digests/row "
+    "were the query's entire 56 s cost — bench-includable now); "
+    "prices are integer cents, so every resample mean is an exact "
+    "integer ratio and the CI bounds are order statistics of "
+    "identical doubles",
     ("stats", "bootstrap", "sampling", "lineitem"),
 )
 def bootstrap_ci_mean_price(spark, sf_dir):
@@ -2946,31 +2963,34 @@ def bootstrap_ci_mean_price(spark, sf_dir):
         "l_orderkey",
         "l_linenumber",
     )
-    key = F.concat(
-        F.lit("boot-v1"),
-        F.col("r").cast("string"),
-        F.lit(":"),
-        F.col("l_orderkey").cast("string"),
-        F.lit(":"),
-        F.col("l_linenumber").cast("string"),
-    )
-    u = (
-        F.conv(F.substring(F.md5(key.cast("binary")), 1, 8), 16, 10).cast("long")
-        + 1
-    ) / F.lit(4294967296.0)
+    two31 = F.lit(2147483648)
+    s0 = (
+        (F.col("l_orderkey") % two31) * F.lit(2654435761) % two31
+        + (F.col("l_linenumber").cast("long") % two31)
+        * F.lit(2246822519)
+        % two31
+        + F.col("r").cast("long") * F.lit(3266489917) % two31
+        + F.lit(1013904223)
+    ) % two31
+    s1 = s0.bitwiseXOR(F.shiftright(s0, 16))
+    s2a = s1 * F.lit(2654435761) % two31
+    s2 = s2a.bitwiseXOR(F.shiftright(s2a, 13))
+    s3a = s2 * F.lit(1597334677) % two31
+    s = s3a.bitwiseXOR(F.shiftright(s3a, 16))
     m = (
-        F.when(u <= 0.36787944117144233, 0)
-        .when(u <= 0.7357588823428847, 1)
-        .when(u <= 0.919698602928606, 2)
+        F.when(s < 790015084, 0)
+        .when(s < 1580030168, 1)
+        .when(s < 1975037710, 2)
         .otherwise(3)
     )
     per = (
         resampled.select("r", "cents", m.alias("m"))
         .groupBy("r")
         .agg(
-            F.sum(
-                F.col("cents").cast("decimal(20,0)") * F.col("m")
-            ).alias("sc"),
+            # plain long sum: cents ≤ 1e7 and m ≤ 3, so a resample
+            # total stays under 2^63 up to ~10^11 lineitem rows (the
+            # r6 A/B showed decimal(20,0) arithmetic cost 3× here)
+            F.sum(F.col("cents") * F.col("m")).alias("sc"),
             F.sum("m").alias("n"),
         )
         .filter(F.col("n") > 0)
