@@ -363,16 +363,37 @@ def phash_images(media: DataFrame, use_stub_decoder: bool = True) -> DataFrame:
     DCT/threshold/pack stages are the real algorithm either way).
     """
 
+    use_stub = use_stub_decoder
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         n = 32
         W = np.array(PHASH_DCT_W8, dtype=np.int64)
 
-        def pixels(payload: bytes) -> np.ndarray:
-            raw = np.frombuffer(payload or b"\0", dtype=np.uint8)
-            tiled = np.resize(raw, n * n).astype(np.int64)
-            return tiled.reshape(n, n)
+        if use_stub:
+
+            def pixels(payload: bytes) -> np.ndarray:
+                raw = np.frombuffer(payload or b"\0", dtype=np.uint8)
+                tiled = np.resize(raw, n * n).astype(np.int64)
+                return tiled.reshape(n, n)
+
+        else:
+            # real-codec seam: grayscale decode + bilinear resize to
+            # the 32×32 grid via Pillow, then the SAME integer
+            # DCT/threshold/pack stages. Env-gated — raises without
+            # a codec; tests/test_multimodal_golden.py pins a
+            # checked-in 32×32 grayscale PNG whose expected hash is
+            # derivable without Pillow.
+            def pixels(payload: bytes) -> np.ndarray:
+                import io
+
+                from PIL import Image  # deploy-time dependency
+
+                img = Image.open(io.BytesIO(payload)).convert("L")
+                if img.size != (n, n):
+                    img = img.resize((n, n), Image.BILINEAR)
+                return np.asarray(img, dtype=np.uint8).astype(np.int64)
 
         weights = 1 << np.arange(64, dtype=np.uint64)
         for pdf in it:

@@ -127,48 +127,56 @@ def test_plan_markers_within_baseline(spark, name):
 
 
 # ---------------------------------------------------------------------------
-# Catalog-wide lint (round 5): two markers are red flags at 100 TB no
-# matter the query — a row-at-a-time Python UDF (BatchEvalPython; the
-# catalog's contract is Arrow-vectorized-or-JVM only) and a
-# non-broadcast CartesianProduct (the broadcast variant plans as
-# BroadcastNestedLoopJoin and is fine for tiny build sides). Queries
-# whose BUILDER executes work (streaming availableNow runs, lake/SCD2
-# writers, persistent index builds, IVM views) are skipped — their
-# cost is execution, not plan shape, and each is audited individually
-# in PLANS.md. tools/plan_sweep.py runs the same scan standalone.
+# Catalog-wide lint (round 5; extended round 6): the markers that are
+# red flags at 100 TB no matter the query — a row-at-a-time Python
+# UDF, a non-broadcast CartesianProduct, and (r6) an Exchange
+# SinglePartition outside the committed tiny-reduction allowlist.
+# The tag sets, regexes, and allowlist are SHARED with
+# tools/plan_sweep.py via plans/lint.py (the r5 advice drift fix);
+# builders that train/collect at build time (HEAVY_BUILDERS) are
+# skipped so the lint stays O(plan), and exec-at-build streaming
+# builders are covered by plan_sweep's --streaming mode instead.
 # ---------------------------------------------------------------------------
 
-EXEC_AT_BUILD_TAGS = {
-    "streaming",
-    "lake",
-    "ivm",
-    "materialized-view",
-    "index",
-    "scd2",
-    "time-travel",
-    "kappa",
-    "backfill",
-    "bucketed-write",
-}
+from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.plans.lint import (  # noqa: E402
+    EXEC_AT_BUILD_TAGS,
+    HEAVY_BUILDERS,
+    SINGLE_PARTITION_ALLOWLIST,
+    count_markers,
+)
 
 
-def test_catalog_wide_no_row_udf_or_cartesian(spark):
+def test_catalog_wide_markers(spark):
     bad = {}
     for q in REGISTRY:
-        if EXEC_AT_BUILD_TAGS & set(q.tags):
+        if EXEC_AT_BUILD_TAGS & set(q.tags) or q.name in HEAVY_BUILDERS:
             continue
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             q.builder(spark, SF).explain("formatted")
-        plan = buf.getvalue()
-        row_udf = len(re.findall(r"BatchEvalPython", plan))
-        cartesian = len(re.findall(r"\(\d+\) CartesianProduct", plan))
-        if row_udf or cartesian:
-            bad[q.name] = {"row_udf": row_udf, "cartesian": cartesian}
+        m = count_markers(buf.getvalue())
+        if q.name in SINGLE_PARTITION_ALLOWLIST:
+            m.pop("single_partition")
+        if any(m.values()):
+            bad[q.name] = {k: v for k, v in m.items() if v}
     assert not bad, (
         "row-at-a-time Python UDFs / non-broadcast cartesian products "
-        f"entered the catalog: {bad}"
+        f"/ unallowlisted SinglePartition exchanges entered the "
+        f"catalog: {bad}"
     )
+
+
+def test_single_partition_allowlist_entries_are_real(spark):
+    """Every allowlist entry must still HAVE a SinglePartition in its
+    plan — stale entries hide future regressions."""
+    stale = []
+    for name in SINGLE_PARTITION_ALLOWLIST:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            BY_NAME[name].builder(spark, SF).explain("formatted")
+        if not count_markers(buf.getvalue())["single_partition"]:
+            stale.append(name)
+    assert not stale, f"allowlist entries without SinglePartition: {stale}"
 
 
 def test_bucketed_join_is_exchange_free(spark):
