@@ -1,12 +1,24 @@
-"""Rank sf1/sf0.1 cost ratios from two bench JSONs (round 5).
+"""sf1/sf0.1 cost-ratio triage — machine-diffable artifact (round 6).
 
-A statistically-scaled 10x input (tools/make_sf1.py) should cost
-~10x wall on a fixed-size machine, plus fixed overheads — ratios far
+A statistically-scaled 10× input (tools/make_sf1.py) should cost
+~10× wall on a fixed-size machine, plus fixed overheads — ratios far
 above that flag either superlinear cost curves (the thing the sweep
 exists to catch) or contention during the run (re-time the query
-alone before believing it).
+alone before believing a ratio).
 
-Usage: python tools/sf1_triage.py BENCH_SF1_r5.json BENCH_LOCAL_r5.json [min_base_s]
+Round 6 turns the human-readable ranking into a committed JSON
+artifact (``SF1_TRIAGE_r{N}.json``): every query above the ratio
+threshold carries a CLASS from the maintained map below —
+``output_bound`` (the ANSWER grows superlinearly on this fixture),
+``fixture_degenerate`` (a degenerate synthetic universe makes the
+candidate space quadratic; guarded by the cost-based pre-flight),
+``conversion_artifact`` (the query changed between rounds), or
+``untriaged`` (= investigate NOW). Diffing two rounds' artifacts
+shows exactly which entries appeared, disappeared, or changed class.
+
+Usage:
+    python tools/sf1_triage.py BENCH_SF1.json BENCH_LOCAL.json \
+        [out.json] [min_base_s] [ratio_threshold]
 """
 
 from __future__ import annotations
@@ -14,11 +26,62 @@ from __future__ import annotations
 import json
 import sys
 
+# query -> (class, evidence) — maintained alongside PLANS.md triage
+# notes; an entry here asserts the >threshold ratio is UNDERSTOOD.
+TRIAGE_CLASSES: dict[str, tuple[str, str]] = {
+    "blocking_candidate_pairs": (
+        "output_bound",
+        "13.5M TRUE ed<=2 pairs at sf1 (fixed 90-word name vocabulary); "
+        "A/B'd band + thresholded-levenshtein fixes both slower (PLANS.md r5)",
+    ),
+    "spatial_radius_join": (
+        "output_bound",
+        "7.96M in-radius pairs at sf1 = 101x output growth; 500k pairs/s",
+    ),
+    "fellegi_sunter_linkage": (
+        "output_bound",
+        "1.57M scored candidate pairs at sf1 = 195x output growth",
+    ),
+    "ngram_jaccard_pairs": (
+        "fixture_degenerate",
+        "29,551 distinct trigrams, flat df (max 137 at sf1) -> candidates "
+        "are irreducibly ~sum C(df,2) for ANY exact tier; cost-based "
+        "pre-flight (dedup.py::plan_exact_mining) detects and routes; "
+        "sf3 probe measures the curve (PLANS.md r6)",
+    ),
+    "near_dup_clusters": (
+        "fixture_degenerate",
+        "same candidate leg as ngram_jaccard_pairs",
+    ),
+    "near_dup_canonical_docs": (
+        "fixture_degenerate",
+        "same candidate leg as ngram_jaccard_pairs",
+    ),
+    "dedup_keep_best_documents": (
+        "fixture_degenerate",
+        "same candidate leg as ngram_jaccard_pairs",
+    ),
+    "dedup_survivorship_audit": (
+        "fixture_degenerate",
+        "same candidate leg as ngram_jaccard_pairs",
+    ),
+    "jaccard_prefix_filter_pairs": (
+        "fixture_degenerate",
+        "flat df keeps ~(1-t) of every posting list in prefixes",
+    ),
+    "cross_source_contamination_matrix": (
+        "fixture_degenerate",
+        "13-gram containment over the same degenerate gram universe",
+    ),
+}
+
 
 def main() -> None:
     sf1 = json.load(open(sys.argv[1]))
     base = json.load(open(sys.argv[2]))
-    min_base = float(sys.argv[3]) if len(sys.argv) > 3 else 0.15
+    out_path = sys.argv[3] if len(sys.argv) > 3 else "/tmp/sf1_triage.json"
+    min_base = float(sys.argv[4]) if len(sys.argv) > 4 else 0.15
+    threshold = float(sys.argv[5]) if len(sys.argv) > 5 else 15.0
     q1, q0 = sf1["queries"], base["queries"]
     rows = sorted(
         (
@@ -31,8 +94,38 @@ def main() -> None:
     print(f"{'ratio':>7} {'sf1_s':>9} {'base_s':>8}  query")
     for r, v, b, k in rows[:40]:
         print(f"{r:6.1f}x {v:9.2f} {b:8.2f}  {k}")
-    over = [k for r, _, _, k in rows if r > 15]
-    print(f"\n>15x: {len(over)} queries: {over}")
+    flagged = []
+    for r, v, b, k in rows:
+        if r <= threshold:
+            break
+        cls, why = TRIAGE_CLASSES.get(k, ("untriaged", ""))
+        flagged.append(
+            {
+                "query": k,
+                "ratio": round(r, 1),
+                "sf1_s": v,
+                "base_s": b,
+                "class": cls,
+                "evidence": why,
+            }
+        )
+    untriaged = [f["query"] for f in flagged if f["class"] == "untriaged"]
+    ratios = sorted(r for r, *_ in rows)
+    report = {
+        "threshold_ratio": threshold,
+        "min_base_s": min_base,
+        "n_compared": len(rows),
+        "median_ratio": round(ratios[len(ratios) // 2], 2) if ratios else None,
+        "flagged": flagged,
+        "untriaged": untriaged,
+    }
+    with open(out_path, "w") as fh:
+        json.dump(report, fh, indent=1)
+    print(
+        f"\n>{threshold:g}x: {len(flagged)} queries "
+        f"({len(untriaged)} untriaged: {untriaged})"
+    )
+    print("wrote", out_path)
 
 
 if __name__ == "__main__":
