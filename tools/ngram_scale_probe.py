@@ -100,22 +100,28 @@ def main() -> None:
         if plan["over_budget"] and "est_h_pairs" not in plan:
             plan["est_h_pairs"] = None
         t0 = time.perf_counter()
-        out = dedup.ngram_jaccard_pairs(
-            docs,
-            "text",
-            "doc_id",
-            shingle_n=3,
-            threshold=0.2,
-            max_gram_df=256,
-            candidate_budget=50_000_000,
-        )
-        n_pairs = out.count()
+        try:
+            out = dedup.ngram_jaccard_pairs(
+                docs,
+                "text",
+                "doc_id",
+                shingle_n=3,
+                threshold=0.2,
+                max_gram_df=256,
+                candidate_budget=50_000_000,
+            )
+            n_pairs = out.count()
+            err = None
+        except Exception as exc:  # noqa: BLE001 - a scale failure IS a result
+            n_pairs = None
+            err = f"{type(exc).__name__}: {exc}"[:300]
         wall = time.perf_counter() - t0
         row = {
             "scale_x_sf0p1": scale,
             "n_docs": docs.count(),
             "wall_s": round(wall, 2),
             "out_pairs": n_pairs,
+            "error": err,
             "plan": {
                 k: v for k, v in plan.items() if k != "budget"
             },
