@@ -474,10 +474,17 @@ def plan_exact_mining(
         return sum(n * d * (d - 1) // 2 for d, n in hist if d <= c)
 
     est_at_cap = pairs_le(max_gram_df)
+    # upper bound of the frequent-gram H leg at the configured cap
+    # (H = everyone): Σ_{df>cap} C(df,2). Zero whenever the cap has
+    # not fired — the common case, and then no extra passes run.
+    freq_ub = sum(
+        n * d * (d - 1) // 2 for d, n in hist if d > max_gram_df
+    )
     decision = {
         "path": "df_capped",
         "cap": max_gram_df,
         "est_rare_pairs": est_at_cap,
+        "est_freq_pairs_ub": freq_ub,
         "budget": candidate_budget,
         "distinct_grams": sum(n for _, n in hist),
         "postings": sum(n * d for d, n in hist),
@@ -485,9 +492,6 @@ def plan_exact_mining(
         "tightened": False,
         "over_budget": False,
     }
-    if candidate_budget is None or est_at_cap <= candidate_budget:
-        return decision
-
     def h_leg_pairs(cap: int) -> int:
         """EXACT candidate-row count of the frequent-gram H leg at
         ``cap``: two linear passes over the index (per-doc frequent
@@ -512,6 +516,30 @@ def plan_exact_mining(
             .first()
         )
         return int(h_row["p"] or 0)
+
+    if candidate_budget is None:
+        return decision
+    if est_at_cap <= candidate_budget:
+        if freq_ub <= candidate_budget:
+            return decision
+        # The rare leg fits but the cap HAS fired and the frequent
+        # side could be quadratic (the r6 sf3 probe finding: rare=33M
+        # read as "under budget" while the H leg was ~600M rows and
+        # OOMed after 37 min). freq_ub assumes H = everyone; on
+        # heavy-tailed corpora H is tiny, so pay the linear passes
+        # for the EXACT count before trusting the configured plan.
+        h_at_cap = h_leg_pairs(max_gram_df)
+        decision["est_h_pairs"] = h_at_cap
+        if est_at_cap + h_at_cap <= candidate_budget:
+            return decision
+        q = 1.0 - threshold
+        est_prefix = int(
+            2 * q * q * sum(n * d * (d - 1) // 2 for d, n in hist)
+        )
+        decision.update(over_budget=True, est_prefix_pairs=est_prefix)
+        if est_prefix < est_at_cap + h_at_cap:
+            decision["path"] = "prefix"
+        return decision
 
     # Over budget. A tighter cap helps exactly when the histogram is
     # heavy-tailed: the mass above the tighter cap is concentrated in

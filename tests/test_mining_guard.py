@@ -114,6 +114,25 @@ def test_degenerate_high_threshold_routes_to_prefix(spark):
     assert got == _pairs(ref)
 
 
+def test_saturated_cap_h_leg_is_costed(spark):
+    """The r6 sf3 probe finding: a rare leg under budget must NOT be
+    read as safe when the cap has fired — the frequent-gram H leg is
+    costed exactly and flags over_budget (and the run stays
+    lossless)."""
+    d = _degenerate_docs(spark)
+    # cap=2 fires on every gram (flat df ~ 6-7): rare leg ~0, the
+    # whole corpus is the H stratum
+    out = ngram_jaccard_pairs(
+        d, "text", "doc_id", 3, 0.2, max_gram_df=2, candidate_budget=100
+    )
+    got = _pairs(out)
+    plan = dedup.LAST_MINING_PLAN
+    assert plan["est_rare_pairs"] <= 100 < plan["est_freq_pairs_ub"]
+    assert plan["over_budget"] and plan["est_h_pairs"] > 100
+    ref = ngram_jaccard_pairs(d, "text", "doc_id", 3, 0.2)
+    assert got == _pairs(ref)
+
+
 def test_over_budget_error_policy_raises(spark):
     d = _degenerate_docs(spark)
     with pytest.raises(RuntimeError, match="candidate budget"):

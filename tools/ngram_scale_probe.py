@@ -96,9 +96,15 @@ def main() -> None:
         path = make_documents(scale, f"/tmp/ngram_probe_x{scale}")
         docs = spark.read.parquet(path)
         grams = shingle_rows(docs, "doc_id", "text", 3).localCheckpoint()
+        t_pf = time.perf_counter()
         plan = dedup.plan_exact_mining(grams, 0.2, 256, 50_000_000)
-        if plan["over_budget"] and "est_h_pairs" not in plan:
-            plan["est_h_pairs"] = None
+        preflight_s = round(time.perf_counter() - t_pf, 2)
+        # measure the over-budget runs too (that IS the cost curve) —
+        # but let the guard refuse anything whose EXACT candidate
+        # total exceeds a hard ceiling this box cannot aggregate
+        # (the first sf3 attempt OOMed after 37 min at ~630M rows)
+        est_total = plan["est_rare_pairs"] + plan.get("est_h_pairs", 0)
+        policy = "proceed" if est_total <= 400_000_000 else "error"
         t0 = time.perf_counter()
         try:
             out = dedup.ngram_jaccard_pairs(
@@ -109,9 +115,13 @@ def main() -> None:
                 threshold=0.2,
                 max_gram_df=256,
                 candidate_budget=50_000_000,
+                on_over_budget=policy,
             )
             n_pairs = out.count()
             err = None
+        except RuntimeError as exc:
+            n_pairs = None
+            err = f"guard refused (policy={policy}): {exc}"[:300]
         except Exception as exc:  # noqa: BLE001 - a scale failure IS a result
             n_pairs = None
             err = f"{type(exc).__name__}: {exc}"[:300]
@@ -119,6 +129,7 @@ def main() -> None:
         row = {
             "scale_x_sf0p1": scale,
             "n_docs": docs.count(),
+            "preflight_s": preflight_s,
             "wall_s": round(wall, 2),
             "out_pairs": n_pairs,
             "error": err,
