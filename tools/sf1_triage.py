@@ -34,13 +34,19 @@ TRIAGE_CLASSES: dict[str, tuple[str, str]] = {
         "13.5M TRUE ed<=2 pairs at sf1 (fixed 90-word name vocabulary); "
         "A/B'd band + thresholded-levenshtein fixes both slower (PLANS.md r5)",
     ),
-    "spatial_radius_join": (
+    "spatial_radius_join_customers": (
         "output_bound",
         "7.96M in-radius pairs at sf1 = 101x output growth; 500k pairs/s",
     ),
-    "fellegi_sunter_linkage": (
+    "fellegi_sunter_linkage_scores": (
         "output_bound",
         "1.57M scored candidate pairs at sf1 = 195x output growth",
+    ),
+    "embedding_near_dup_pairs": (
+        "output_bound",
+        "920 -> 192,700 true cosine near-dup pairs (209x output for 10x "
+        "input: make_sf1's noisy copies of bootstrapped base vectors ARE "
+        "near-dups); 51x runtime is sub-linear per output row (r6 measure)",
     ),
     "ngram_jaccard_pairs": (
         "fixture_degenerate",
