@@ -77,22 +77,16 @@ def _r6(col):
     "per cluster. Same pair graph + pointer-jumping components as "
     "near_dup_clusters; the election is a cluster-keyed window over "
     "cluster-sized groups (never a global sort). The dedup'd corpus "
-    "is then 'canonical docs + every unclustered doc'",
+    "is then 'canonical docs + every unclustered doc'. Pair graph "
+    "served from the materialized shared mining leg (_ngram_pair_leg)",
     ("dedup", "clustering", "survivorship", "documents"),
 )
 def near_dup_canonical_docs(spark, sf_dir):
-    from ..operators.dedup import connected_components, ngram_jaccard_pairs
+    from ..operators.dedup import connected_components
+    from .registry import _ngram_pair_leg
 
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
-        d,
-        "text",
-        "doc_id",
-        shingle_n=3,
-        threshold=0.2,
-        max_gram_df=256,
-        candidate_budget=50_000_000,
-    )
+    pairs = _ngram_pair_leg(spark, sf_dir)
     labels = connected_components(pairs, "id_a", "id_b").select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
     )

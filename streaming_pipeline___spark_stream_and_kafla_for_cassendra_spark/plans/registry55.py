@@ -611,23 +611,17 @@ def tokenizer_fertility_by_lang(spark, sf_dir):
     "and canonical counts, absorbed (deleted) docs, retained chars "
     "and the char-retention ppm — the number that goes on the run "
     "dashboard next to the dedup threshold. Reuses the exact pair "
-    "graph + components + election of near_dup_canonical_docs; all "
-    "integer arithmetic, exact oracle",
+    "graph + components + election of near_dup_canonical_docs — the "
+    "pair graph comes from the materialized shared mining leg "
+    "(_ngram_pair_leg); all integer arithmetic, exact oracle",
     ("dedup", "survivorship", "audit", "documents"),
 )
 def dedup_survivorship_audit(spark, sf_dir):
-    from ..operators.dedup import connected_components, ngram_jaccard_pairs
+    from ..operators.dedup import connected_components
+    from .registry import _ngram_pair_leg
 
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
-        d,
-        "text",
-        "doc_id",
-        shingle_n=3,
-        threshold=0.2,
-        max_gram_df=256,
-        candidate_budget=50_000_000,
-    )
+    pairs = _ngram_pair_leg(spark, sf_dir)
     labels = connected_components(pairs, "id_a", "id_b").select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
     )

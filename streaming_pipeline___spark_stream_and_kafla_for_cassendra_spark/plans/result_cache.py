@@ -87,6 +87,40 @@ class ResultCache:
             pass
         return spark.read.parquet(data_dir), False
 
+    def get_or_materialize(self, spark, key: str, df_thunk):
+        """Keyed variant of :meth:`get_or_compute` for SHARED
+        INTERMEDIATES: the caller owns the cache key (params + input
+        file stats + implementation source hash), so the DataFrame —
+        and any exec-at-build pre-flight its construction runs — is
+        only built on a miss (``df_thunk`` is a zero-arg callable).
+
+        Publish is race-safe for concurrent writers: the parquet is
+        written to a unique temp dir inside the entry, then
+        ``os.rename``d to ``data/`` — atomic on a local filesystem,
+        and the rename FAILS if a concurrent writer already published,
+        in which case the loser discards its copy and serves the
+        winner's (both computed the same result by construction).
+        Returns ``(result_df, was_hit)``."""
+        import shutil
+        import uuid
+
+        hit = self.lookup(spark, key)
+        if hit is not None:
+            return hit, True
+        df = df_thunk()
+        entry = self._entry(key)
+        os.makedirs(entry, exist_ok=True)
+        data_dir = os.path.join(entry, "data")
+        tmp_dir = os.path.join(entry, f"data-tmp-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(tmp_dir)
+        try:
+            os.rename(tmp_dir, data_dir)
+        except OSError:  # lost the publish race — serve the winner's
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+        with open(self._marker(key), "w", encoding="utf-8"):
+            pass
+        return spark.read.parquet(data_dir), False
+
     def clear(self) -> None:
         import shutil
 

@@ -155,6 +155,58 @@ def test_result_cache_hits_and_invalidates(spark, tmp_path):
     assert sum(r.n for r in r4.collect()) == 1100
 
 
+def test_result_cache_keyed_materialization(spark, tmp_path):
+    """get_or_materialize: caller-keyed shared intermediates. The
+    thunk must not run on a hit (that's the whole point — the miss
+    path may carry an expensive exec-at-build pre-flight)."""
+    from pyspark.sql import functions as F
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.plans.result_cache import (
+        ResultCache,
+    )
+
+    cache = ResultCache(path=str(tmp_path / "rc3"))
+    calls = {"n": 0}
+
+    def thunk():
+        calls["n"] += 1
+        return spark.range(50).withColumn("v", F.col("id") * 2)
+
+    r1, hit1 = cache.get_or_materialize(spark, "leg-v1", thunk)
+    assert not hit1 and calls["n"] == 1
+    r2, hit2 = cache.get_or_materialize(spark, "leg-v1", thunk)
+    assert hit2 and calls["n"] == 1  # thunk NOT rebuilt on a hit
+    assert sorted(map(tuple, r1.collect())) == sorted(map(tuple, r2.collect()))
+    # a different key is a different entry
+    _, hit3 = cache.get_or_materialize(spark, "leg-v2", thunk)
+    assert not hit3 and calls["n"] == 2
+
+
+def test_ngram_pair_leg_matches_live_miner(spark):
+    """The materialized shared pair leg must be row-identical to the
+    live miner it caches (same params), and a second call must serve
+    from the cache directory."""
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.plans.registry import (
+        _NGRAM_LEG_PARAMS,
+        _ngram_pair_leg,
+        _t,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    leg = _ngram_pair_leg(spark, sf_dir)
+    live = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", **_NGRAM_LEG_PARAMS
+    )
+    leg_rows = sorted((r.id_a, r.id_b) for r in leg.collect())
+    live_rows = sorted((r.id_a, r.id_b) for r in live.collect())
+    assert leg_rows == live_rows and len(leg_rows) > 0
+    again = _ngram_pair_leg(spark, sf_dir)
+    assert all("spark_graft_shared_legs" in f for f in again.inputFiles())
+
+
 def test_result_cache_bypasses_unstattable_inputs(spark, tmp_path, monkeypatch):
     """Inputs the driver cannot stat must be UNCACHEABLE, not hashed to
     a stable sentinel (which would serve stale results after the input
