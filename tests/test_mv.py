@@ -241,3 +241,23 @@ def test_result_cache_bypasses_unstattable_inputs(spark, tmp_path, monkeypatch):
     assert not os.path.isdir(str(tmp_path / "rc2")) or not os.listdir(
         str(tmp_path / "rc2")
     )
+
+
+def test_streaming_builder_pins_and_restores_shuffle_conf(spark):
+    """Streaming-tagged builders run under the pinned state-partition
+    count and MUST restore the session conf afterwards — a leak would
+    silently re-plan every later batch query at 8 partitions."""
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.plans.registry import (
+        REGISTRY,
+        _stream_state_partitions,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    assert str(_stream_state_partitions()) != before, (
+        "test needs the pin to differ from the session default"
+    )
+    q = next(x for x in REGISTRY if x.name == "watermark_delay_audit_events")
+    out = q.builder(spark, "/root/testdata/sf0.001")
+    assert out.count() > 0
+    assert spark.conf.get(key) == before
