@@ -1213,41 +1213,60 @@ _NGRAM_LEG_PARAMS = dict(
 )
 
 
-def _ngram_pair_leg(spark, sf_dir):
+def _materialized_leg(spark, tag, input_df, src_objs, thunk):
+    """Generic fingerprint-keyed shared intermediate (the engine's
+    answer to a repeated subplan across catalog queries — compute
+    once, derive many reports).
+
+    Key = ``tag`` (version + parameters, bump to force a rebuild)
+    + the SOURCE of every object in ``src_objs`` (any implementation
+    change invalidates) + the (path, mtime_ns, size) of every input
+    file of ``input_df`` (any data change invalidates). Un-stattable
+    inputs are never cached — same contract as
+    ``ResultCache.fingerprint``. ``thunk`` builds the leg only on a
+    miss."""
     import hashlib
     import inspect
     import os
     import tempfile
 
-    from ..operators import dedup as _dd
     from .result_cache import ResultCache
 
-    d = _t(spark, sf_dir, "documents")
-
-    def live():
-        return _dd.ngram_jaccard_pairs(
-            d, "text", "doc_id", **_NGRAM_LEG_PARAMS
-        )
-
     h = hashlib.md5()
-    h.update(b"ngram-pair-leg-v1|")
-    h.update(repr(sorted(_NGRAM_LEG_PARAMS.items())).encode())
-    h.update(inspect.getsource(_dd).encode())
+    h.update(tag.encode())
+    h.update(b"|")
+    for obj in src_objs:
+        h.update(inspect.getsource(obj).encode())
     files = []
-    for uri in d.inputFiles():
+    for uri in input_df.inputFiles():
         p = uri[len("file:"):] if uri.startswith("file:") else uri
         try:
             st = os.stat(p)
         except OSError:  # un-stattable input: never cache
-            return live()
+            return thunk()
         files.append((p, st.st_mtime_ns, st.st_size))
     for rec in sorted(files):
         h.update(repr(rec).encode())
     cache = ResultCache(
         path=os.path.join(tempfile.gettempdir(), "spark_graft_shared_legs")
     )
-    res, _hit = cache.get_or_materialize(spark, h.hexdigest(), live)
+    res, _hit = cache.get_or_materialize(spark, h.hexdigest(), thunk)
     return res
+
+
+def _ngram_pair_leg(spark, sf_dir):
+    from ..operators import dedup as _dd
+
+    d = _t(spark, sf_dir, "documents")
+    return _materialized_leg(
+        spark,
+        "ngram-pair-leg-v1|" + repr(sorted(_NGRAM_LEG_PARAMS.items())),
+        d,
+        [_dd],
+        lambda: _dd.ngram_jaccard_pairs(
+            d, "text", "doc_id", **_NGRAM_LEG_PARAMS
+        ),
+    )
 
 
 @_register(

@@ -350,57 +350,15 @@ _IDCG_SQL = "CASE least(n_actual, 5) " + " ".join(
     "NDCG is quantized to integer millionths BEFORE the corpus mean "
     "so the final aggregate is an order-free integer sum (unlike a "
     "naive AVG of doubles, which would not be distributable). "
-    "Rank-aware companion to precision@5 / `reco_mrr_at_k`.",
+    "Rank-aware companion to precision@5 / `reco_mrr_at_k`; "
+    "recs/actual come from the materialized shared legs "
+    "(_reco_eval_legs) — score once, evaluate many.",
     ("ml-eval", "recommendation", "lineitem"),
 )
 def reco_ndcg_at_k(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    is_train = F.substring(
-        F.md5(
-            F.concat(
-                F.lit(_NDCG_SALT), F.col("l_orderkey").cast("string")
-            ).cast("binary")
-        ),
-        1,
-        1,
-    ).isin(*"0123456789ab")
-    split = li.select(
-        "l_orderkey", "l_partkey", is_train.alias("is_train")
-    ).localCheckpoint(eager=False)
-    train = (
-        split.filter("is_train")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    test = (
-        split.filter(~F.col("is_train"))
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    ta = train.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
-    tb = train.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("q"))
-    co = (
-        ta.join(tb, "ok")
-        .filter(F.col("p") != F.col("q"))
-        .groupBy("p", "q")
-        .agg(F.count("*").alias("w"))
-    )
-    wk = Window.partitionBy("p").orderBy(F.col("w").desc(), F.col("q").asc())
-    recs = (
-        co.select("p", "q", F.row_number().over(wk).alias("rk"))
-        .filter(F.col("rk") <= _NDCG_K)
-    )
-    sa = test.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
-    sb = test.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("q"))
-    actual = (
-        sa.join(sb, "ok")
-        .filter(F.col("p") != F.col("q"))
-        .select("p", "q")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    from .registry6 import _reco_eval_legs
+
+    recs, actual = _reco_eval_legs(spark, sf_dir)
     eval_items = actual.groupBy("p").agg(F.count("*").alias("n_actual"))
     hit = recs.join(
         actual.select(F.col("p").alias("ap"), F.col("q").alias("aq")),

@@ -327,6 +327,86 @@ _RECO_K = 5
 _RECO_SALT = "reco-v1"
 
 
+def _reco_eval_legs(spark, sf_dir):
+    """Materialized shared legs for the three recommender-evaluation
+    metrics (precision@k here, MRR in registry9, nDCG in registry19):
+    all three grade the SAME model — top-K item-item co-purchase
+    recommendations from the md5-hash train split — against the SAME
+    truth — distinct test-side co-baskets. A real pipeline scores the
+    model once and computes every metric from the scored tables, so
+    the two tables are served through the fingerprint-keyed shared-
+    intermediate cache (same contract as ``_ngram_pair_leg``: any
+    input-file or implementation change invalidates).
+
+    Returns ``(recs, actual)``: recs = (p, q, rk) with rk ≤ K in
+    (weight desc, q asc) order; actual = distinct (p, q) test pairs.
+    """
+    from pyspark.sql import Window
+
+    from .registry import _materialized_leg, _t
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    is_train = F.substring(
+        F.md5(
+            F.concat(
+                F.lit(_RECO_SALT), F.col("l_orderkey").cast("string")
+            ).cast("binary")
+        ),
+        1,
+        1,
+    ).isin(*"0123456789ab")
+    split = li.select("l_orderkey", "l_partkey", is_train.alias("is_train"))
+
+    def build_recs():
+        train = (
+            split.filter("is_train")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
+        ta = train.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        tb = train.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("q")
+        )
+        co = (
+            ta.join(tb, "o")
+            .filter(F.col("p") != F.col("q"))
+            .groupBy("p", "q")
+            .agg(F.count("*").alias("w"))
+        )
+        wk = Window.partitionBy("p").orderBy(F.desc("w"), F.asc("q"))
+        return (
+            co.select("p", "q", F.row_number().over(wk).alias("rk"))
+            .filter(F.col("rk") <= _RECO_K)
+        )
+
+    def build_actual():
+        test = (
+            split.filter(~F.col("is_train"))
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
+        ea = test.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        eb = test.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("q")
+        )
+        return (
+            ea.join(eb, "o")
+            .filter(F.col("p") != F.col("q"))
+            .select("p", "q")
+            .distinct()
+        )
+
+    tag = f"reco-legs-v1|{_RECO_SALT}|{_RECO_K}"
+    srcs = [_reco_eval_legs]
+    recs = _materialized_leg(spark, tag + "|recs", li, srcs, build_recs)
+    actual = _materialized_leg(spark, tag + "|actual", li, srcs, build_actual)
+    return recs, actual
+
+
 @_register(
     "reco_precision_at_k",
     f"""
@@ -390,64 +470,15 @@ _RECO_SALT = "reco-v1"
     "over parts that appear in multi-item test orders. The pair "
     "joins are order-keyed (bounded per-order fan-out, never a cross "
     "product); the top-5 window is parts-sized; the hit join probes "
-    "the recommendations table. Counts are exact integers.",
+    "the recommendations table. Counts are exact integers. The "
+    "model (recs) and truth (actual) tables are served from the "
+    "materialized shared legs (_reco_eval_legs) graded by all three "
+    "reco metrics — score once, evaluate many.",
     ("ml-eval", "recommendation", "lineitem"),
 )
 def reco_precision_at_k(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    is_train = F.substring(
-        F.md5(
-            F.concat(
-                F.lit(_RECO_SALT), F.col("l_orderkey").cast("string")
-            ).cast("binary")
-        ),
-        1,
-        1,
-    ).isin(*"0123456789ab")
-    # the split feeds BOTH branches; pin it so the lineitem scan +
-    # md5 hash run once, and pin each distinct() since train/test
-    # each fan out to two pair-join legs below
-    split = li.select(
-        "l_orderkey", "l_partkey", is_train.alias("is_train")
-    ).localCheckpoint(eager=False)
-    train = (
-        split.filter("is_train")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    test = (
-        split.filter(~F.col("is_train"))
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    ta = train.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-    tb = train.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("q"))
-    co = (
-        ta.join(tb, "o")
-        .filter(F.col("p") != F.col("q"))
-        .groupBy("p", "q")
-        .agg(F.count("*").alias("w"))
-    )
-    rk = Window.partitionBy("p").orderBy(F.desc("w"), F.asc("q"))
-    # recs/actual each feed multiple consumers below; localCheckpoint
-    # keeps the order-keyed pair builds from re-running per consumer
-    recs = (
-        co.withColumn("rk", F.row_number().over(rk))
-        .filter(F.col("rk") <= _RECO_K)
-        .select("p", "q")
-        .localCheckpoint(eager=False)
-    )
-    ea = test.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-    eb = test.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("q"))
-    actual = (
-        ea.join(eb, "o")
-        .filter(F.col("p") != F.col("q"))
-        .select("p", "q")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    recs_rk, actual = _reco_eval_legs(spark, sf_dir)
+    recs = recs_rk.select("p", "q")
     eval_items = actual.groupBy("p").agg(F.count("*").alias("n_actual"))
     n_recs = recs.groupBy("p").agg(F.count("*").alias("n_recs"))
     hit = (

@@ -89,52 +89,15 @@ def _r6(col):
     "Σ count_r·(1/r) / n over five cells — eliminating the float-"
     "summation-order hazard a naive mean-of-reciprocals would have "
     "at cluster parallelism (the repo's determinism discipline, "
-    "applied to ranking metrics). Plan shape matches the precision "
-    "query; the extra work is one 5-row histogram.",
+    "applied to ranking metrics). Recs/actual come from the "
+    "materialized shared legs (_reco_eval_legs) — score once, "
+    "evaluate many; the extra work is one 5-row histogram.",
     ("ml-eval", "recommendation", "lineitem"),
 )
 def reco_mrr_at_k(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    is_train = F.substring(
-        F.md5(
-            F.concat(
-                F.lit(_RECO_SALT), F.col("l_orderkey").cast("string")
-            ).cast("binary")
-        ),
-        1,
-        1,
-    ).isin(*"0123456789ab")
-    split = li.select("l_orderkey", "l_partkey", is_train.alias("is_train"))
-    train = split.filter("is_train").select("l_orderkey", "l_partkey").distinct()
-    test = (
-        split.filter(~F.col("is_train")).select("l_orderkey", "l_partkey").distinct()
-    )
-    ta = train.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-    tb = train.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("q"))
-    co = (
-        ta.join(tb, "o")
-        .filter(F.col("p") != F.col("q"))
-        .groupBy("p", "q")
-        .agg(F.count("*").alias("w"))
-    )
-    wrk = Window.partitionBy("p").orderBy(F.desc("w"), F.asc("q"))
-    # recs/actual each feed multiple consumers below; localCheckpoint
-    # keeps the order-keyed pair builds from re-running per consumer
-    recs = (
-        co.withColumn("rk", F.row_number().over(wrk))
-        .filter(F.col("rk") <= _RECO_K)
-        .select("p", "q", "rk")
-        .localCheckpoint(eager=False)
-    )
-    ea = test.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-    eb = test.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("q"))
-    actual = (
-        ea.join(eb, "o")
-        .filter(F.col("p") != F.col("q"))
-        .select("p", "q")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    from .registry6 import _reco_eval_legs
+
+    recs, actual = _reco_eval_legs(spark, sf_dir)
     evald = actual.select("p").distinct().join(recs.select("p").distinct(), "p")
     first_hit = (
         recs.join(actual, ["p", "q"])
