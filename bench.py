@@ -60,10 +60,9 @@ EXCLUDE: dict[str, str] = {
         "(same cost class as bpe_token_counts; per-language rollup "
         "on top)"
     ),
-    "streaming_abandoned_views": (
-        "14 s: stream-stream outer join runs TWO availableNow "
-        "micro-batch executions (state build + eviction)"
-    ),
+    # streaming_abandoned_views re-included in round 6: the
+    # state-store partition pin (registry._stream_conf) cut its two
+    # availableNow executions from 14 s to ~2.5 s warm at sf0.1.
     "pretrain_funnel_report": (
         "13 s: composes dedup + quality + langid over the corpus in "
         "one report (each stage benched separately)"
