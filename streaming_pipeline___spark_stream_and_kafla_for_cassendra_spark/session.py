@@ -45,6 +45,28 @@ def get_session(
     On a real cluster ``master`` comes from spark-submit; locally we
     default to ``local[$SPARK_GRAFT_CPUS]``.
     """
+    # Pin per-process BLAS/OpenMP pools to ONE thread for every Python
+    # worker: a Spark task is already the unit of parallelism, so an
+    # unpinned OpenBLAS spawns ncpu threads PER worker — 32 workers ×
+    # 32 BLAS threads = ~1000 runnable threads thrashing one box.
+    # Measured on the sf1 sweep: every numpy/Arrow-UDF-backed query
+    # ran 4-11× slower unpinned (embedding_near_dup_pairs 26 s →
+    # 301 s; pure-JVM queries unaffected). Set BEFORE the JVM
+    # launches so pyspark.daemon and its forked workers inherit it;
+    # executorEnv carries the same pin to real cluster executors.
+    # (Driver-side numpy — 64×64 eigensolves, trainer replays — is
+    # unaffected: those run before/outside workers and their
+    # matrices are too small for BLAS threading to matter.)
+    _blas_vars = (
+        "OMP_NUM_THREADS",
+        "OPENBLAS_NUM_THREADS",
+        "MKL_NUM_THREADS",
+        "VECLIB_MAXIMUM_THREADS",
+        "NUMEXPR_NUM_THREADS",
+    )
+    for var in _blas_vars:
+        os.environ.setdefault(var, "1")
+
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)
@@ -79,6 +101,8 @@ def get_session(
         "spark.ui.showConsoleProgress": "false",
         "spark.sql.autoBroadcastJoinThreshold": "64MB",
     }
+    for var in _blas_vars:
+        conf[f"spark.executorEnv.{var}"] = os.environ[var]
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
