@@ -79,6 +79,46 @@ TRIAGE_CLASSES: dict[str, tuple[str, str]] = {
         "fixture_degenerate",
         "13-gram containment over the same degenerate gram universe",
     ),
+    "ngram_containment_pairs": (
+        "fixture_degenerate",
+        "same degenerate gram universe as ngram_jaccard_pairs (0 true "
+        "pairs at sf1 — ALL cost is the irreducible candidate space); "
+        "warm min-of-2 re-time 37.5 s on the r6b box",
+    ),
+    "dedup_threshold_sensitivity": (
+        "fixture_degenerate",
+        "sweeps the mining threshold, re-running the same degenerate "
+        "candidate leg per threshold; warm min-of-2 re-time 20.2 s",
+    ),
+    "winnow_overlap_pairs": (
+        "cold_io_artifact",
+        "warm min-of-2 re-time 36.3 s = 8.4x (UNDER threshold); the "
+        "sweep's min-of-1 value included first-run cold shuffle write "
+        "on the r6b box's 293 MB/s disk",
+    ),
+    "minhash_lsh_pairs": (
+        "cold_io_artifact",
+        "warm min-of-2 re-time 7.1 s = 14x for 10x input + bucket-"
+        "verify growth; min-of-1 sweep value was a cold first run",
+    ),
+    "page_hinkley_drift_daily": (
+        "cold_io_artifact",
+        "warm min-of-2 re-time 0.4 s (ratio ~1); sweep caught a one-"
+        "off cold run",
+    ),
+    "reco_precision_at_k": (
+        "cache_asymmetry",
+        "first reco metric in registry order pays the shared-leg "
+        "materialization (cold 29.5 s at sf1); warm 1.7 s once the "
+        "legs exist, while the sf0.1 base (min-of-2) includes a run-2 "
+        "cache hit — the ratio compares a cold build to a cached read",
+    ),
+    "range_join_incident_windows": (
+        "output_bound",
+        "10x incidents x 10x event density in each fixed +/-2h window "
+        "-> in-window match pairs grow ~100x; 12.6 s warm min-of-2 at "
+        "sf1",
+    ),
 }
 
 
