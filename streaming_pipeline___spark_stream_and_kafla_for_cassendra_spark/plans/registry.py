@@ -1213,6 +1213,58 @@ _NGRAM_LEG_PARAMS = dict(
 )
 
 
+def _shared_leg_cache_root() -> str:
+    """Per-user, 0700 shared-leg cache root (ADVICE r6 hardening).
+
+    The old root was a PREDICTABLE path in the world-writable
+    tempdir; on a multi-user host another user could squat the
+    directory (permission-breaking every run) or pre-publish an
+    entry whose ``_committed`` marker ``lookup()`` trusts — serving
+    attacker-controlled parquet as query results. Suffixing the uid,
+    forcing mode 0700, and refusing a root we don't own closes both:
+    only this user can create entries the cache will read."""
+    import os
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_shared_legs-{os.getuid()}"
+    )
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    st = os.stat(root)
+    if st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"shared-leg cache root {root} is owned by uid {st.st_uid}, "
+            "not the current user — refusing to trust its entries"
+        )
+    if st.st_mode & 0o077:
+        os.chmod(root, 0o700)
+    return root
+
+
+def _prune_shared_legs(root: str, keep: int = 64) -> None:
+    """Entries accumulate as input mtimes change (every fixture
+    regeneration mints a new fingerprint); bound the root to the
+    ``keep`` most-recently-used entries. mtime of the entry dir is
+    bumped on publish, so eviction order is publish order — stale
+    fingerprints (whose inputs changed) age out naturally."""
+    import os
+    import shutil
+
+    try:
+        entries = [
+            os.path.join(root, e)
+            for e in os.listdir(root)
+            if os.path.isdir(os.path.join(root, e))
+        ]
+    except OSError:  # pragma: no cover - root vanished mid-run
+        return
+    if len(entries) <= keep:
+        return
+    entries.sort(key=lambda p: os.path.getmtime(p))
+    for p in entries[: len(entries) - keep]:
+        shutil.rmtree(p, ignore_errors=True)
+
+
 def _materialized_leg(spark, tag, input_df, src_objs, thunk):
     """Generic fingerprint-keyed shared intermediate (the engine's
     answer to a repeated subplan across catalog queries — compute
@@ -1228,7 +1280,6 @@ def _materialized_leg(spark, tag, input_df, src_objs, thunk):
     import hashlib
     import inspect
     import os
-    import tempfile
 
     from .result_cache import ResultCache
 
@@ -1247,14 +1298,20 @@ def _materialized_leg(spark, tag, input_df, src_objs, thunk):
         files.append((p, st.st_mtime_ns, st.st_size))
     for rec in sorted(files):
         h.update(repr(rec).encode())
-    cache = ResultCache(
-        path=os.path.join(tempfile.gettempdir(), "spark_graft_shared_legs")
-    )
+    root = _shared_leg_cache_root()
+    cache = ResultCache(path=root)
     res, _hit = cache.get_or_materialize(spark, h.hexdigest(), thunk)
+    if not _hit:
+        _prune_shared_legs(root)
     return res
 
 
 def _ngram_pair_leg(spark, sf_dir):
+    # src_objs carries the TRANSITIVE implementation closure (ADVICE
+    # r6): the miner's tokenize/shingle primitives live in
+    # functions/text.py — an edit there changes the mined pair graph,
+    # so it must invalidate the cache exactly like a dedup.py edit.
+    from ..functions import text as _tx
     from ..operators import dedup as _dd
 
     d = _t(spark, sf_dir, "documents")
@@ -1262,7 +1319,7 @@ def _ngram_pair_leg(spark, sf_dir):
         spark,
         "ngram-pair-leg-v1|" + repr(sorted(_NGRAM_LEG_PARAMS.items())),
         d,
-        [_dd],
+        [_dd, _tx],
         lambda: _dd.ngram_jaccard_pairs(
             d, "text", "doc_id", **_NGRAM_LEG_PARAMS
         ),

@@ -75,21 +75,33 @@ def _bucket_spark(col):
       SELECT (SELECT sum(cr) FROM raw_counts) AS nr,
              (SELECT coalesce(sum(ct), 0) FROM tgt_counts) AS nt
     ),
-    scored AS (
-      SELECT bg.doc_id,
-             log2(coalesce(t.ct, 0) + 1.0) - log2(r.cr + 1.0)
-               + log2(tot.nr + {_DSIR_BUCKETS})
-               - log2(tot.nt + {_DSIR_BUCKETS}) AS s
-      FROM bg
-      JOIN raw_counts r USING (b)
+    bucket_scores AS (
+      -- per-bucket log-ratio quantized to integer MICRO-units in the
+      -- 512-row table (ADVICE r6): the per-doc aggregate below then
+      -- sums BIGINTs, which is accumulation-order-free — a float sum
+      -- would let Spark's partial-agg order vs DuckDB's flip the
+      -- rounded selection/sort key on boundary-straddling docs
+      SELECT r.b,
+             CAST(round((log2(coalesce(t.ct, 0) + 1.0) - log2(r.cr + 1.0)
+                   + log2(tot.nr + {_DSIR_BUCKETS})
+                   - log2(tot.nt + {_DSIR_BUCKETS})) * 1000000.0)
+                  AS BIGINT) AS s_u
+      FROM raw_counts r
       LEFT JOIN tgt_counts t USING (b)
       CROSS JOIN tot
     ),
     per_doc AS (
+      -- micro-units -> 4-decimal weight in INTEGER space
+      -- (floor((x+50)/100) = half-up to 0.0001 units), then one exact
+      -- integer/double division — no double round() anywhere, so both
+      -- engines emit the bit-identical weight
       SELECT s.doc_id,
              CAST(count(*) AS BIGINT) AS n_bigrams,
-             round(sum(s.s), 4) + 0.0 AS dsir_log2_weight
-      FROM scored s GROUP BY 1
+             CAST(floor((sum(s.s_u) + 50) / 100.0) AS BIGINT)
+               / 10000.0 AS dsir_log2_weight
+      FROM (SELECT bg.doc_id, bs.s_u
+            FROM bg JOIN bucket_scores bs USING (b)) s
+      GROUP BY 1
     )
     SELECT p.doc_id, d.lang, d.source, p.n_bigrams, p.dsir_log2_weight
     FROM per_doc p JOIN documents d USING (doc_id)
@@ -136,23 +148,38 @@ def dsir_importance_selection(spark, sf_dir):
     tot = raw_counts.agg(F.sum("cr").alias("nr")).crossJoin(
         tgt_counts.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))
     )
-    scored = (
-        bg.join(F.broadcast(raw_counts), "b")
-        .join(F.broadcast(tgt_counts), "b", "left")
+    # Per-bucket log-ratio quantized to integer MICRO-units inside the
+    # 512-row broadcast (ADVICE r6): the per-doc sum below aggregates
+    # BIGINTs, which is accumulation-order-free — Spark partial-agg
+    # order can never flip the selection/sort key vs the oracle.
+    bucket_scores = (
+        raw_counts.join(tgt_counts, "b", "left")
         .crossJoin(F.broadcast(tot))
         .select(
-            "doc_id",
-            (
-                F.log2(F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
-                - F.log2(F.col("cr") + 1.0)
-                + F.log2(F.col("nr") + F.lit(_DSIR_BUCKETS))
-                - F.log2(F.col("nt") + F.lit(_DSIR_BUCKETS))
-            ).alias("s"),
+            "b",
+            F.round(
+                (
+                    F.log2(F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                    - F.log2(F.col("cr") + 1.0)
+                    + F.log2(F.col("nr") + F.lit(_DSIR_BUCKETS))
+                    - F.log2(F.col("nt") + F.lit(_DSIR_BUCKETS))
+                )
+                * 1000000.0
+            )
+            .cast("long")
+            .alias("s_u"),
         )
     )
+    scored = bg.join(F.broadcast(bucket_scores), "b").select("doc_id", "s_u")
+    # micro-units -> 4-decimal weight in INTEGER space (floor((x+50)/
+    # 100) = half-up to 0.0001 units), then one exact integer/double
+    # division — no double round() anywhere, bit-identical cross-engine
     per_doc = scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
-        (F.round(F.sum("s"), 4) + F.lit(0.0)).alias("dsir_log2_weight"),
+        (
+            F.floor((F.sum("s_u") + F.lit(50)) / F.lit(100.0)).cast("long")
+            / F.lit(10000.0)
+        ).alias("dsir_log2_weight"),
     )
     return (
         per_doc.join(d.select("doc_id", "lang", "source"), "doc_id")

@@ -115,8 +115,20 @@ class ResultCache:
         df.write.mode("overwrite").parquet(tmp_dir)
         try:
             os.rename(tmp_dir, data_dir)
-        except OSError:  # lost the publish race — serve the winner's
+        except OSError:
+            # The rename fails for one BENIGN reason — a concurrent
+            # writer already published ``data/`` (lost the race; both
+            # computed the same result by construction, serve the
+            # winner's). Any other failure (permissions, cross-device
+            # link) left NO data behind; writing the marker anyway
+            # would advertise an entry whose reads fail forever, so
+            # re-raise instead (ADVICE r6).
             shutil.rmtree(tmp_dir, ignore_errors=True)
+            if not os.path.isdir(data_dir):
+                raise
+        # Marker LAST, and only once data/ verifiably exists.
+        if not os.path.isdir(data_dir):  # pragma: no cover - defensive
+            raise OSError(f"result cache publish left no data dir: {data_dir}")
         with open(self._marker(key), "w", encoding="utf-8"):
             pass
         return spark.read.parquet(data_dir), False

@@ -261,3 +261,66 @@ def test_streaming_builder_pins_and_restores_shuffle_conf(spark):
     out = q.builder(spark, "/root/testdata/sf0.001")
     assert out.count() > 0
     assert spark.conf.get(key) == before
+
+
+def test_materialize_marker_not_written_on_failed_publish(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r6: a non-race rename failure (permissions, EXDEV) must
+    RAISE and leave no ``_committed`` marker — a marker without data
+    would poison every later lookup for that key."""
+    import os
+
+    import pytest
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.plans.result_cache import (
+        ResultCache,
+    )
+
+    cache = ResultCache(path=str(tmp_path / "rc4"))
+    real_rename = os.rename
+
+    def broken_rename(src, dst, *a, **kw):
+        if "data-tmp-" in str(src):
+            raise PermissionError("simulated EXDEV/permission failure")
+        return real_rename(src, dst, *a, **kw)
+
+    monkeypatch.setattr(os, "rename", broken_rename)
+    with pytest.raises(PermissionError):
+        cache.get_or_materialize(spark, "leg-broken", lambda: spark.range(5))
+    monkeypatch.undo()
+    assert not os.path.exists(
+        str(tmp_path / "rc4" / "leg-broken" / "_committed")
+    )
+    # the entry stays usable: a retry with working rename publishes
+    r, hit = cache.get_or_materialize(spark, "leg-broken", lambda: spark.range(5))
+    assert not hit and r.count() == 5
+
+
+def test_shared_leg_cache_root_is_private_and_owned(tmp_path, monkeypatch):
+    """ADVICE r6: the shared-leg root must be per-user (uid suffix),
+    mode 0700, and ownership-verified — not a predictable world-
+    writable tempdir path another user can squat."""
+    import os
+    import tempfile
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.plans.registry import (
+        _prune_shared_legs,
+        _shared_leg_cache_root,
+    )
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    root = _shared_leg_cache_root()
+    assert root.endswith(f"spark_graft_shared_legs-{os.getuid()}")
+    assert (os.stat(root).st_mode & 0o777) == 0o700
+    # a loosened mode is re-tightened on the next call
+    os.chmod(root, 0o755)
+    assert (os.stat(_shared_leg_cache_root()).st_mode & 0o777) == 0o700
+    # pruning keeps the most-recently-published entries
+    for i in range(6):
+        d = os.path.join(root, f"e{i}")
+        os.makedirs(d)
+        os.utime(d, (i + 1, i + 1))
+    _prune_shared_legs(root, keep=4)
+    left = sorted(os.listdir(root))
+    assert left == ["e2", "e3", "e4", "e5"]
