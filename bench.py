@@ -17,8 +17,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark import get_session
 from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.plans.registry import (
+    CACHE_BACKED_QUERIES,
     REGISTRY,
+    _shared_leg_cache_root,
+    clear_shared_leg_cache,
 )
+
+
+def _leg_entries() -> int:
+    """Number of materialized shared-leg cache entries right now."""
+    root = _shared_leg_cache_root()
+    try:
+        return sum(
+            os.path.isdir(os.path.join(root, e)) for e in os.listdir(root)
+        )
+    except OSError:  # pragma: no cover
+        return 0
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -270,6 +284,30 @@ def materialize(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
 
+# Fixed pure-JVM calibration query, timed FIRST and LAST (VERDICT r6
+# #2): the official r6 artifact read 1.37x slower than the same-day
+# idle run because the grading box was contended, and nothing inside
+# the artifact could say so. The sentinel makes contention visible:
+# a 2-second whole-stage-codegen aggregation has no caches, no
+# Python workers and no disk writes of note, so any drift between
+# its first and last timing — or vs a previous round's sentinel —
+# is the BOX, not the code.
+SENTINEL_QUERY = "q01_pricing_summary"
+
+
+def _sentinel_time(by_name, spark, reps: int = 3) -> float:
+    """min-of-``reps`` — a single-shot sentinel conflates JIT tiering
+    with box contention (measured: q01 1.32 s on a 2-run-old JVM vs
+    0.59 s fully warm); the min over 3 consecutive runs is stable
+    enough that any first/last drift left is the machine."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        materialize(by_name[SENTINEL_QUERY].builder(spark, SF_DIR))
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     by_name = {q.name: q for q in REGISTRY}
     bench_set = os.environ.get("SPARK_GRAFT_BENCH_SET", "")
@@ -287,6 +325,11 @@ def main() -> None:
     # one warm-up pass so JVM/codegen startup doesn't skew query times
     warm = by_name["q01_pricing_summary"].builder(spark, SF_DIR)
     materialize(warm)
+    try:
+        loadavg_start = list(os.getloadavg())
+    except OSError:  # pragma: no cover
+        loadavg_start = None
+    sentinel_first = _sentinel_time(by_name, spark)
 
     # Two timed runs per query, keep the min: single-JVM wall times on
     # a shared host see multi-x transient steal; min-of-2 reports the
@@ -295,10 +338,48 @@ def main() -> None:
     # full-catalog true-sf1 sweep runs min-of-1 to halve wall time —
     # it hunts >5x nonlinearity, where co-tenant jitter is immaterial).
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # Cold/warm split for shared-leg cache readers (VERDICT r6 #4):
+    # with min-of-N, a cache-backed query's number is a parquet read
+    # and round-over-round diffs stop distinguishing materialization
+    # cost from read cost. When the bench runs each query >=2 times,
+    # clear the shared-leg cache before run 1 (cold = mine/score +
+    # derive) and keep it for run 2 (warm = read + derive); publish
+    # BOTH, and report warm — the steady-state pipeline cost — in the
+    # headline map. min-of-1 campaigns (the true-sf1 sweep) skip the
+    # protocol so the whole family still pays one mining run total.
+    coldwarm = runs >= 2 and os.environ.get(
+        "SPARK_GRAFT_BENCH_COLDWARM", "1"
+    ) != "0"
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    cache_backed: dict[str, dict[str, float]] = {}
+    cold_flags: dict[str, bool] = {}
     for name in headline:
         qd = by_name[name]
+        if coldwarm and name in CACHE_BACKED_QUERIES:
+            try:
+                clear_shared_leg_cache()
+                t0 = time.perf_counter()
+                materialize(qd.builder(spark, SF_DIR))
+                cold = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                materialize(qd.builder(spark, SF_DIR))
+                warmt = time.perf_counter() - t0
+                cache_backed[name] = {
+                    "cold": round(cold, 3),
+                    "warm": round(warmt, 3),
+                }
+                timings[name] = round(warmt, 3)
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            continue
+        # min-of-1 campaigns: record whether a cache-backed query was
+        # the one that PAID the shared-leg materialization (the entry
+        # count grew during its run), so sf1_triage can pair its time
+        # with the base artifact's COLD column instead of warm.
+        pre_entries = (
+            _leg_entries() if name in CACHE_BACKED_QUERIES else None
+        )
         best = float("inf")
         for _ in range(runs):
             try:
@@ -311,6 +392,33 @@ def main() -> None:
         if best < float("inf"):
             timings[name] = round(best, 3)
             errors.pop(name, None)
+            if pre_entries is not None:
+                cold_flags[name] = _leg_entries() > pre_entries
+    sentinel_last = _sentinel_time(by_name, spark)
+    try:
+        loadavg_end = list(os.getloadavg())
+    except OSError:  # pragma: no cover
+        loadavg_end = None
+    sentinel = {
+        "query": SENTINEL_QUERY,
+        "first_s": sentinel_first,
+        "last_s": sentinel_last,
+        "drift": round(
+            max(sentinel_first, sentinel_last)
+            / max(min(sentinel_first, sentinel_last), 1e-9),
+            3,
+        ),
+        "loadavg_start": loadavg_start,
+        "loadavg_end": loadavg_end,
+        "blas_pins": {
+            k: os.environ.get(k)
+            for k in (
+                "OMP_NUM_THREADS",
+                "OPENBLAS_NUM_THREADS",
+                "MKL_NUM_THREADS",
+            )
+        },
+    }
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -323,7 +431,12 @@ def main() -> None:
         "aggregation": "min",
         "queries": timings,
         "sf": sf_val,
+        "sentinel": sentinel,
     }
+    if cache_backed:
+        full["cache_backed"] = cache_backed
+    if cold_flags:
+        full["cache_cold_flags"] = cold_flags
     if errors:
         full["errors"] = errors
     # The driver tail-captures only ~2 KB of stdout; a 90-query map on
@@ -356,6 +469,8 @@ def main() -> None:
         # slowest queries inline; the full map is in queries_file
         "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10]),
         "queries_file": os.path.basename(report_path),
+        "sentinel_first_s": sentinel_first,
+        "sentinel_last_s": sentinel_last,
     }
     # stop any stream a failed builder left behind BEFORE spark.stop()
     # kills it mid-batch (that race prints a JVM interrupt stack trace)

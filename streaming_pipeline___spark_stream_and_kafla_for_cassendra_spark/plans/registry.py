@@ -80,7 +80,6 @@ from ..operators.dedup import (
     connected_components,
     dedup_exact,
     minhash_lsh_pairs,
-    ngram_jaccard_pairs,
     simhash_fingerprints,
 )
 from ..operators.joins import asof_join, range_join
@@ -119,57 +118,88 @@ REGISTRY: list[QueryDef] = []
 _REGISTERED_NAMES: set[str] = set()
 
 
-# Per-query state-partition overrides. The 8-partition default is
-# right for JVM stateful operators (state-store fixed cost dominates
-# at fixture scale), but applyInPandasWithState queries do their
-# per-group work in PYTHON workers — their cost is CPU-bound Arrow
-# group processing, so they keep the full session parallelism
-# (measured: sessionize 4.4 s at 32 parts vs 8.6 s at 8).
-_STREAM_SHUFFLE_OVERRIDES: dict[str, int | None] = {
-    "streaming_sessionize_events": None,  # None = keep session conf
-}
+# State-partition sizing rule (VERDICT r6 #8 — replaces the r6
+# per-query hand table). Two classes, keyed by registration tag:
+#
+# * ``python-stateful`` (applyInPandasWithState operators): the
+#   per-group work runs in PYTHON workers and is CPU-bound Arrow
+#   group processing, so these keep the full session parallelism
+#   (measured r6: sessionize 4.4 s at 32 parts vs 8.6 s at 8).
+# * everything else (JVM stateful: windowed agg, dedup,
+#   stream-stream join): partition count derives from an ESTIMATED
+#   state volume — per-partition state-store open/commit/snapshot
+#   cost is paid EVERY micro-batch, so partitions must scale with
+#   state, not default to the batch shuffle conf.
+_STATE_FRACTION = 0.25  # in-flight state ≈ watermark-window of input
+_STATE_TARGET_BYTES = 64 << 20  # per-partition state target
+_STATE_MIN_PARTITIONS = 8  # floor that amortizes store fixed cost
 
 
-def _stream_state_partitions() -> int:
-    """State-store partition count for stateful streaming queries.
+def _stream_state_partitions(sf_dir: str | None = None) -> int:
+    """State-store partition count for JVM-stateful streaming queries.
 
     Structured Streaming freezes ``spark.sql.shuffle.partitions`` into
-    each query's checkpoint at first start, and every stateful
-    operator (windowed agg, dedup, sessionize, stream-stream join)
-    pays per-partition state-store open/commit/snapshot cost EVERY
-    micro-batch — so the partition count must be sized to the state
-    VOLUME, not inherited from the batch session default. On the
-    local fixtures the A/B is stark: the sf0.1 interval join runs
-    ~3× faster at 8 state partitions than at the batch default 32,
-    because per-batch state-store fixed costs dominate the few MB of
-    actual state. At cluster scale, set
-    ``SPARK_GRAFT_STREAM_SHUFFLE`` so that (state volume /
-    partitions) fits an executor's memory — the knob is the same
-    one production streaming jobs tune per pipeline."""
+    each query's checkpoint at first start. The sizing rule estimates
+    state volume as ``_STATE_FRACTION`` of the largest streamed fact
+    table's on-disk bytes (events/documents/embeddings — watermarked
+    operators hold roughly a window of in-flight input; dedup holds a
+    key projection, strictly less) and provisions one partition per
+    ``_STATE_TARGET_BYTES``, floored at ``_STATE_MIN_PARTITIONS``
+    (the measured fixture-scale optimum: the sf0.1 interval join runs
+    ~3× faster at 8 partitions than at the batch default 32, because
+    store fixed costs dominate a few MB of state) and rounded to a
+    power of two. At the fixtures this reproduces the r6 pin (8); at
+    100 TB the same rule provisions thousands of partitions instead
+    of silently serializing state through 8. ``SPARK_GRAFT_STREAM_
+    SHUFFLE`` still overrides for production tuning."""
+    import math
     import os
 
-    return int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+    env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE")
+    if env:
+        return int(env)
+    biggest = 0
+    if sf_dir:
+        for t in ("events", "documents", "embeddings"):
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            try:
+                if os.path.isdir(p):
+                    sz = sum(
+                        os.path.getsize(os.path.join(p, f))
+                        for f in os.listdir(p)
+                    )
+                else:
+                    sz = os.path.getsize(p)
+            except OSError:
+                continue
+            biggest = max(biggest, sz)
+    state_bytes = biggest * _STATE_FRACTION
+    n = _STATE_MIN_PARTITIONS
+    if state_bytes > _STATE_TARGET_BYTES * _STATE_MIN_PARTITIONS:
+        n = 1 << math.ceil(math.log2(state_bytes / _STATE_TARGET_BYTES))
+    return n
 
 
 class _stream_conf:
     """Pin shuffle partitions for the lifetime of a streaming
     builder (set → build+run → restore). Plain try/finally class so
-    the wrapped builder stays picklable and introspectable. A
-    ``None`` in ``_STREAM_SHUFFLE_OVERRIDES`` leaves the session
-    conf untouched for that query."""
+    the wrapped builder stays picklable and introspectable.
+    ``python-stateful``-tagged queries leave the session conf
+    untouched (full parallelism — see the sizing-rule comment)."""
 
-    def __init__(self, spark, name):
+    def __init__(self, spark, name, sf_dir=None, tags=()):
         self.spark = spark
         self.name = name
+        self.sf_dir = sf_dir
+        self.tags = tags
 
     def __enter__(self):
         self.key = "spark.sql.shuffle.partitions"
         self.old = self.spark.conf.get(self.key)
-        n = _STREAM_SHUFFLE_OVERRIDES.get(
-            self.name, _stream_state_partitions()
-        )
-        if n is not None:
-            self.spark.conf.set(self.key, str(n))
+        if "python-stateful" not in self.tags:
+            self.spark.conf.set(
+                self.key, str(_stream_state_partitions(self.sf_dir))
+            )
 
     def __exit__(self, *exc):
         self.spark.conf.set(self.key, self.old)
@@ -192,8 +222,8 @@ def _register(name, oracle, description, tags=()):
             import functools
 
             @functools.wraps(fn)
-            def tuned(spark, sf_dir, _fn=fn, _name=name):
-                with _stream_conf(spark, _name):
+            def tuned(spark, sf_dir, _fn=fn, _name=name, _tags=tuple(tags)):
+                with _stream_conf(spark, _name, sf_dir, _tags):
                     return _fn(spark, sf_dir)
 
             builder = tuned
@@ -1178,20 +1208,16 @@ def dedup_exact_documents(spark, sf_dir):
     "rare grams drive the candidate join with ≤cap-wide buckets; the "
     "stop-gram-heavy stratum that could qualify via frequent grams "
     "alone re-joins separately; array_intersect verifies exactly) — "
-    "identical output, linear instead of quadratic stop-gram cost",
+    "identical output, linear instead of quadratic stop-gram cost. "
+    "Served from the materialized shared mining leg (_ngram_pair_leg) "
+    "since r7: the five-query dedup family pays ONE mining run per "
+    "sweep instead of two (VERDICT r6 #1 mine-once ordering); the "
+    "cost-based pre-flight still runs inside the leg's thunk on every "
+    "cache miss",
     ("dedup", "ngram", "documents"),
 )
 def ngram_jaccard_pairs_q(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(
-        d,
-        "text",
-        "doc_id",
-        shingle_n=3,
-        threshold=0.2,
-        max_gram_df=256,
-        candidate_budget=50_000_000,
-    )
+    return _ngram_pair_leg(spark, sf_dir)
 
 
 # The four downstream dedup reports (clusters, canonical election,
@@ -1205,9 +1231,13 @@ def ngram_jaccard_pairs_q(spark, sf_dir):
 # mining parameters, the SOURCE of the whole mining module (any
 # implementation change invalidates), and the (path, mtime, size) of
 # every input file (any data change invalidates) — correctness never
-# depends on manual invalidation. ``ngram_jaccard_pairs`` itself
-# NEVER reads this cache: the headline miner stays a live, measured,
-# lint-visible execution; only the derived reports reuse.
+# depends on manual invalidation. Since r7 the headline
+# ``ngram_jaccard_pairs`` query reads the leg too (VERDICT r6 #1:
+# the sf1 sweep paid the ~150 s mining leg twice — once live, once
+# for the first derived query's materialization). The miner's own
+# plan stays covered by tests/test_mining_guard.py and the operator
+# suite; the family was already HEAVY_BUILDERS-listed in the plan
+# sweep (the pre-flight histogram executes at build).
 _NGRAM_LEG_PARAMS = dict(
     shingle_n=3, threshold=0.2, max_gram_df=256, candidate_budget=50_000_000
 )
@@ -1263,6 +1293,32 @@ def _prune_shared_legs(root: str, keep: int = 64) -> None:
     entries.sort(key=lambda p: os.path.getmtime(p))
     for p in entries[: len(entries) - keep]:
         shutil.rmtree(p, ignore_errors=True)
+
+
+#: Queries served (fully or for their dominant leg) from the
+#: fingerprint-keyed shared-leg cache. Bench runs time these with an
+#: explicit cold/warm split (VERDICT r6 #4): per-query numbers for
+#: cache readers otherwise measure a parquet read and the round-over-
+#: round diff stops being interpretable.
+CACHE_BACKED_QUERIES = frozenset(
+    {
+        "ngram_jaccard_pairs",
+        "near_dup_clusters",
+        "near_dup_canonical_docs",
+        "dedup_keep_best_documents",
+        "dedup_survivorship_audit",
+        "reco_precision_at_k",
+        "reco_mrr_at_k",
+        "reco_ndcg_at_k",
+    }
+)
+
+
+def clear_shared_leg_cache() -> None:
+    """Drop every materialized shared leg (bench cold runs; tests)."""
+    import shutil
+
+    shutil.rmtree(_shared_leg_cache_root(), ignore_errors=True)
 
 
 def _materialized_leg(spark, tag, input_df, src_objs, thunk):
@@ -2471,7 +2527,7 @@ def streaming_dedup_events(spark, sf_dir):
     "chain is the greedy recurrence the DuckDB recursive CTE walks — "
     "anchor = first event, step = earliest event ≥ last emit + 6 h; "
     "suppressed = events strictly between consecutive emits",
-    ("streaming", "stateful", "debounce"),
+    ("streaming", "stateful", "debounce", "python-stateful"),
 )
 def streaming_debounce_events(spark, sf_dir):
     import uuid
@@ -3657,7 +3713,7 @@ def sessionize_events_batch(spark, sf_dir):
     "(max ts − 1 h) passed — exactly the gaps-and-islands twin "
     "filtered by rev>1 OR timeout-fired; sessions still open at "
     "stream end are correctly never emitted",
-    ("streaming", "stateful", "session"),
+    ("streaming", "stateful", "session", "python-stateful"),
 )
 def streaming_sessionize_events(spark, sf_dir):
     import uuid
@@ -8777,7 +8833,7 @@ def interval_union_by_user(spark, sf_dir):
     "(ewma_user_value), so the ORACLE is the same list_reduce SQL — "
     "a sequential recurrence checked exactly through the streaming "
     "path, kappa-architecture parity made testable",
-    ("streaming", "stateful", "timeseries", "events"),
+    ("streaming", "stateful", "timeseries", "events", "python-stateful"),
 )
 def streaming_ewma_users(spark, sf_dir):
     import uuid
@@ -9199,7 +9255,7 @@ def semantic_dedup_embeddings(spark, sf_dir):
     "the DuckDB twin replays West's recurrence per prefix with "
     "list_reduce (identical IEEE op order; scalar CASE per state "
     "component) and must reproduce every alert row bit-for-bit",
-    ("streaming", "stateful", "anomaly", "events"),
+    ("streaming", "stateful", "anomaly", "events", "python-stateful"),
 )
 def streaming_anomaly_alerts(spark, sf_dir):
     import uuid

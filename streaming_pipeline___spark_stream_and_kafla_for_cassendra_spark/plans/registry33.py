@@ -299,7 +299,7 @@ def rate_limiter_token_bucket(spark, sf_dir):
     "the ORACLE is the same per-user integer fold — streaming "
     "semantics checked bit-exactly through the real "
     "applyInPandasWithState path.",
-    ("streaming", "stateful", "rate-limit", "events"),
+    ("streaming", "stateful", "rate-limit", "events", "python-stateful"),
 )
 def streaming_rate_limiter(spark, sf_dir):
     import uuid

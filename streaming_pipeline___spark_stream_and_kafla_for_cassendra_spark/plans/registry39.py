@@ -63,7 +63,7 @@ from .registry34 import _WF_CASE, _WF_WINDOW_US
     "recurrence — a second stateful semantic (after "
     "`streaming_rate_limiter`) proven bit-exactly through the real "
     "applyInPandasWithState path.",
-    ("streaming", "stateful", "funnel", "events"),
+    ("streaming", "stateful", "funnel", "events", "python-stateful"),
 )
 def streaming_window_funnel(spark, sf_dir):
     import uuid

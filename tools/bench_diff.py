@@ -48,9 +48,53 @@ def main() -> int:
         print("added:", ", ".join(added))
     if removed:
         print("removed:", ", ".join(removed))
+    # Calibration sentinel (VERDICT r6 #2): a fixed pure-JVM query is
+    # timed first and last inside each bench run. If either artifact's
+    # sentinel drifted >1.5x within its own run, or the two runs'
+    # sentinels differ >1.5x, the per-query deltas above measure BOX
+    # CONTENTION, not code — say so loudly and don't fail the diff on
+    # regressions alone.
+    contaminated = False
+    sents = {}
+    for label, art in (("old", old), ("new", new)):
+        s = art.get("sentinel")
+        if not s:
+            continue
+        sents[label] = s
+        if s.get("drift", 1.0) > 1.5:
+            contaminated = True
+            print(
+                f"CONTENTION {label}: sentinel {s['query']} drifted "
+                f"{s['first_s']}s -> {s['last_s']}s ({s['drift']}x) "
+                f"within the run; loadavg {s.get('loadavg_start')} -> "
+                f"{s.get('loadavg_end')}"
+            )
+    if len(sents) == 2:
+        a = min(sents["old"]["first_s"], sents["old"]["last_s"])
+        b = min(sents["new"]["first_s"], sents["new"]["last_s"])
+        r = max(a, b) / max(min(a, b), 1e-9)
+        if r > 1.5:
+            contaminated = True
+            print(
+                f"CONTENTION cross-run: sentinel best {a}s (old) vs "
+                f"{b}s (new) — {r:.2f}x; per-query deltas reflect box "
+                "state, not code"
+            )
+    ocb, ncb = old.get("cache_backed", {}), new.get("cache_backed", {})
+    for name in sorted(set(ocb) & set(ncb)):
+        a, b = ocb[name], ncb[name]
+        print(
+            f"cache-backed {name}: cold {a['cold']:.2f}->{b['cold']:.2f}s "
+            f"warm {a['warm']:.2f}->{b['warm']:.2f}s"
+        )
     if not regressions:
         print("no regressions above threshold")
-    return 1 if regressions else 0
+    if contaminated:
+        print(
+            "verdict: CONTAMINATED RUN — re-time on an idle box before "
+            "reading regressions as code"
+        )
+    return 1 if (regressions and not contaminated) else 0
 
 
 if __name__ == "__main__":

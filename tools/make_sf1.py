@@ -20,9 +20,11 @@ Method per table (seed 777, deterministic):
   columns bootstrap-resampled from the sf0.1 marginals;
 * events: fresh event ids, 15K users, ts/type/value/props
   bootstrapped;
-* embeddings: a bootstrapped base vector + gaussian noise (σ=0.05
-  of the base norm), renormalized to the base norm — matches the
-  near-orthogonal geometry without cloning exact vectors;
+* embeddings (r7): fresh seeded Gaussians per scale tier (norm and
+  label marginals bootstrapped) — pairwise near-orthogonal by
+  construction — plus near-dup pairs PLANTED at the source's
+  measured pair rate × SCALE, so true-pair output grows like the
+  input instead of ~200× (the r6 noisy-copy degeneracy);
 * customer/supplier/part: scaled key spaces, value columns
   bootstrapped; nation/region copied (fixed 25/5 like TPC-H).
 
@@ -212,28 +214,54 @@ def main() -> None:
     )
 
     # --- embeddings --------------------------------------------------
+    # VERDICT r6 #6: the old generator bootstrapped SOURCE vectors and
+    # re-noised them — every time the same base row was resampled
+    # twice (expected ~SCALE times per row), the two noisy copies were
+    # cos≈0.995 near-dups of each other, so sf1's "near-dup pair"
+    # output grew ~209x for 10x input: a fixture artifact that
+    # polluted the scale signal for the whole embedding family.
+    # Now: GENUINELY NOVEL fresh Gaussians per scale tier (norm and
+    # label marginals bootstrapped from the source), which in
+    # d-dimensional space are pairwise near-orthogonal — plus near-dup
+    # pairs PLANTED at exactly the source's measured per-row pair
+    # rate, so output growth tracks input growth by construction.
     em = _read("embeddings").to_pydict()
     n_vsrc = len(em["vec_id"])
     n_vout = n_vsrc * SCALE
     base = np.array(em["embedding"], dtype=np.float64)
-    vidx = rng.randint(0, n_vsrc, size=n_vout)
-    picked = base[vidx]
-    norms = np.linalg.norm(picked, axis=1, keepdims=True)
-    noisy = picked + rng.randn(n_vout, base.shape[1]) * 0.05 * norms
-    noisy *= norms / np.maximum(
-        np.linalg.norm(noisy, axis=1, keepdims=True), 1e-300
+    dim = base.shape[1]
+    src_norms = np.linalg.norm(base, axis=1)
+    # source near-dup pair count at the catalog threshold (0.4)
+    unit = base / np.maximum(src_norms[:, None], 1e-300)
+    cos_src = unit @ unit.T
+    np.fill_diagonal(cos_src, 0.0)
+    p_src = int(np.count_nonzero(np.triu(cos_src >= 0.4, k=1)))
+    fresh = rng.randn(n_vout, dim)
+    fresh /= np.maximum(np.linalg.norm(fresh, axis=1, keepdims=True), 1e-300)
+    fresh *= src_norms[rng.randint(0, n_vsrc, size=n_vout)][:, None]
+    # plant SCALE * p_src disjoint near-dup pairs: partner = seed +
+    # small gaussian noise, renormalized — cos well above threshold,
+    # each seed used once so every plant adds exactly one true pair
+    n_plant = min(p_src * SCALE, n_vout // 2)
+    perm = rng.permutation(n_vout)
+    seeds, partners = perm[:n_plant], perm[n_plant: 2 * n_plant]
+    pn = np.linalg.norm(fresh[seeds], axis=1, keepdims=True)
+    plant = fresh[seeds] + rng.randn(n_plant, dim) * 0.05 * pn
+    plant *= pn / np.maximum(
+        np.linalg.norm(plant, axis=1, keepdims=True), 1e-300
     )
+    fresh[partners] = plant
+    labels = np.array(em["label"])[rng.randint(0, n_vsrc, size=n_vout)]
+    labels[partners] = labels[seeds]
     pq.write_table(
         pa.table(
             {
                 "vec_id": pa.array(range(n_vout), pa.int64()),
                 "embedding": pa.array(
-                    [row.astype(np.float32) for row in noisy],
+                    [row.astype(np.float32) for row in fresh],
                     pa.list_(pa.float32()),
                 ),
-                "label": pa.array(
-                    [em["label"][i] for i in vidx], pa.int32()
-                ),
+                "label": pa.array(labels.tolist(), pa.int32()),
             }
         ),
         f"{out}/embeddings.parquet",

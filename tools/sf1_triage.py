@@ -15,6 +15,9 @@ candidate space quadratic; guarded by the cost-based pre-flight),
 ``conversion_artifact`` (the query changed between rounds), or
 ``untriaged`` (= investigate NOW). Diffing two rounds' artifacts
 shows exactly which entries appeared, disappeared, or changed class.
+Since r7 cache-backed queries pair the sf1 number with the base
+artifact's matching cold/warm column (bench.py cache_cold_flags), so
+the former ``cache_asymmetry`` class is retired.
 
 Usage:
     python tools/sf1_triage.py BENCH_SF1.json BENCH_LOCAL.json \
@@ -106,13 +109,6 @@ TRIAGE_CLASSES: dict[str, tuple[str, str]] = {
         "warm min-of-2 re-time 0.4 s (ratio ~1); sweep caught a one-"
         "off cold run",
     ),
-    "reco_precision_at_k": (
-        "cache_asymmetry",
-        "first reco metric in registry order pays the shared-leg "
-        "materialization (cold 29.5 s at sf1); warm 1.7 s once the "
-        "legs exist, while the sf0.1 base (min-of-2) includes a run-2 "
-        "cache hit — the ratio compares a cold build to a cached read",
-    ),
     "range_join_incident_windows": (
         "output_bound",
         "10x incidents x 10x event density in each fixed +/-2h window "
@@ -128,7 +124,16 @@ def main() -> None:
     out_path = sys.argv[3] if len(sys.argv) > 3 else "/tmp/sf1_triage.json"
     min_base = float(sys.argv[4]) if len(sys.argv) > 4 else 0.15
     threshold = float(sys.argv[5]) if len(sys.argv) > 5 else 15.0
-    q1, q0 = sf1["queries"], base["queries"]
+    q1, q0 = dict(sf1["queries"]), dict(base["queries"])
+    # Cache-backed queries (VERDICT r6 #4): the base artifact carries
+    # an explicit cold/warm split and the sf1 sweep flags which query
+    # actually paid the shared-leg materialization — so the ratio can
+    # pair cold-with-cold and warm-with-warm instead of needing a
+    # `cache_asymmetry` triage class (retired r7).
+    cb0 = base.get("cache_backed", {})
+    for k, was_cold in sf1.get("cache_cold_flags", {}).items():
+        if k in cb0:
+            q0[k] = cb0[k]["cold" if was_cold else "warm"]
     rows = sorted(
         (
             (v / q0[k], v, q0[k], k)
