@@ -62,7 +62,8 @@ spark.stop()
 def _fixture(scale: int) -> str:
     if scale == 1:
         return "/root/testdata/sf0.1"
-    out = f"/tmp/sf{scale}_true"
+    # same naming as the sweep fixtures: scale 10 = sf1, 30 = sf3
+    out = f"/tmp/sf{scale // 10 if scale % 10 == 0 else scale}_true"
     gen = os.path.join(REPO, "tools", "make_sf1.py")
     with open(gen, "rb") as fh:
         gen_hash = hashlib.md5(fh.read()).hexdigest()

@@ -47,9 +47,13 @@ TRIAGE_CLASSES: dict[str, tuple[str, str]] = {
     ),
     "embedding_near_dup_pairs": (
         "output_bound",
-        "920 -> 192,700 true cosine near-dup pairs (209x output for 10x "
-        "input: make_sf1's noisy copies of bootstrapped base vectors ARE "
-        "near-dups); 51x runtime is sub-linear per output row (r6 measure)",
+        "the ANSWER is the quadratic tail of cos>=0.4 in d=64: random "
+        "unit vectors cross it at ~4.6e-4/pair (measured identical for "
+        "same- and cross-label pairs at sf0.1), so true pairs grow as "
+        "C(n,2) on ANY marginal-matching fixture. r7 de-degenerated the "
+        "generator (fresh Gaussians + pairs planted at the source rate: "
+        "920 -> 105,526 at sf1, natural rate 4.8e-4 = scale-invariant), "
+        "removing the r6 noisy-copy artifact that added 209x on top",
     ),
     "ngram_jaccard_pairs": (
         "fixture_degenerate",
