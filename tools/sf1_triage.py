@@ -113,6 +113,22 @@ TRIAGE_CLASSES: dict[str, tuple[str, str]] = {
         "warm min-of-2 re-time 0.4 s (ratio ~1); sweep caught a one-"
         "off cold run",
     ),
+    "embedding_drift_centroids": (
+        "cold_io_artifact",
+        "solo warm re-time 2.3 s at sf1 vs 3.0 s base (ratio 0.8); the "
+        "r7 sweep's 34.5 s min-of-1 ran while the sf0.1 oracle sweep's "
+        "52 GB DuckDB process was still releasing memory",
+    ),
+    "blocklist_screen_documents": (
+        "cold_io_artifact",
+        "solo warm re-time 2.1 s at sf1 vs 0.9 s base (ratio 2.3, well "
+        "under threshold); r7 sweep min-of-1 contention",
+    ),
+    "cramers_v_type_daypart": (
+        "cold_io_artifact",
+        "solo warm re-time 1.1 s at sf1 vs 1.2 s base (ratio 0.9); r7 "
+        "sweep min-of-1 contention",
+    ),
     "range_join_incident_windows": (
         "output_bound",
         "10x incidents x 10x event density in each fixed +/-2h window "
