@@ -322,9 +322,13 @@ def main() -> None:
     # streaming query (retried below) otherwise dumps a scary WARN/INFO
     # trace into the driver's captured tail
     spark.sparkContext.setLogLevel("ERROR")
-    # one warm-up pass so JVM/codegen startup doesn't skew query times
-    warm = by_name["q01_pricing_summary"].builder(spark, SF_DIR)
-    materialize(warm)
+    # warm-up passes so JVM/codegen startup doesn't skew query times.
+    # THREE runs, not one: the first timed sentinel otherwise reads
+    # JIT tiering as "contention" (measured: 1.26 s on a 2-run-old JVM
+    # vs 0.37 s fully warm in the r7 sf1 sweep) — C2 compilation of
+    # the scan/agg/noop-writer paths needs a few executions.
+    for _ in range(3):
+        materialize(by_name["q01_pricing_summary"].builder(spark, SF_DIR))
     try:
         loadavg_start = list(os.getloadavg())
     except OSError:  # pragma: no cover
