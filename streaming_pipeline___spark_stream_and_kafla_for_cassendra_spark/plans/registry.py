@@ -1371,7 +1371,12 @@ def _ngram_pair_leg(spark, sf_dir):
     from ..operators import dedup as _dd
 
     d = _t(spark, sf_dir, "documents")
-    return _materialized_leg(
+    # LAST_MINING_PLAN observability survives the cache: on a miss the
+    # thunk's pre-flight records its decision as usual; on a hit no
+    # pre-flight ran, and leaving a STALE decision visible would lie
+    # to tools reading it — record the hit explicitly instead.
+    _dd.LAST_MINING_PLAN = None
+    res = _materialized_leg(
         spark,
         "ngram-pair-leg-v1|" + repr(sorted(_NGRAM_LEG_PARAMS.items())),
         d,
@@ -1380,6 +1385,12 @@ def _ngram_pair_leg(spark, sf_dir):
             d, "text", "doc_id", **_NGRAM_LEG_PARAMS
         ),
     )
+    if _dd.LAST_MINING_PLAN is None:
+        _dd.LAST_MINING_PLAN = {
+            "path": "served-from-shared-leg-cache",
+            "params": dict(_NGRAM_LEG_PARAMS),
+        }
+    return res
 
 
 @_register(

@@ -374,3 +374,23 @@ def test_python_stateful_tag_exempts_pin(spark):
     with _stream_conf(spark, "x", None, ("streaming",)):
         assert spark.conf.get(key) == "8"
     assert spark.conf.get(key) == before
+
+
+def test_mining_plan_observability_through_cache(spark):
+    """r7 mine-once: on a leg cache HIT no pre-flight runs — the
+    decision record must say so explicitly rather than leaving a
+    stale earlier decision visible."""
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators import (
+        dedup as dd,
+    )
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.plans.registry import (
+        _ngram_pair_leg,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    dd.LAST_MINING_PLAN = {"stale-from-previous-query": True}
+    _ngram_pair_leg(spark, sf).count()
+    assert dd.LAST_MINING_PLAN is not None
+    assert "stale-from-previous-query" not in dd.LAST_MINING_PLAN
+    _ngram_pair_leg(spark, sf).count()  # second call is a cache hit
+    assert dd.LAST_MINING_PLAN["path"] == "served-from-shared-leg-cache"
