@@ -1315,9 +1315,20 @@ CACHE_BACKED_QUERIES = frozenset(
 
 
 def clear_shared_leg_cache() -> None:
-    """Drop every materialized shared leg (bench cold runs; tests)."""
+    """Drop every materialized shared leg (bench cold runs; tests).
+
+    Read-safety on a shared box (ADVICE r7): a concurrent sweep in
+    another process may hold a lazily-evaluated DataFrame over an
+    entry in this root — rmtree'ing it mid-read turns that process's
+    query into FileNotFoundException. Set
+    ``SPARK_GRAFT_LEG_CACHE_NO_CLEAR=1`` in the side-running sweep's
+    environment and clears become no-ops for it; the bench's own
+    cold/warm protocol (the only in-repo caller outside tests) keeps
+    clearing in its own dedicated runs."""
     import shutil
 
+    if os.environ.get("SPARK_GRAFT_LEG_CACHE_NO_CLEAR") == "1":
+        return
     shutil.rmtree(_shared_leg_cache_root(), ignore_errors=True)
 
 

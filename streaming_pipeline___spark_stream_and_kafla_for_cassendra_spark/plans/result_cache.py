@@ -67,6 +67,15 @@ class ResultCache:
 
     def lookup(self, spark: SparkSession, key: str) -> DataFrame | None:
         if os.path.exists(self._marker(key)):
+            # Bump the entry mtime on every hit (ADVICE r7): LRU
+            # pruning orders by entry-dir mtime, and publish-only
+            # bumps let a HOT entry age out before an unused newer
+            # one. Best-effort — a read-only or vanished entry must
+            # still serve.
+            try:
+                os.utime(self._entry(key))
+            except OSError:
+                pass
             return spark.read.parquet(os.path.join(self._entry(key), "data"))
         return None
 

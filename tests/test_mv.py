@@ -326,6 +326,54 @@ def test_shared_leg_cache_root_is_private_and_owned(tmp_path, monkeypatch):
     assert left == ["e2", "e3", "e4", "e5"]
 
 
+def test_result_cache_lookup_bumps_entry_mtime(spark, tmp_path):
+    """ADVICE r7: LRU pruning orders by entry-dir mtime, but only
+    publishes bumped it — a HOT entry (read every sweep) could be
+    evicted before an unused newer one. A lookup hit must now bump
+    the entry mtime so eviction order is true LRU."""
+    import os
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.plans.result_cache import (
+        ResultCache,
+    )
+
+    cache = ResultCache(path=str(tmp_path / "rc5"))
+    cache.get_or_materialize(spark, "hot-leg", lambda: spark.range(3))
+    entry = str(tmp_path / "rc5" / "hot-leg")
+    os.utime(entry, (1, 1))  # pretend it was published long ago
+    assert os.path.getmtime(entry) == 1
+    _, hit = cache.get_or_materialize(spark, "hot-leg", lambda: spark.range(3))
+    assert hit
+    assert os.path.getmtime(entry) > 1  # the hit refreshed LRU order
+
+
+def test_clear_shared_leg_cache_respects_no_clear_flag(
+    tmp_path, monkeypatch
+):
+    """ADVICE r7: a concurrent sweep reading a leg must be able to
+    opt out of another caller's rmtree — SPARK_GRAFT_LEG_CACHE_NO_CLEAR=1
+    turns clear_shared_leg_cache into a no-op for that process."""
+    import os
+    import tempfile
+
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.plans.registry import (
+        _shared_leg_cache_root,
+        clear_shared_leg_cache,
+    )
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    root = _shared_leg_cache_root()
+    marker = os.path.join(root, "entry", "_committed")
+    os.makedirs(os.path.dirname(marker))
+    open(marker, "w").close()
+    monkeypatch.setenv("SPARK_GRAFT_LEG_CACHE_NO_CLEAR", "1")
+    clear_shared_leg_cache()
+    assert os.path.exists(marker)  # flag held: nothing removed
+    monkeypatch.delenv("SPARK_GRAFT_LEG_CACHE_NO_CLEAR")
+    clear_shared_leg_cache()
+    assert not os.path.exists(root)  # default behavior unchanged
+
+
 def test_stream_state_partition_sizing_rule(tmp_path, monkeypatch):
     """VERDICT r6 #8: the state-partition pin derives from estimated
     state volume (fraction of the largest streamed fact table) rather

@@ -7,7 +7,12 @@ slower than ``--threshold`` (default 1.5×, with a 0.3 s absolute
 floor so sub-second jitter doesn't flag).
 
 Usage: python tools/bench_diff.py OLD.json NEW.json [threshold]
-Exit code 1 if any regression clears the threshold.
+Exit codes: 0 = clean, no regressions; 1 = regressions on a clean
+measurement; 2 = contaminated run WITH regressions (measurement
+invalid — re-time before reading the deltas as code); 3 = usage.
+When the new artifact carries a ``corrected`` column (bench.py
+self-correction under contention), the corrected time is used for
+flagging — a row whose solo re-time is clean is not a regression.
 """
 
 from __future__ import annotations
@@ -19,11 +24,17 @@ import sys
 def main() -> int:
     if len(sys.argv) < 3:
         print(__doc__)
-        return 2
+        return 3
     old = json.load(open(sys.argv[1]))
     new = json.load(open(sys.argv[2]))
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
-    oq, nq = old.get("queries", {}), new.get("queries", {})
+    oq, nq = old.get("queries", {}), dict(new.get("queries", {}))
+    # substitute the self-corrected re-time where the new artifact has
+    # one: the raw number is documented contention, not code
+    ncorr = new.get("corrected", {})
+    for name, row in ncorr.items():
+        if name in nq:
+            nq[name] = min(nq[name], row.get("corrected", nq[name]))
     common = sorted(set(oq) & set(nq))
     added = sorted(set(nq) - set(oq))
     removed = sorted(set(oq) - set(nq))
@@ -94,7 +105,14 @@ def main() -> int:
             "verdict: CONTAMINATED RUN — re-time on an idle box before "
             "reading regressions as code"
         )
-    return 1 if (regressions and not contaminated) else 0
+    # Exit codes (ADVICE r7): a contaminated run that ALSO shows
+    # regressions must not read as a clean pass — a real code
+    # regression on a mildly contended box would silently slip
+    # through. 2 tells automation "measurement invalid, re-time";
+    # only a clean run with no regressions returns 0.
+    if regressions and contaminated:
+        return 2
+    return 1 if regressions else 0
 
 
 if __name__ == "__main__":
