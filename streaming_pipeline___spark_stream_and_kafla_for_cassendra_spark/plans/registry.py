@@ -10439,6 +10439,7 @@ from . import registry55  # noqa: E402,F401  isort:skip
 from . import registry56  # noqa: E402,F401  isort:skip
 from . import registry57  # noqa: E402,F401  isort:skip
 from . import registry58  # noqa: E402,F401  isort:skip
+from . import registry59  # noqa: E402,F401  isort:skip
 
 # ---------------------------------------------------------------------------
 # public accessors (driver contract)
