@@ -127,3 +127,41 @@ def test_overlap_pairs_dense_matches_inverted(spark):
     assert (0, 5, 2, 1.0) in inv  # containment uses min(|A|,|B|)
     assert all(p[0] != 4 and p[1] != 4 for p in inv)  # below threshold
     assert dense == inv
+
+
+def test_inverted_noise_cap_drops_ubiquitous_fingerprints(spark):
+    """The inverted (scale) tier drops fingerprints whose df exceeds
+    inverted_max_df — the MOSS noise threshold (r8): on a natural
+    Zipfian corpus head-word fingerprints sit in tens of thousands of
+    docs and hold most index rows while attributing no specific
+    overlap. The dense tier stays exact (it runs at every
+    oracle-checked SF), so the cap is scale-tier-only semantics."""
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.dedup import (
+        fingerprint_overlap_pairs,
+    )
+
+    # fp 99 is ubiquitous (in every doc); docs 0/1 share ONLY it,
+    # docs 2/3 also share two informative fingerprints.
+    rows = [
+        (0, 99), (0, 10), (0, 11),
+        (1, 99), (1, 20), (1, 21),
+        (2, 99), (2, 30), (2, 31),
+        (3, 99), (3, 30), (3, 31),
+    ]
+    fps = spark.createDataFrame(rows, "doc_id bigint, fingerprint bigint")
+
+    def run(**kw):
+        return sorted(
+            (r.id_a, r.id_b, r.shared_fingerprints)
+            for r in fingerprint_overlap_pairs(
+                fps, id_col="doc_id", threshold=0.8, method="inverted", **kw
+            ).collect()
+        )
+
+    capped = run(inverted_max_df=3)  # df(99) = 4 > 3 -> dropped
+    # docs 2/3 still pair on their informative fingerprints (2/2 = 1.0);
+    # docs 0/1 shared only the ubiquitous one -> no pair
+    assert capped == [(2, 3, 2)]
+    uncapped = run(inverted_max_df=0)  # 0 disables the cap
+    assert (0, 1, 1) not in uncapped  # 1/3 < 0.8 either way
+    assert (2, 3, 3) in uncapped  # ubiquitous fp counted when disabled

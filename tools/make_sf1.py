@@ -88,27 +88,48 @@ def main() -> None:
         pq.write_table(_read(t), f"{out}/{t}.parquet")
 
     # --- documents (r8: Zipfian synthetic corpus, VERDICT r7 #2) -----
-    # Deterministic pronounceable vocabulary: word i = 2-4 syllables
-    # from i's base-80 digits. 30k words; rank-frequency follows
+    # Deterministic pronounceable vocabulary: word i = 1-2 syllables
+    # from i's base-2160 digits. 30k words; rank-frequency follows
     # Zipf(1.07) like a natural corpus, so gram document frequencies
     # are long-tailed instead of flat — stop-gram heads cross the
     # miners' df cap and drop, the tail is rare, and exact-mining
     # candidate space grows ~linearly with the corpus.
+    # The syllable inventory must be RICH (onset clusters + codas,
+    # 2160 distinct syllables) for CHARACTER-level entropy too: a
+    # first cut used 80 plain CV syllables and the char-5-gram
+    # universe collapsed, sending the winnowing fingerprint join
+    # quadratic at sf1 — the same degeneracy the word-level fix
+    # removes, one level down.
     d = _read("documents").to_pydict()
     n_src = len(d["doc_id"])
     n_out = n_src * SCALE
-    syll = [c + v for c in "bcdfghklmnprstvz" for v in "aeiou"]  # 80
+    onsets = [
+        "b", "c", "d", "f", "g", "h", "j", "k", "l", "m", "n", "p",
+        "r", "s", "t", "v", "w", "z", "bl", "br", "ch", "cl", "cr",
+        "dr", "fl", "fr", "gl", "gr", "ph", "pl", "pr", "qu", "sc",
+        "sh", "sk", "sl", "sm", "sn", "sp", "st", "sw", "th", "tr",
+        "tw", "wh", "wr", "sch", "str",
+    ]  # 48
+    codas = ["", "n", "r", "s", "t", "l", "m", "k", "x"]  # 9
+    syll = [o + v + c for o in onsets for v in "aeiou" for c in codas]
+    n_syll = len(syll)  # 2160
     vocab_n = 30_000
 
     def _word(i: int) -> str:
-        parts = [syll[i % 80]]
-        i //= 80
+        parts = [syll[i % n_syll]]
+        i //= n_syll
         while i:
-            parts.append(syll[i % 80])
-            i //= 80
+            parts.append(syll[i % n_syll])
+            i //= n_syll
         return "".join(parts)
 
     vocab = [_word(i) for i in range(vocab_n)]
+    # decouple Zipf rank from word identity: sequential indices make
+    # the head of the distribution a cluster of lexical SIBLINGS
+    # ("ba","ban","bar",...), collapsing the char-gram universe the
+    # frequent words dominate; a seeded shuffle scatters the head
+    # across the whole syllable space like a natural lexicon.
+    rng.shuffle(vocab)
     probs = 1.0 / np.arange(1, vocab_n + 1) ** 1.07
     probs /= probs.sum()
     src_lens = np.array([len(t.split()) for t in d["text"]], dtype=np.int64)
