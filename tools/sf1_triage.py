@@ -60,17 +60,33 @@ TRIAGE_CLASSES: dict[str, tuple[str, str]] = {
         "the ANSWER is the quadratic tail of cos>=0.4 in d=64: random "
         "unit vectors cross it at ~4.6e-4/pair (measured identical for "
         "same- and cross-label pairs at sf0.1), so true pairs grow as "
-        "C(n,2) on ANY marginal-matching fixture. r7 de-degenerated the "
-        "generator (fresh Gaussians + pairs planted at the source rate: "
-        "920 -> 105,526 at sf1, natural rate 4.8e-4 = scale-invariant), "
-        "removing the r6 noisy-copy artifact that added 209x on top",
+        "C(n,2) on ANY marginal-matching fixture (105,451 pairs at sf1, "
+        "894,333 at sf3 — QUADRATIC_PROBE_r8 re-confirms per-output-row "
+        "cost IMPROVES with scale). The r6 noisy-copy artifact that "
+        "added 209x on top was removed in r7",
+    ),
+    "winnow_overlap_pairs": (
+        "output_bound",
+        "r8: the inverted scale tier (noise cap 256) answers 125,476 "
+        "containment>=0.8 pairs at sf1 (96x output for 10x input on "
+        "54-word docs) in 56 s sweep / 87 s solo-cold — the quadratic "
+        "blowup fixed in r8 was uncapped head-word fingerprints "
+        "(sum df^2 = 51.3e9), not the plan",
+    ),
+    "knn_classify_embeddings": (
+        "stratum_capped_linear",
+        "compute is EXACTLY 10x for 10x corpus by construction (the "
+        "query side is a fixed ~2000-vector Knuth-hash stratum; dots = "
+        "queries x corpus); r8 solo min-of-3 26.8 s with sentinel "
+        "0.80-0.90 s = 2.5x the 0.322 idle floor — ratio over 10x is "
+        "hot-box inflation on a linear plan",
     ),
     "ngram_jaccard_pairs": (
         "fixture_degenerate",
-        "29,551 distinct trigrams, flat df (max 137 at sf1) -> candidates "
-        "are irreducibly ~sum C(df,2) for ANY exact tier; cost-based "
-        "pre-flight (dedup.py::plan_exact_mining) detects and routes; "
-        "sf3 probe measures the curve (PLANS.md r6)",
+        "RETIRED r8 (kept for artifact diffing): the r7 29,551-trigram "
+        "flat-df universe was the make_sf1 generator, fixed in r8 "
+        "(Zipfian corpus; QUADRATIC_PROBE_r8 shows output exactly the "
+        "planted linear rate and the guard under budget at 30x)",
     ),
     "near_dup_clusters": (
         "fixture_degenerate",
