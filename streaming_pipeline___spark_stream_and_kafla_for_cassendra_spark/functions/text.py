@@ -147,8 +147,12 @@ def shingle_rows(df, id_col: str, text_col: str, n: int = 3):
                     )
             yield pd.DataFrame({"_id": ids, "gram": hashes})
 
-    return df.select(
-        SF.col(id_col).alias("_id"), SF.col(text_col).alias("_text")
+    from ..operators.scale import spread_for_compute
+
+    return spread_for_compute(
+        df.select(
+            SF.col(id_col).alias("_id"), SF.col(text_col).alias("_text")
+        )
     ).mapInPandas(gen, out_schema)
 
 

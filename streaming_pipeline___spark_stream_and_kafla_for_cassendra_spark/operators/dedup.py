@@ -146,8 +146,14 @@ def minhash_signatures(
 
     from pyspark.sql import functions as SF
 
+    from .scale import spread_for_compute
+
     return (
-        df.select(SF.col(id_col).alias("_id"), SF.col(text_col).alias("_text"))
+        spread_for_compute(
+            df.select(
+                SF.col(id_col).alias("_id"), SF.col(text_col).alias("_text")
+            )
+        )
         .mapInPandas(sigs, out_schema)
         .withColumnRenamed("_sig_id", id_col)
     )
@@ -926,8 +932,14 @@ def winnow_fingerprints(
                 fps.extend(chosen.tolist())
             yield pd.DataFrame({"_wf_id": ids, "fingerprint": fps})
 
+    from .scale import spread_for_compute
+
     return (
-        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+        spread_for_compute(
+            df.select(
+                F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+            )
+        )
         .mapInPandas(fingerprints, out_schema)
         .withColumnRenamed("_wf_id", id_col)
     )
@@ -1070,7 +1082,20 @@ def fingerprint_overlap_pairs(
     )
     docs = fps.groupBy("_fid").agg(F.collect_set("_fp").alias("_fparr"))
     n_docs = docs.count()
-    n_blocks = max(1, -(-n_docs // docs_per_block))
+    # Block count: enough blocks that the B(B+1)/2 block-pair tasks
+    # fill the cluster (guide §2.6 — measured round 8: 5k docs at
+    # docs_per_block=2048 gave 3 blocks → 6 tasks on 32 cores, a
+    # 3.6 s straggler stage). Total matmul work is n²·D/2 regardless
+    # of B; replication cost is linear in B, so the parallelism
+    # floor is the binding constraint locally and a no-op at scale
+    # (any large corpus already exceeds it via docs_per_block).
+    par = fps.sparkSession.sparkContext.defaultParallelism
+    min_blocks = 1
+    while min_blocks * (min_blocks + 1) // 2 < par:
+        min_blocks += 1
+    n_blocks = max(
+        1, -(-n_docs // docs_per_block), min(min_blocks, n_docs)
+    )
     docs = docs.withColumn(
         "_blk", F.pmod(F.xxhash64("_fid"), F.lit(n_blocks))
     )

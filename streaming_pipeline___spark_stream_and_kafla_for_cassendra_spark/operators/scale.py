@@ -22,6 +22,33 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def spread_for_compute(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Round-robin repartition ``df`` up to the cluster's default
+    parallelism when its current partitioning under-fills it.
+
+    The compute-heavy operator passes (Arrow mapInPandas
+    fingerprinting, per-row numpy work) inherit the scan's partition
+    count; a small single-row-group parquet input yields ONE split,
+    so the whole pass runs on one core while the rest idle
+    (optimization guide §2.6 stragglers/idle capacity, §6 input
+    splits — measured round 8: every sf fixture is one row group, so
+    winnowing/minhash/shingle passes were single-task). Shuffling the
+    (id, text) projection once is orders of magnitude cheaper than
+    serializing the Python pass.
+
+    Scale-adaptive by construction: when the input already has at
+    least ``target`` partitions (any real 100 TB scan), this is a
+    no-op — no exchange is added. Round-robin repartition is safe
+    here because every caller computes row-wise deterministic
+    results (asserted by the phash/fingerprint determinism gates).
+    """
+    sc = df.sparkSession.sparkContext
+    goal = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < goal:
+        return df.repartition(goal)
+    return df
+
+
 def save_bucketed(
     df: DataFrame,
     table: str,

@@ -1157,7 +1157,11 @@ def kmeans_assign(
                 }
             )
 
-    return candidates.select(id_col, vec_col).mapInPandas(assign, schema)
+    from .scale import spread_for_compute
+
+    return spread_for_compute(
+        candidates.select(id_col, vec_col)
+    ).mapInPandas(assign, schema)
 
 
 def hard_negatives(

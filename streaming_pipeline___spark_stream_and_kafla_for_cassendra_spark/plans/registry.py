@@ -5889,7 +5889,11 @@ def dup_ngram_fraction_documents(spark, sf_dir):
     from ..functions.text import shingle_rows
 
     d = _t(spark, sf_dir, "documents")
-    grams = shingle_rows(d, "doc_id", "text", 5)
+    # grams feeds both the df histogram and the re-join — checkpoint
+    # so the Arrow shingle pass evaluates once, not per branch
+    grams = shingle_rows(d, "doc_id", "text", 5).localCheckpoint(
+        eager=False
+    )
     gram_docs = grams.groupBy("gram").agg(F.count("*").alias("nd"))
     joined = grams.join(gram_docs, "gram")
     dup = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
@@ -8607,8 +8611,6 @@ def ewma_user_value(spark, sf_dir):
     ("graph", "iterative", "bfs"),
 )
 def bfs_nation_hops(spark, sf_dir):
-    from ..operators.graph import bfs_hops
-
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -8626,7 +8628,35 @@ def bfs_nation_hops(spark, sf_dir):
         .select("src", "dst")
         .dropDuplicates()
     )
-    return bfs_hops(edges, "NATION_0", "src", "dst", max_hops=4)
+    # The deduped nation graph is ≤ nation² integer-semantics edges;
+    # the 4 frontier rounds ran distributed as ~10 eager-checkpoint
+    # jobs (pure scheduling at any input size — measured round 8).
+    # Driver BFS is bit-exact by construction: integer hop labels,
+    # same frontier-expansion order-independence as the operator
+    # (operators/graph.py::bfs_hops, kept for unbounded graphs).
+    adj: dict[str, set[str]] = {}
+    for row in edges.collect():
+        adj.setdefault(row["src"], set()).add(row["dst"])
+        adj.setdefault(row["dst"], set()).add(row["src"])
+    visited = {"NATION_0": 0}
+    frontier = ["NATION_0"]
+    for h in range(1, 5):
+        nxt = sorted(
+            {
+                v
+                for u in frontier
+                for v in adj.get(u, ())
+                if v not in visited
+            }
+        )
+        if not nxt:
+            break
+        for v in nxt:
+            visited[v] = h
+        frontier = nxt
+    return spark.createDataFrame(
+        sorted(visited.items()), "node string, hops long"
+    )
 
 
 @_register(

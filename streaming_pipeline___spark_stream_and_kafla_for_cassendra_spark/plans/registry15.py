@@ -503,14 +503,18 @@ def padding_waste_buckets(spark, sf_dir):
 def cohens_kappa_langid(spark, sf_dir):
     from ..functions.text import lang_id_heuristic
 
+    from ..operators.scale import spread_for_compute
+
     d = _t(spark, sf_dir, "documents")
-    preds = d.select(
+    preds = spread_for_compute(d.select("lang", "text")).select(
         F.col("lang").alias("labeled_lang"),
         lang_id_heuristic(F.col("text")).alias("guessed_lang"),
     )
+    # the confusion matrix feeds four aggregates below — checkpoint
+    # so the stopword-vote scan evaluates once, not once per branch
     cells = preds.groupBy("labeled_lang", "guessed_lang").agg(
         F.count("*").alias("n")
-    )
+    ).localCheckpoint(eager=False)
     tot = cells.agg(F.sum("n").alias("n"))
     diag = cells.filter(
         F.col("labeled_lang") == F.col("guessed_lang")

@@ -111,57 +111,56 @@ def pagerank_nation_trade(spark, sf_dir):
         .agg(F.count("*").alias("w"))
         .localCheckpoint(eager=False)
     )
-    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
-    nodes = e.select(F.col("src").alias("node")).distinct()
-    # node count bounds the driver work (graph nodes, never rows)
-    n_nodes = nodes.count()
-    ew = e.join(outw, "src")
+    # One fact scan builds the ≤ nation² weighted edge list; the
+    # PageRank iterations over that bounded graph ran distributed
+    # (~60 tiny AQE stage-jobs of pure scheduling — measured round 8)
+    # and are now a driver loop with the identical src-sorted
+    # contribution fold: same IEEE-754 ops in the same order, so
+    # every double is bit-identical to the distributed form and the
+    # unrolled-CTE oracle. Node/edge counts bound the driver work
+    # (graph nodes, never rows).
+    import math
 
-    r = nodes.withColumn(
-        "r", F.lit(1.0) / F.lit(float(n_nodes))
-    ).localCheckpoint(eager=False)
+    rows = e.collect()
+    out_w: dict[int, int] = {}
+    in_edges_cnt: dict[int, int] = {}
+    incoming: dict[int, list[tuple[int, int]]] = {}
+    for row in rows:
+        src, dst, w = row["src"], row["dst"], row["w"]
+        out_w[src] = out_w.get(src, 0) + w
+        in_edges_cnt[dst] = in_edges_cnt.get(dst, 0) + 1
+        incoming.setdefault(dst, []).append((src, w))
+    nodes_l = sorted(out_w)
+    nf = float(len(nodes_l))
+    rank = {u: 1.0 / nf for u in nodes_l}
     for _ in range(_PR_ITERS):
-        contrib = ew.join(r, ew.src == r.node).select(
-            "dst",
-            "src",
-            (F.col("r") * F.col("w") / F.col("ow")).alias("v"),
-        )
-        inc = contrib.groupBy("dst").agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("src", "v"))),
-                F.lit(0.0),
-                lambda a, x: a + x["v"],
-            ).alias("inc")
-        )
-        r = (
-            nodes.join(inc, nodes.node == inc.dst, "left")
-            .select(
-                "node",
-                (
-                    F.lit(0.15) / F.lit(float(n_nodes))
-                    + F.lit(0.85) * F.coalesce(F.col("inc"), F.lit(0.0))
-                ).alias("r"),
+        nxt = {}
+        for node in nodes_l:
+            inc = 0.0
+            for src, w in sorted(incoming.get(node, [])):
+                inc = inc + rank[src] * w / out_w[src]
+            nxt[node] = 0.15 / nf + 0.85 * inc
+        rank = nxt
+    scored = spark.createDataFrame(
+        [
+            (
+                node,
+                math.floor(rank[node] * 1000000 + 0.5) / 1000000.0,
+                out_w[node],
+                in_edges_cnt.get(node, 0),
             )
-            .localCheckpoint(eager=False)
-        )
-
-    in_edges = e.groupBy("dst").agg(F.count("*").alias("in_edges"))
-    return (
-        r.join(F.broadcast(n), r.node == F.col("n_nationkey"))
-        .join(F.broadcast(outw), r.node == F.col("src"), "left")
-        .join(F.broadcast(in_edges), r.node == F.col("dst"), "left")
-        .select(
-            F.col("n_name").alias("nation"),
-            (F.floor(F.col("r") * 1000000 + F.lit(0.5)) / F.lit(1000000.0)).alias(
-                "pagerank"
-            ),
-            F.coalesce(F.col("ow"), F.lit(0)).cast("long").alias(
-                "out_trade_weight"
-            ),
-            F.coalesce(F.col("in_edges"), F.lit(0)).cast("long").alias(
-                "in_edges"
-            ),
-        )
+            for node in nodes_l
+        ],
+        "node int, pagerank double, out_trade_weight long, "
+        "in_edges long",
+    )
+    return scored.join(
+        F.broadcast(n), scored.node == F.col("n_nationkey")
+    ).select(
+        F.col("n_name").alias("nation"),
+        "pagerank",
+        "out_trade_weight",
+        "in_edges",
     )
 
 
@@ -241,6 +240,8 @@ def _markov_conv_oracle(iters: int = _MK_ITERS) -> str:
     ("graph", "markov", "attribution", "iterative", "events"),
 )
 def markov_conversion_probability(spark, sf_dir):
+    import math
+
     from pyspark.sql import Window
 
     e = _t(spark, sf_dir, "events")
@@ -253,6 +254,68 @@ def markov_conversion_probability(spark, sf_dir):
         "s", F.coalesce(F.col("t"), F.lit("__END__")).alias("t")
     )
     cnt = pairs.groupBy("s", "t").agg(F.count("*").alias("n"))
+    # The chain's state space is the event-type enum — states², not
+    # rows, and the transition table is one map-side-combinable
+    # count aggregate. The 16 value-iteration steps over that tiny
+    # table used to run distributed (16 joins + 16 checkpointed
+    # folds = ~100 AQE stage-jobs, 4-6 s of pure scheduling at any
+    # input size — measured round 8). They are a driver-side loop
+    # over ≤ states² doubles: same IEEE-754 ops in the same t-sorted
+    # fold order, so the result is bit-identical to the distributed
+    # form and to the unrolled-CTE oracle. Guarded: an unbounded
+    # state universe (not an enum) would fall back to the
+    # distributed loop rather than collect.
+    rows = cnt.collect()
+    if len(rows) > 4096:  # pragma: no cover - enum-sized by design
+        return _markov_conv_distributed(spark, cnt)
+    outs: dict[str, int] = {}
+    trans: dict[str, list[tuple[str, int]]] = {}
+    n_dir: dict[str, int] = {}
+    for r in rows:
+        outs[r["s"]] = outs.get(r["s"], 0) + r["n"]
+        trans.setdefault(r["s"], []).append((r["t"], r["n"]))
+        if r["t"] == "purchase":
+            n_dir[r["s"]] = r["n"]
+    v = {s: 0.0 for s in trans}
+    for _ in range(_MK_ITERS):
+        nv = {}
+        for s, ts in trans.items():
+            acc = 0.0
+            for t, n in sorted(ts):
+                p = n / outs[s]
+                if t == "purchase":
+                    term = p * 1.0
+                elif t == "__END__":
+                    term = p * 0.0
+                else:
+                    term = p * v.get(t, 0.0)
+                acc = acc + term
+            nv[s] = acc
+        v = nv
+
+    def r6(x: float) -> float:
+        return math.floor(x * 1000000 + 0.5) / 1000000.0
+
+    out = [
+        (
+            s,
+            outs[s],
+            r6(n_dir[s] / outs[s]) if s in n_dir else 0.0,
+            r6(v[s]),
+        )
+        for s in sorted(trans)
+    ]
+    return spark.createDataFrame(
+        out,
+        "state string, n_transitions long, p_direct double, "
+        "conv_prob double",
+    )
+
+
+def _markov_conv_distributed(spark, cnt):
+    """Distributed value iteration — the fallback when the state
+    universe is not enum-sized (never at the fixture scales; kept
+    for posture at arbitrary cardinality)."""
     cnt = cnt.localCheckpoint(eager=False)
     outs = cnt.groupBy("s").agg(F.sum("n").alias("o"))
     states = cnt.select("s").distinct()

@@ -2950,12 +2950,21 @@ def ts_subsequence_match_hourly(spark, sf_dir):
     ("stats", "bootstrap", "sampling", "lineitem"),
 )
 def bootstrap_ci_mean_price(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_linenumber",
-        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("cents"),
+    from ..operators.scale import spread_for_compute
+
+    # The ×100 explode + integer mixer is pure codegen CPU — 60M
+    # generated rows inherit the scan's split count (ONE task on the
+    # single-row-group fixture; measured 2.6 s serialized, round 8).
+    # Spreading the 3-column projection first parallelizes it; no-op
+    # when the scan already has enough splits.
+    li = spread_for_compute(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            "l_linenumber",
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
     )
     resampled = li.select(
         "cents",
@@ -3294,15 +3303,18 @@ def _langid_metrics_oracle() -> str:
 )
 def langid_confusion_metrics(spark, sf_dir):
     from ..functions.text import lang_id_heuristic
+    from ..operators.scale import spread_for_compute
 
     d = _t(spark, sf_dir, "documents")
-    preds = d.select(
+    preds = spread_for_compute(d.select("lang", "text")).select(
         F.col("lang").alias("labeled_lang"),
         lang_id_heuristic(F.col("text")).alias("guessed_lang"),
     )
+    # the confusion matrix feeds four branches — checkpoint so the
+    # stopword-vote scan evaluates once
     cells = preds.groupBy("labeled_lang", "guessed_lang").agg(
         F.count("*").alias("n")
-    )
+    ).localCheckpoint(eager=False)
     langs = cells.select(F.col("labeled_lang").alias("lang")).distinct()
     tp = cells.filter(F.col("labeled_lang") == F.col("guessed_lang")).select(
         F.col("labeled_lang").alias("lang"), F.col("n").alias("tp")

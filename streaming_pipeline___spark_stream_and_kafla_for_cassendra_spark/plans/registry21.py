@@ -539,8 +539,10 @@ def _textrank_oracle(iters: int = _TR_ITERS) -> str:
     ("graph", "text", "keywords", "iterative", "documents"),
 )
 def textrank_keywords_documents(spark, sf_dir):
+    from ..operators.scale import spread_for_compute
+
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
+    toks = spread_for_compute(d.select("text")).select(
         F.filter(
             F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
         ).alias("l")
@@ -577,53 +579,52 @@ def textrank_keywords_documents(spark, sf_dir):
         .agg(F.count("*").alias("w"))
         .localCheckpoint(eager=False)
     )
-    adj = e.select(
-        F.col("src").alias("u"), F.col("dst").alias("v"), "w"
-    ).unionAll(e.select(F.col("dst").alias("u"), F.col("src").alias("v"), "w"))
-    adj = adj.localCheckpoint(eager=False)
-    outw = adj.groupBy("u").agg(F.sum("w").alias("ow"))
-    nodes = adj.select(F.col("u").alias("node")).distinct()
-    n_nodes = nodes.count()  # bounded by _TR_VOCAB, never corpus size
-    aw = adj.join(outw, "u")
-    r = nodes.withColumn(
-        "r", F.lit(1.0) / F.lit(float(n_nodes))
-    ).localCheckpoint(eager=False)
+    # The co-occurrence graph is bounded by the top-_TR_VOCAB
+    # vocabulary — ≤ vocab² integer edge weights, never corpus-sized.
+    # The corpus-scale work (tokenize, pair explode, vocab top-k,
+    # edge aggregate) stays in Spark above; the PageRank iterations
+    # over the bounded graph used to run distributed (~50 tiny AQE
+    # stage-jobs of scheduling overhead at any input size — measured
+    # round 8) and are now a driver loop with the identical
+    # u-sorted contribution fold, so every double is bit-identical
+    # to the distributed form and the unrolled-CTE oracle.
+    import math
+
+    edges = [(r["src"], r["dst"], r["w"]) for r in e.collect()]
+    adj_list: list[tuple[str, str, int]] = []
+    for s_, d_, w_ in edges:
+        adj_list.append((s_, d_, w_))
+        adj_list.append((d_, s_, w_))
+    outw: dict[str, int] = {}
+    degs: dict[str, int] = {}
+    incoming: dict[str, list[tuple[str, int]]] = {}
+    for u, v, w_ in adj_list:
+        outw[u] = outw.get(u, 0) + w_
+        degs[u] = degs.get(u, 0) + 1
+        incoming.setdefault(v, []).append((u, w_))
+    nodes_l = sorted(outw)
+    n_nodes = len(nodes_l)
+    nf = float(n_nodes)
+    rank = {u: 1.0 / nf for u in nodes_l}
     for _ in range(_TR_ITERS):
-        contrib = aw.join(r, aw.u == r.node).select(
-            "v", "u", (F.col("r") * F.col("w") / F.col("ow")).alias("c")
+        nxt = {}
+        for node in nodes_l:
+            inc = 0.0
+            for u, w_ in sorted(incoming.get(node, [])):
+                inc = inc + rank[u] * w_ / outw[u]
+            nxt[node] = 0.15 / nf + 0.85 * inc
+        rank = nxt
+    top = sorted(nodes_l, key=lambda u: (-rank[u], u))[:_TR_TOP]
+    rows = [
+        (
+            u,
+            math.floor(rank[u] * 1000000 + 0.5) / 1000000.0,
+            degs[u],
+            outw[u],
         )
-        inc = contrib.groupBy("v").agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("u", "c"))),
-                F.lit(0.0),
-                lambda x, y: x + y["c"],
-            ).alias("inc")
-        )
-        r = (
-            nodes.join(inc, nodes.node == inc.v, "left")
-            .select(
-                "node",
-                (
-                    F.lit(0.15) / F.lit(float(n_nodes))
-                    + F.lit(0.85) * F.coalesce(F.col("inc"), F.lit(0.0))
-                ).alias("r"),
-            )
-            .localCheckpoint(eager=False)
-        )
-    degs = adj.groupBy("u").agg(F.count("*").alias("degree"))
-    top = (
-        r.orderBy(F.col("r").desc(), F.col("node").asc())
-        .limit(_TR_TOP)
-    )
-    return (
-        top.join(F.broadcast(degs), top.node == degs.u)
-        .join(F.broadcast(outw.select(F.col("u").alias("u2"), "ow")),
-              F.col("node") == F.col("u2"))
-        .select(
-            F.col("node").alias("token"),
-            (F.floor(F.col("r") * 1000000 + F.lit(0.5)) / F.lit(1000000.0))
-            .alias("textrank"),
-            F.col("degree").cast("long").alias("degree"),
-            F.col("ow").cast("long").alias("cooc_weight"),
-        )
+        for u in top
+    ]
+    return spark.createDataFrame(
+        rows,
+        "token string, textrank double, degree long, cooc_weight long",
     )

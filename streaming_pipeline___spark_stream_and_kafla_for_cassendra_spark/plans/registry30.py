@@ -92,8 +92,10 @@ _DUP_N = 8  # n-gram width for the repeated-substring scan
     ("text-quality", "dedup", "documents"),
 )
 def dup_span_extraction_documents(spark, sf_dir):
+    from ..operators.scale import spread_for_compute
+
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
+    toks = spread_for_compute(d.select("doc_id", "text")).select(
         "doc_id",
         F.filter(
             F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""

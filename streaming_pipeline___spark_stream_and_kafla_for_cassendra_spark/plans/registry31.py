@@ -98,8 +98,13 @@ def _maxcov_oracle(rounds: int = _MC_ROUNDS) -> str:
     ("ml-data", "curation", "iterative", "documents"),
 )
 def max_coverage_doc_selection(spark, sf_dir):
+    from ..operators.scale import spread_for_compute
+
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
+    # The trigram explode+distinct inherits the scan's single split
+    # on the fixture (2.3 s serialized tokenize, round 8); spread
+    # before the expensive expression work, no-op at scale.
+    toks = spread_for_compute(d.select("doc_id", "text")).select(
         "doc_id",
         F.filter(
             F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
@@ -120,44 +125,54 @@ def max_coverage_doc_selection(spark, sf_dir):
         .localCheckpoint(eager=False)
     )
     vocab_size = dt.select("tok").distinct().count()
-    covered = None  # DataFrame of covered tokens
-    picks = []
+    # Greedy state lives on the driver: the covered-token set grows
+    # by at most one document's trigrams per round (rounds × doc
+    # length — bounded regardless of corpus size), while the
+    # corpus-sized (doc, trigram) table stays distributed. This
+    # replaces the old per-round union+distinct+checkpoint+count
+    # chain (~6 stage-jobs/round, measured round 8) with one gain
+    # aggregate and one picked-doc token fetch per round; the
+    # cumulative coverage count is len() of the driver set — the
+    # same number the old covered.count() action recomputed.
+    spark = dt.sparkSession
+    covered_set: set[str] = set()
+    picks_rows = []
     for r in range(1, _MC_ROUNDS + 1):
-        if covered is None:
+        if not covered_set:
             gain = dt.groupBy("doc_id").agg(F.count("*").alias("gain"))
         else:
+            cov_df = spark.createDataFrame(
+                spark.sparkContext.parallelize(
+                    [(t,) for t in covered_set],
+                    max(1, len(covered_set) // 100_000 + 1),
+                ),
+                "tok string",
+            )
             gain = (
-                dt.join(covered, "tok", "left_anti")
+                dt.join(F.broadcast(cov_df), "tok", "left_anti")
                 .groupBy("doc_id")
                 .agg(F.count("*").alias("gain"))
             )
         pick = (
             gain.orderBy(F.col("gain").desc(), F.col("doc_id").asc())
             .limit(1)
-            .localCheckpoint(eager=False)
+            .collect()[0]
         )
-        new_tokens = dt.join(
-            F.broadcast(pick.select("doc_id")), "doc_id"
-        ).select("tok")
-        covered = (
-            new_tokens
-            if covered is None
-            else covered.unionAll(new_tokens).distinct()
-        ).localCheckpoint(eager=False)
-        n_cov = covered.count()
-        picks.append(
-            pick.select(
-                F.lit(r).alias("round"),
-                "doc_id",
-                F.col("gain").cast("long").alias("gain"),
-                F.lit(n_cov).cast("long").alias("covered"),
-                F.lit(vocab_size).cast("long").alias("vocab_size"),
-            )
+        new_toks = [
+            row["tok"]
+            for row in dt.filter(F.col("doc_id") == pick["doc_id"])
+            .select("tok")
+            .collect()
+        ]
+        covered_set.update(new_toks)
+        picks_rows.append(
+            (r, pick["doc_id"], pick["gain"], len(covered_set), vocab_size)
         )
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.unionAll(p)
-    return out
+    return spark.createDataFrame(
+        picks_rows,
+        "round int, doc_id long, gain long, covered long, "
+        "vocab_size long",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -162,9 +162,13 @@ _CDC_HASH = " + ".join(
     ("storage", "dedup", "chunking", "documents"),
 )
 def content_defined_chunking_documents(spark, sf_dir):
+    from ..operators.scale import spread_for_compute
+
     d = _t(spark, sf_dir, "documents")
-    base = d.select(
-        "doc_id", F.lower(F.col("text")).alias("s")
+    # the rolling-hash window fold is heavy per-row expression work
+    # that inherits the scan's single fixture split — spread first
+    base = spread_for_compute(
+        d.select("doc_id", F.lower(F.col("text")).alias("s"))
     ).filter(F.length("s") > _CDC_W)
 
     # substr(s, i, 1) costs O(i) on UTF8 strings — a quadratic trap

@@ -268,76 +268,63 @@ def percolation_hub_removal(spark, sf_dir):
         )
         .agg(F.count("*").alias("w"))
     )
-    e = (
+    # One fact scan + top-k edge selection stays in Spark; every
+    # iteration table after it is bounded by the LIMIT to ≤ 50
+    # integer edge pairs over ≤ 25 nation nodes. The 2×8 label-
+    # propagation rounds used to run as ~75 tiny AQE stage-jobs
+    # (seconds of pure scheduling at any input scale — measured
+    # round 8); they are a driver-side integer loop with identical
+    # min-label semantics, bit-exact by construction (all-integer
+    # math, same tie rules, same fixed round count as the oracle).
+    edge_rows = (
         ew.orderBy(F.col("w").desc(), F.col("a").asc(), F.col("b").asc())
         .limit(_PERC_EDGES)
         .select("a", "b")
-        .localCheckpoint(eager=False)
+        .collect()
     )
-    degs = (
-        e.select(F.col("a").alias("node"))
-        .unionAll(e.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("d"))
-    )
-    hubs = (
-        degs.orderBy(F.col("d").desc(), F.col("node").asc())
-        .limit(_PERC_HUBS)
-        .select("node")
-        .localCheckpoint(eager=False)
-    )
-    e2 = (
-        e.join(hubs.select(F.col("node").alias("a")), "a", "left_anti")
-        .join(hubs.select(F.col("node").alias("b")), "b", "left_anti")
-        .select("a", "b")
-        .localCheckpoint(eager=False)
-    )
+    edges = [(r["a"], r["b"]) for r in edge_rows]
 
-    def cc_sizes(edges):
-        adj = edges.select(
-            F.col("a").alias("u"), F.col("b").alias("v")
-        ).unionAll(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        adj = adj.localCheckpoint(eager=False)
-        lab = adj.select(F.col("u").alias("node")).distinct().select(
-            "node", F.col("node").alias("label")
-        ).localCheckpoint(eager=False)
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    hubs = {
+        n for n, _ in sorted(deg.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :_PERC_HUBS
+        ]
+    }
+    e2 = [(a, b) for a, b in edges if a not in hubs and b not in hubs]
+
+    def cc_sizes(pairs):
+        adj: dict[int, list[int]] = {}
+        for a, b in pairs:
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+        lab = {n: n for n in adj}
         for _ in range(_PERC_ROUNDS):
-            neigh = (
-                adj.join(
-                    lab.select(F.col("node").alias("v"), F.col("label")),
-                    "v",
-                )
-                .groupBy(F.col("u").alias("node"))
-                .agg(F.min("label").alias("ml"))
-            )
-            lab = (
-                lab.join(neigh, "node", "left")
-                .select(
-                    "node",
-                    F.least(
-                        F.col("label"),
-                        F.coalesce(F.col("ml"), F.col("label")),
-                    ).alias("label"),
-                )
-                .localCheckpoint(eager=False)
-            )
-        return lab.groupBy("label").agg(F.count("*").alias("sz"))
-
-    f_sizes = cc_sizes(e)
-    r_sizes = cc_sizes(e2)
+            nxt = {}
+            for n, label in lab.items():
+                ml = min((lab[v] for v in adj[n]), default=label)
+                nxt[n] = min(label, ml)
+            lab = nxt
+        sizes: dict[int, int] = {}
+        for label in lab.values():
+            sizes[label] = sizes.get(label, 0) + 1
+        return sizes
 
     def summarize(sizes, name):
-        return sizes.agg(
-            F.coalesce(F.sum("sz"), F.lit(0)).alias("n_nodes"),
-            F.count("*").alias("n_components"),
-            F.coalesce(F.max("sz"), F.lit(0)).alias("largest"),
-        ).select(
-            F.lit(name).alias("scenario"),
-            F.col("n_nodes").cast("long").alias("n_nodes"),
-            F.col("n_components").cast("long").alias("n_components"),
-            F.col("largest").cast("long").alias("largest_component"),
+        return (
+            name,
+            sum(sizes.values()),
+            len(sizes),
+            max(sizes.values()) if sizes else 0,
         )
 
-    return summarize(f_sizes, "full").unionAll(
-        summarize(r_sizes, "hubs_removed")
+    return spark.createDataFrame(
+        [
+            summarize(cc_sizes(edges), "full"),
+            summarize(cc_sizes(e2), "hubs_removed"),
+        ],
+        "scenario string, n_nodes long, n_components long, "
+        "largest_component long",
     )

@@ -82,8 +82,10 @@ _THRESH_PPM = (500000, 600000, 700000, 800000, 900000)
     ("text-quality", "dedup", "tuning", "documents"),
 )
 def dedup_threshold_sensitivity(spark, sf_dir):
+    from ..operators.scale import spread_for_compute
+
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
+    toks = spread_for_compute(d.select("doc_id", "text")).select(
         "doc_id",
         F.filter(
             F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""

@@ -117,32 +117,27 @@ def label_propagation_nations(spark, sf_dir):
         .groupBy("u", "v")
         .agg(F.sum("w").alias("w"))
     )
-    # 25 nodes / ~600 edges: cache the tiny symmetric edge list so the
-    # 4 fixed rounds don't rebuild the fact-sized join each iteration
-    sym = sym.cache()
-    labels = sym.select(F.col("u").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    rk = Window.partitionBy("node").orderBy(F.desc("wt"), F.asc("label"))
+    # 25 nodes / ~600 integer-weighted edges after one fact scan: the
+    # 4 fixed LPA rounds ran distributed (broadcast join + window per
+    # round — a dozen tiny stage-jobs of scheduling at any input
+    # size, measured round 8). All-integer votes with a total-order
+    # tie-break (weight desc, label asc) make the driver loop
+    # bit-exact by construction.
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for row in sym.collect():
+        adj.setdefault(row["u"], []).append((row["v"], row["w"]))
+    labels = {u: u for u in adj}
     for _ in range(_LPA_ROUNDS):
-        votes = (
-            sym.join(
-                F.broadcast(
-                    labels.select(F.col("node").alias("v"), F.col("label"))
-                ),
-                "v",
-            )
-            .groupBy(F.col("u").alias("node"), "label")
-            .agg(F.sum("w").alias("wt"))
-        )
-        labels = (
-            votes.withColumn("rk", F.row_number().over(rk))
-            .filter(F.col("rk") == 1)
-            .select("node", "label")
-        )
-    return labels.select(
-        F.col("node").cast("int").alias("nationkey"),
-        F.col("label").cast("int").alias("community"),
+        nxt = {}
+        for u, nbrs in adj.items():
+            wt: dict[int, int] = {}
+            for v, w in nbrs:
+                lbl = labels[v]
+                wt[lbl] = wt.get(lbl, 0) + w
+            nxt[u] = min(wt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        labels = nxt
+    return spark.createDataFrame(
+        sorted(labels.items()), "nationkey int, community int"
     )
 
 

@@ -187,9 +187,14 @@ def lsh_blocking_quality(spark, sf_dir):
     )
     # Reduction ratio: FULL-corpus candidates — this is the linear
     # production path (band + bucket equi-join), never all-pairs.
+    # Checkpoint the signature leg so the band self-join and the two
+    # downstream count actions evaluate the Arrow signature pass once
+    # (it used to run once per action — guide §5 caching: reused AND
+    # expensive to recompute); the candidate set is counted twice
+    # (reduction ratio + completeness semi-join), so checkpoint it too.
     banded = banded_signatures(
         d, "text", "doc_id", num_hashes=64, bands=16, shingle_n=3
-    )
+    ).localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -205,18 +210,23 @@ def lsh_blocking_quality(spark, sf_dir):
             F.col("b.doc_id").alias("id_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+        .localCheckpoint(eager=False)
     )
     # Pair completeness: exact truth mined ONLY within the stratum
     # (O(stratum²) bounded), graded against the same candidate set.
-    truth = ngram_jaccard_pairs(
-        strat,
-        "text",
-        "doc_id",
-        shingle_n=3,
-        threshold=0.7,
-        max_gram_df=256,
-        candidate_budget=50_000_000,
-    ).select("id_a", "id_b")
+    truth = (
+        ngram_jaccard_pairs(
+            strat,
+            "text",
+            "doc_id",
+            shingle_n=3,
+            threshold=0.7,
+            max_gram_df=256,
+            candidate_budget=50_000_000,
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
 
     n_stratum = strat.count()
     n_truth = truth.count()

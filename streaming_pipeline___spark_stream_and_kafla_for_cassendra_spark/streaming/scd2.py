@@ -106,6 +106,11 @@ class Scd2Table:
                 intra_closed.write.mode("append").parquet(self._history_path)
             (
                 self._bucketed(newest)
+                # hash-distribute on the bucket before the partitioned
+                # write (guide §6): without it every input task
+                # writes a file into every bucket it touches —
+                # n_tasks × n_buckets small files per upsert.
+                .repartition(self.n_buckets, F.col(BUCKET))
                 .write.partitionBy(BUCKET)
                 .mode("overwrite")
                 .parquet(self._current_path)
@@ -174,7 +179,8 @@ class Scd2Table:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             (
-                new_current.write.partitionBy(BUCKET)
+                new_current.repartition(self.n_buckets, F.col(BUCKET))
+                .write.partitionBy(BUCKET)
                 .mode("overwrite")
                 .parquet(self._current_path)
             )
