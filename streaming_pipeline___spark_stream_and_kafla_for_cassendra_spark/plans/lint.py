@@ -64,6 +64,18 @@ HEAVY_BUILDERS: frozenset[str] = frozenset(
         "near_dup_canonical_docs",
         "dedup_keep_best_documents",
         "dedup_survivorship_audit",
+        # round 8: bounded-graph / enum-state iterations moved to a
+        # guarded driver loop — the builder collects a LIMIT/enum-
+        # bounded table and runs the fact scan at build time:
+        "markov_conversion_probability",
+        "percolation_hub_removal",
+        "textrank_keywords_documents",
+        "pagerank_nation_trade",
+        "bfs_nation_hops",
+        "label_propagation_nations",
+        "betweenness_centrality_nations",
+        "modularity_communities_nations",
+        "max_coverage_doc_selection",
     }
 )
 

@@ -153,139 +153,82 @@ def betweenness_centrality_nations(spark, sf_dir):
         .select("a", "b")
         .localCheckpoint(eager=False)
     )
-    adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
-        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
-    ).localCheckpoint(eager=False)
-    nodes = adj.select(F.col("u").alias("node")).distinct().localCheckpoint(
-        eager=False
-    )
-    level = nodes.select(
-        F.col("node").alias("s"),
-        F.col("node").alias("v"),
-        F.lit(0).alias("d"),
-        F.lit(1).cast("long").alias("sigma"),
-    ).localCheckpoint(eager=False)
-    visited = level
-    levels = [level]
+    # Brandes on the LIMIT-bounded top-50-edge nation graph used to
+    # run as ~70 checkpointed stage-jobs (6 forward levels + 5
+    # backward sweeps, pure scheduling at any input size — measured
+    # round 8). The driver loop below replicates it exactly: integer
+    # path counts (order-free sums), the backward dependency fold in
+    # w_node order and the per-node fold in source order — the same
+    # IEEE ops in the same order as the distributed form and the
+    # unrolled oracle.
+    import math
+
+    edges = [(r["a"], r["b"]) for r in e.collect()]
+    adj: dict[int, list[int]] = {}
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    nodes_l = sorted(adj)
+    # forward: per-source level sets with integer path counts
+    levels: list[dict[tuple[int, int], int]] = [
+        {(s, s): 1 for s in nodes_l}
+    ]
+    visited: dict[int, dict[int, int]] = {
+        s: {s: 0} for s in nodes_l
+    }
     for k in range(_BC_DEPTH):
-        nxt = (
-            level.join(adj, level.v == adj.u)
-            .join(
-                visited.select(
-                    F.col("s").alias("vs"), F.col("v").alias("vv")
-                ),
-                (F.col("s") == F.col("vs")) & (adj.v == F.col("vv")),
-                "left_anti",
-            )
-            .groupBy("s", adj.v.alias("nv"))
-            .agg(F.sum("sigma").alias("sigma"))
-            .select(
-                "s",
-                F.col("nv").alias("v"),
-                F.lit(k + 1).alias("d"),
-                F.col("sigma").cast("long").alias("sigma"),
-            )
-            .localCheckpoint(eager=False)
-        )
-        visited = visited.unionAll(nxt).localCheckpoint(eager=False)
+        nxt: dict[tuple[int, int], int] = {}
+        for (s, v), sigma in levels[k].items():
+            for w in adj[v]:
+                if w not in visited[s]:
+                    nxt[(s, w)] = nxt.get((s, w), 0) + sigma
+        for s, w in nxt:
+            visited[s][w] = k + 1
         levels.append(nxt)
-        level = nxt
     # backward dependency sweep
-    delta = levels[_BC_DEPTH].select(
-        "s", "v", F.lit(0.0).alias("delta")
-    ).localCheckpoint(eager=False)
-    all_deltas = [delta]
+    all_deltas: list[dict[tuple[int, int], float]] = [
+        {sv: 0.0 for sv in levels[_BC_DEPTH]}
+    ]
     for k in range(_BC_DEPTH - 1, 0, -1):
-        nxt_info = levels[k + 1].join(
-            all_deltas[-1].select(
-                F.col("s").alias("ds"),
-                F.col("v").alias("dv"),
-                "delta",
-            ),
-            (F.col("s") == F.col("ds")) & (F.col("v") == F.col("dv")),
-        ).select(
-            F.col("s").alias("ns"),
-            F.col("v").alias("nv"),
-            F.col("sigma").alias("nsigma"),
-            "delta",
-        )
-        cur = levels[k]
-        joined = (
-            cur.join(
-                adj.select(F.col("u").alias("cu"), F.col("v").alias("cw")),
-                cur.v == F.col("cu"),
-            )
-            .join(
-                nxt_info,
-                (F.col("s") == F.col("ns")) & (F.col("cw") == F.col("nv")),
-            )
-            .select(
-                "s",
-                "v",
-                "sigma",
-                F.col("nv").alias("w_node"),
-                (
-                    F.col("sigma").cast("double")
-                    / F.col("nsigma")
-                    * (F.lit(1.0) + F.col("delta"))
-                ).alias("term"),
-            )
-        )
-        folded = joined.groupBy("s", "v").agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("w_node", "term"))),
-                F.lit(0.0),
-                lambda a, x: a + x["term"],
-            ).alias("delta")
-        )
-        dk = (
-            cur.select("s", "v")
-            .join(folded, ["s", "v"], "left")
-            .select(
-                "s", "v", F.coalesce(F.col("delta"), F.lit(0.0)).alias("delta")
-            )
-            .localCheckpoint(eager=False)
-        )
-        all_deltas.append(dk)
-    alld = all_deltas[0]
-    for df in all_deltas[1:]:
-        alld = alld.unionAll(df)
-    deg = adj.groupBy(F.col("u").alias("node")).agg(
-        F.count("*").alias("degree")
-    )
-    per_node = (
-        nodes.join(
-            alld.filter(F.col("s") != F.col("v")).select(
-                F.col("v").alias("node"), "s", "delta"
-            ),
-            "node",
-            "left",
-        )
-        .groupBy("node")
-        .agg(
-            F.aggregate(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(
-                            F.col("s").isNotNull(),
-                            F.struct("s", (F.col("delta") / 2.0).alias("h")),
-                        )
+        prev = all_deltas[-1]
+        nxt_level = levels[k + 1]
+        dk: dict[tuple[int, int], float] = {}
+        for (s, v), sigma in levels[k].items():
+            acc = 0.0
+            for w in sorted(adj[v]):
+                if (s, w) in nxt_level:
+                    acc = acc + sigma / nxt_level[(s, w)] * (
+                        1.0 + prev[(s, w)]
                     )
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x["h"],
-            ).alias("bc")
-        )
+            dk[(s, v)] = acc
+        all_deltas.append(dk)
+    bc = {node: 0.0 for node in nodes_l}
+    contribs: dict[int, list[tuple[int, float]]] = {}
+    for dk in all_deltas:
+        for (s, v), delta in dk.items():
+            if s != v:
+                contribs.setdefault(v, []).append((s, delta))
+    for node, terms in contribs.items():
+        acc = 0.0
+        for _, delta in sorted(terms):
+            acc = acc + delta / 2.0
+        bc[node] = acc
+    scored = spark.createDataFrame(
+        [
+            (
+                node,
+                math.floor(bc[node] * 1000000 + 0.5) / 1000000.0,
+                deg.get(node, 0),
+            )
+            for node in nodes_l
+        ],
+        "node int, betweenness double, degree long",
     )
-    return (
-        per_node.join(F.broadcast(deg), "node", "left")
-        .join(F.broadcast(n), F.col("node") == F.col("n_nationkey"))
-        .select(
-            F.col("n_name").alias("nation"),
-            (F.floor(F.col("bc") * 1000000 + F.lit(0.5)) / F.lit(1000000.0))
-            .alias("betweenness"),
-            F.coalesce(F.col("degree"), F.lit(0))
-            .cast("long")
-            .alias("degree"),
-        )
+    return scored.join(
+        F.broadcast(n), scored.node == F.col("n_nationkey")
+    ).select(
+        F.col("n_name").alias("nation"), "betweenness", "degree"
     )

@@ -100,94 +100,72 @@ def modularity_communities_nations(spark, sf_dir):
         )
         .groupBy("u", "v")
         .agg(F.sum("w").alias("w"))
-        .cache()
     )
-    labels = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-    )
-    rk = Window.partitionBy("node").orderBy(F.desc("wt"), F.asc("label"))
+    # One fact scan builds the ≤ nation² integer edge list; the LPA
+    # rounds and the modularity decomposition over it are bounded
+    # driver work (all-integer votes with total-order tie-breaks;
+    # q_contrib derives from integer sums, folded in community order
+    # — the same IEEE ops in the same order as the distributed form
+    # and the oracle). Replaces ~40 tiny stage-jobs of scheduling
+    # (measured round 8).
+    import math
+
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for row in sym.collect():
+        adj.setdefault(row["u"], []).append((row["v"], row["w"]))
+    labels = {u: u for u in adj}
     for _ in range(_LPA_ROUNDS):
-        votes = (
-            sym.join(
-                F.broadcast(
-                    labels.select(F.col("node").alias("v"), F.col("label"))
-                ),
-                "v",
-            )
-            .groupBy(F.col("u").alias("node"), "label")
-            .agg(F.sum("w").alias("wt"))
+        nxt = {}
+        for u, nbrs in adj.items():
+            wt: dict[int, int] = {}
+            for v, w in nbrs:
+                lbl = labels[v]
+                wt[lbl] = wt.get(lbl, 0) + w
+            nxt[u] = min(wt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        labels = nxt
+    m2 = sum(w for nbrs in adj.values() for _, w in nbrs)
+    m2d = float(m2)
+    nodedeg = {u: sum(w for _, w in nbrs) for u, nbrs in adj.items()}
+    comm_nodes: dict[int, int] = {}
+    comm_deg: dict[int, int] = {}
+    for u, lbl in labels.items():
+        comm_nodes[lbl] = comm_nodes.get(lbl, 0) + 1
+        comm_deg[lbl] = comm_deg.get(lbl, 0) + nodedeg[u]
+    internal: dict[int, int] = {}
+    for u, nbrs in adj.items():
+        for v, w in nbrs:
+            if labels[u] == labels[v]:
+                internal[labels[u]] = internal.get(labels[u], 0) + w
+
+    def r6(x: float) -> float:
+        return math.floor(x * 1000000 + 0.5) / 1000000.0
+
+    rows = []
+    q_parts = []
+    for lbl in comm_nodes:
+        iw = internal.get(lbl, 0)
+        dw = comm_deg[lbl]
+        q = iw / m2d - (dw / m2d) * (dw / m2d)
+        q_parts.append((lbl, q))
+        rows.append((lbl, comm_nodes[lbl], iw, dw, r6(q)))
+    acc = 0.0
+    for _, q in sorted(q_parts):
+        acc = acc + q
+    rows.sort()
+    rows.append(
+        (
+            -1,
+            len(comm_nodes),
+            sum(internal.get(lbl, 0) for lbl in comm_nodes),
+            sum(comm_deg.values()),
+            r6(acc),
         )
-        labels = (
-            votes.withColumn("rk", F.row_number().over(rk))
-            .filter(F.col("rk") == 1)
-            .select("node", "label")
-        )
-    labels = labels.localCheckpoint(eager=False)
-    twom = sym.agg(F.sum("w").alias("m2"))
-    nodedeg = sym.groupBy(F.col("u").alias("node")).agg(
-        F.sum("w").alias("deg")
     )
-    comm = (
-        labels.join(nodedeg, "node")
-        .groupBy(F.col("label").alias("community"))
-        .agg(
-            F.count("*").alias("n_nodes"), F.sum("deg").alias("degree_w")
-        )
+    return spark.createDataFrame(
+        rows,
+        "community int, n_nodes long, internal_w long, "
+        "degree_w long, q_contrib double",
     )
-    lu = labels.select(F.col("node").alias("u"), F.col("label").alias("cu"))
-    lv = labels.select(F.col("node").alias("v"), F.col("label").alias("cv"))
-    internal = (
-        sym.join(F.broadcast(lu), "u")
-        .join(F.broadcast(lv), "v")
-        .filter(F.col("cu") == F.col("cv"))
-        .groupBy(F.col("cu").alias("community"))
-        .agg(F.sum("w").alias("internal_w"))
-    )
-    m2d = F.col("m2").cast("double")
-    scored = (
-        comm.join(internal, "community", "left")
-        .crossJoin(F.broadcast(twom))
-        .select(
-            "community",
-            "n_nodes",
-            "degree_w",
-            F.coalesce(F.col("internal_w"), F.lit(0)).alias("internal_w"),
-            (
-                F.coalesce(F.col("internal_w"), F.lit(0)) / m2d
-                - (F.col("degree_w") / m2d) * (F.col("degree_w") / m2d)
-            ).alias("q_contrib"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    per = scored.select(
-        F.col("community").cast("int").alias("community"),
-        F.col("n_nodes").cast("long").alias("n_nodes"),
-        F.col("internal_w").cast("long").alias("internal_w"),
-        F.col("degree_w").cast("long").alias("degree_w"),
-        (F.floor(F.col("q_contrib") * 1000000 + F.lit(0.5)) / 1000000.0)
-        .alias("q_contrib"),
-    )
-    total = scored.agg(
-        F.count("*").alias("nc"),
-        F.sum("internal_w").alias("iw"),
-        F.sum("degree_w").alias("dw"),
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("community", "q_contrib"))),
-            F.lit(0.0),
-            lambda a, x: a + x["q_contrib"],
-        ).alias("q"),
-    ).select(
-        F.lit(-1).cast("int").alias("community"),
-        F.col("nc").cast("long").alias("n_nodes"),
-        F.col("iw").cast("long").alias("internal_w"),
-        F.col("dw").cast("long").alias("degree_w"),
-        (F.floor(F.col("q") * 1000000 + F.lit(0.5)) / 1000000.0).alias(
-            "q_contrib"
-        ),
-    )
-    return per.unionAll(total)
 
 
 # ---------------------------------------------------------------------------

@@ -51,7 +51,10 @@ BASELINE = {
     # single-partition sort exchange)
     "orders_sort_limit": (0, 0, 0, 0, 4, False),
     "dedup_exact_documents": (1, 0, 0, 0, 2, False),
-    "minhash_lsh_pairs": (1, 2, 0, 0, 2, False),
+    # r8: +2 deliberate round-robin exchanges (spread_for_compute
+    # before each signature pass side — the single-split fixture
+    # otherwise serializes the Arrow pass on one core; no-op at scale)
+    "minhash_lsh_pairs": (3, 2, 0, 0, 2, False),
     "ann_topk_bruteforce": (1, 1, 0, 0, 2, False),
     "text_quality": (0, 0, 0, 0, 2, False),
     "rollup_region_nation_sales": (1, 0, 0, 0, 3, True),
