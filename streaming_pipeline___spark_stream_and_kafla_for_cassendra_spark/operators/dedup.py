@@ -130,6 +130,13 @@ def minhash_signatures(
                 doc_ids.append(doc_id)
                 doc_tokids.append(row)
 
+            if not doc_ids:
+                # an all-short-docs batch must yield NOTHING: an empty
+                # pd.DataFrame defaults its columns to float64, which
+                # Arrow cannot convert to the declared list<int64>
+                # signature column (surfaced once spread_for_compute
+                # split small batches across many partitions)
+                continue
             TH = np.array(tok_hashes, dtype=np.uint64)
             ids, sig_list = [], []
             for doc_id, row in zip(doc_ids, doc_tokids):

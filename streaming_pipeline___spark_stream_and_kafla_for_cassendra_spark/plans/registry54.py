@@ -99,11 +99,17 @@ def kmeans_inertia_floor(spark, sf_dir):
             lambda s, x: s + x,
         )
     )
-    unit = emb.select(
+    from ..operators.scale import spread_for_compute
+
+    unit = spread_for_compute(emb.select("vec_id", "embedding")).select(
         "vec_id",
         F.transform("embedding", lambda x: x / norm).alias("u"),
     )
-    dims = unit.select("vec_id", F.posexplode("u").alias("dim", "x"))
+    # dims feeds both the centroid aggregate and the per-vector dot —
+    # checkpoint so the normalize+explode evaluates once per branch
+    dims = unit.select(
+        "vec_id", F.posexplode("u").alias("dim", "x")
+    ).localCheckpoint(eager=False)
     cent = dims.groupBy("dim").agg(F.avg("x").alias("c"))
     cnorm = cent.agg(
         F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn")

@@ -229,9 +229,17 @@ def lsh_blocking_quality(spark, sf_dir):
     )
 
     n_stratum = strat.count()
-    n_truth = truth.count()
     n_cand = cand.count()
-    n_found = truth.join(cand, ["id_a", "id_b"], "left_semi").count()
+    # one action for truth size + completeness hits (was two): a
+    # left join against the checkpointed candidate set, counting
+    # rows and matches in the same aggregate
+    tr = truth.join(
+        cand.withColumn("_hit", F.lit(1)), ["id_a", "id_b"], "left"
+    ).agg(
+        F.count("*").alias("nt"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).alias("nf"),
+    ).collect()[0]
+    n_truth, n_found = tr["nt"], tr["nf"]
     pc = n_found / n_truth if n_truth else 1.0
     rr = 1.0 - n_cand / (n_docs * (n_docs - 1) / 2.0)
     return d.sparkSession.createDataFrame(

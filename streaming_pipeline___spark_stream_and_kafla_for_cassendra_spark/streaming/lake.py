@@ -90,6 +90,22 @@ class LakeTable:
 
     # -- core upsert ----------------------------------------------------
 
+    def _distribute(self, df: DataFrame) -> DataFrame:
+        """Hash-distribute on (partition, record-key salt) before a
+        partitioned write (optimization guide §6, the Iceberg
+        write.distribution-mode=hash analogue): without it every
+        input task writes one file into every date partition it
+        touches — n_tasks × n_partitions small files per upsert. The
+        record-key salt keeps one hot date from collapsing to a
+        single writer."""
+        sc = df.sparkSession.sparkContext
+        par = sc.defaultParallelism
+        return df.repartition(
+            par,
+            F.col(self.partition_field),
+            F.pmod(F.xxhash64(F.col(self.record_key)), F.lit(max(par // 4, 1))),
+        )
+
     def _dedupe(self, df: DataFrame) -> DataFrame:
         """Keep the newest row per record key (precombine desc) —
         Hudi's precombine semantics (MSP:265-266)."""
@@ -133,7 +149,8 @@ class LakeTable:
 
         if not self.exists(spark):
             (
-                incoming.write.partitionBy(self.partition_field)
+                self._distribute(incoming)
+                .write.partitionBy(self.partition_field)
                 .mode("overwrite")
                 .parquet(self.path)
             )
@@ -155,7 +172,8 @@ class LakeTable:
         # dynamic partition overwrite: replaces only `touched` partitions
         with _partition_overwrite_dynamic(spark):
             (
-                merged.write.partitionBy(self.partition_field)
+                self._distribute(merged)
+                .write.partitionBy(self.partition_field)
                 .mode("overwrite")
                 .parquet(self.path)
             )

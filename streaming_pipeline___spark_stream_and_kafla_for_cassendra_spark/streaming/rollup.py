@@ -135,7 +135,13 @@ class RollupTable:
             )
         with _partition_overwrite_dynamic(spark):
             (
-                merged.write.partitionBy(self.partition_field)
+                # hash-distribute on (partition, group keys) before
+                # the partitioned write (guide §6): the merged rollup
+                # otherwise writes one file per (task, date) pair
+                merged.repartition(
+                    F.col(self.partition_field), *self._group_cols
+                )
+                .write.partitionBy(self.partition_field)
                 .mode("overwrite")
                 .parquet(self.path)
             )

@@ -133,9 +133,6 @@ class Scd2Table:
             .drop("_k", "_cur_from")
             .localCheckpoint(eager=False)
         )
-        if len(fresh.take(1)) == 0:
-            return
-
         intra_closed = fresh.filter(F.col(VALID_TO).isNotNull())
         newest = fresh.filter(F.col(VALID_TO).isNull())
 
@@ -149,9 +146,13 @@ class Scd2Table:
         ).select(
             F.col(key).alias("_k"), "_new_from", BUCKET
         )
+        # one action doubles as the fresh-emptiness check (was a
+        # separate take(1) before the bucket collect)
         touched_buckets = [
             r[0] for r in first_new.select(BUCKET).distinct().collect()
         ]
+        if not touched_buckets:
+            return
         first_new = first_new.drop(BUCKET)
         cur_touched = cur_all.filter(F.col(BUCKET).isin(touched_buckets))
         joined = cur_touched.join(

@@ -126,3 +126,55 @@ def test_aqe_splits_skewed_join_partition(conf_guard):
     assert "skew=true" in plan, (
         "AQE should mark the sort-merge join skew-handled:\n" + plan
     )
+
+
+# ---------------------------------------------------------------------------
+# round 8: spread_for_compute — parallelize single-split compute
+# passes locally, provably a no-op on an already-wide input
+# ---------------------------------------------------------------------------
+
+
+def test_spread_for_compute_widens_narrow_input(spark):
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.scale import (
+        spread_for_compute,
+    )
+
+    narrow = spark.range(0, 1000).coalesce(1)
+    assert narrow.rdd.getNumPartitions() == 1
+    spread = spread_for_compute(narrow)
+    assert (
+        spread.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    # row-preserving: same ids, nothing dropped or duplicated
+    assert sorted(r["id"] for r in spread.collect()) == list(range(1000))
+
+
+def test_spread_for_compute_noop_when_wide(spark):
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.scale import (
+        spread_for_compute,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 1000, numPartitions=par + 4)
+    out = spread_for_compute(wide)
+    # already at/above target parallelism: the SAME plan comes back —
+    # no exchange is added (the 100 TB posture)
+    assert out is wide
+
+
+def test_winnow_dense_tier_fills_cluster(spark):
+    """The dense-tier block count floors at the smallest B with
+    B(B+1)/2 >= defaultParallelism, so the matmul stage has at least
+    one block-pair task per core on small corpora."""
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.operators.dedup import (
+        fingerprint_overlap_pairs,
+    )
+
+    rows = [(i, h) for i in range(60) for h in (i % 7, i % 5, 40 + i % 3)]
+    fps = spark.createDataFrame(rows, "doc_id long, fingerprint long")
+    out = fingerprint_overlap_pairs(fps, id_col="doc_id", threshold=0.5)
+    # correctness unchanged by the extra blocks: symmetric, exact
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert all(a < b for a, b in got)
+    assert got, "dense tier should still find overlapping docs"
