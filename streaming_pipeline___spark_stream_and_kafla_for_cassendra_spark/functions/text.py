@@ -102,7 +102,7 @@ def word_ngrams(text: Column | str, n: int = 3) -> Column:
     )
 
 
-def shingle_rows(df, id_col: str, text_col: str, n: int = 3):
+def shingle_rows(df, id_col: str, text_col: str, n: int = 3, spread: bool = True):
     """Exploded distinct word n-gram shingles as (id, gram) rows with a
     deterministic 64-bit gram key.
 
@@ -114,6 +114,12 @@ def shingle_rows(df, id_col: str, text_col: str, n: int = 3):
     tokenization happens once per document; downstream joins carry
     (long, long) rows. The closure is self-contained (workers may not
     have this package on sys.path).
+
+    ``spread=False`` skips the round-robin pre-repartition for
+    consumers whose downstream is exchange-bound rather than
+    shingle-CPU-bound (the r8 prefix-filter residual: the spread
+    exchange feeds straight into several keyed shuffles that repay
+    none of it).
     """
     from pyspark.sql import functions as SF
     from pyspark.sql.types import LongType, StructField, StructType
@@ -149,11 +155,12 @@ def shingle_rows(df, id_col: str, text_col: str, n: int = 3):
 
     from ..operators.scale import spread_for_compute
 
-    return spread_for_compute(
-        df.select(
-            SF.col(id_col).alias("_id"), SF.col(text_col).alias("_text")
-        )
-    ).mapInPandas(gen, out_schema)
+    projected = df.select(
+        SF.col(id_col).alias("_id"), SF.col(text_col).alias("_text")
+    )
+    if spread:
+        projected = spread_for_compute(projected)
+    return projected.mapInPandas(gen, out_schema)
 
 
 def content_fingerprint(text: Column | str) -> Column:

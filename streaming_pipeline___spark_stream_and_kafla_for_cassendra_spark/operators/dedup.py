@@ -723,9 +723,14 @@ def jaccard_prefix_filter_pairs(
     grow with the threshold (prefix length shrinks as 1-t) and with
     corpus skew (stopword-ish grams leave every prefix).
     """
-    grams = shingle_rows(df, id_col, text_col, shingle_n).localCheckpoint(
-        eager=False
-    )
+    # spread=False (r9): unlike the Arrow-CPU-bound consumers, this
+    # path feeds the shingle rows straight into keyed shuffles (df
+    # aggregate, per-id window, prefix self-join) — the round-robin
+    # pre-exchange repays nothing and cost the r8 bench a measured
+    # ~0.9 s on this one consumer.
+    grams = shingle_rows(
+        df, id_col, text_col, shingle_n, spread=False
+    ).localCheckpoint(eager=False)
     return prefix_filter_pairs_from_grams(grams, threshold)
 
 
