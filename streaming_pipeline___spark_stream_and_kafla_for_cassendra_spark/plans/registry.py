@@ -1310,6 +1310,15 @@ CACHE_BACKED_QUERIES = frozenset(
         "reco_precision_at_k",
         "reco_mrr_at_k",
         "reco_ndcg_at_k",
+        # r9: trainer legs — ALS factor tables (per variant) and the
+        # BPE merge table. Cold = train + publish, warm = read +
+        # serve; the bench's cold/warm split keeps the true training
+        # cost visible.
+        "als_recommend_parts",
+        "als_rmse_floor",
+        "bpe_merges_documents",
+        "bpe_token_counts_documents",
+        "tokenizer_fertility_by_lang",
     }
 )
 
@@ -1355,8 +1364,15 @@ def _materialized_leg(spark, tag, input_df, src_objs, thunk):
     h.update(b"|")
     for obj in src_objs:
         h.update(inspect.getsource(obj).encode())
+    uris = input_df.inputFiles()
+    if not uris:
+        # A cached/in-memory or otherwise scan-less frame reports NO
+        # input files; hashing nothing would mint one key for every
+        # dataset (r9: a .cache()d join frame served sf0.1 factors to
+        # an sf0.001 run). No files visible -> never cache.
+        return thunk()
     files = []
-    for uri in input_df.inputFiles():
+    for uri in uris:
         p = uri[len("file:"):] if uri.startswith("file:") else uri
         try:
             st = os.stat(p)
@@ -9853,6 +9869,49 @@ def _bpe_token_counts_oracle() -> str:
     """
 
 
+# The three BPE queries (merges, token counts, fertility) all train
+# the SAME 25-round merge table over the same corpus; the trainer is
+# the cost (60+ stage-jobs of pair-count rounds), the downstream
+# encode is one Arrow pass. Guide §5 (reused AND expensive): the
+# merge table is the shared intermediate — Heaps-law sized (25 rows
+# here), so the leg is KB-sized while the saved recompute is the
+# whole trainer. Same fingerprint-keyed shared-leg machinery as the
+# ngram pair leg: the key binds the trainer params, the SOURCE of
+# functions/bpe.py + functions/text.py (tokenization feeds the word
+# table), and the (path, mtime, size) of the corpus files — any
+# change re-trains.
+_BPE_LEG_PARAMS = dict(num_merges=25)
+
+
+def _bpe_merges_leg(spark, sf_dir):
+    from ..functions import bpe as _bpe
+    from ..functions import text as _tx
+
+    d = _t(spark, sf_dir, "documents")
+    return _materialized_leg(
+        spark,
+        "bpe-merges-leg-v1|" + repr(sorted(_BPE_LEG_PARAMS.items())),
+        d,
+        [_bpe, _tx],
+        lambda: _bpe.merges_df(
+            spark, _bpe.bpe_train(d, "text", **_BPE_LEG_PARAMS)
+        ),
+    )
+
+
+def _bpe_merges_list(spark, sf_dir):
+    """The learned merges as the [(left, right, count), ...] list
+    ``bpe_encode`` consumes — collected from the (25-row) leg in
+    merge_rank order, so a cache hit reproduces the trainer's exact
+    rule order."""
+    return [
+        (r["left"], r["right"], r["pair_count"])
+        for r in _bpe_merges_leg(spark, sf_dir)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+
+
 @_register(
     "bpe_merges_documents",
     _bpe_merges_oracle(),
@@ -9871,10 +9930,7 @@ def _bpe_token_counts_oracle() -> str:
     ("text", "bpe", "tokenizer", "training", "documents"),
 )
 def bpe_merges_documents(spark, sf_dir):
-    from ..functions.bpe import bpe_train, merges_df
-
-    d = _t(spark, sf_dir, "documents")
-    return merges_df(spark, bpe_train(d, "text", num_merges=25))
+    return _bpe_merges_leg(spark, sf_dir)
 
 
 @_register(
@@ -9893,10 +9949,10 @@ def bpe_merges_documents(spark, sf_dir):
     ("text", "bpe", "tokenizer", "documents"),
 )
 def bpe_token_counts_documents(spark, sf_dir):
-    from ..functions.bpe import bpe_encode, bpe_train
+    from ..functions.bpe import bpe_encode
 
     d = _t(spark, sf_dir, "documents")
-    merges = bpe_train(d, "text", num_merges=25)
+    merges = _bpe_merges_list(spark, sf_dir)
     return bpe_encode(d, merges, id_col="doc_id", text_col="text")
 
 

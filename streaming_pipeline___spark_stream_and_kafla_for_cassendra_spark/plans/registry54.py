@@ -221,7 +221,7 @@ def pca_variance_match_floor(spark, sf_dir):
     ("ml", "als", "evaluation", "lineitem"),
 )
 def als_rmse_floor(spark, sf_dir):
-    from ..operators.als import als_train
+    from .registry2 import _als_factors_leg
 
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
@@ -244,7 +244,17 @@ def als_rmse_floor(spark, sf_dir):
     centered = ratings.withColumn(
         "rating", F.col("rating") - F.lit(float(mu))
     )
-    user_f, item_f = als_train(centered, rank=8, iterations=2)
+    # "centered" leg variant: mu is itself a deterministic function of
+    # the same input files the leg fingerprint stats, so keying the
+    # cached factors by (variant, als.py source, file stats) is sound.
+    # The fingerprint frame is the UNCACHED join (a .cache()d frame
+    # reports no input files and would collapse the key across SFs).
+    user_f, item_f = _als_factors_leg(
+        spark,
+        centered,
+        li.join(o, li["l_orderkey"] == o["o_orderkey"]),
+        "centered",
+    )
     eval_r = centered.filter(
         ((F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296))
         % F.lit(stride)

@@ -539,10 +539,11 @@ def _fertility_oracle() -> str:
     ("text", "bpe", "tokenizer", "multilingual", "documents"),
 )
 def tokenizer_fertility_by_lang(spark, sf_dir):
-    from ..functions.bpe import bpe_encode, bpe_train
+    from ..functions.bpe import bpe_encode
+    from .registry import _bpe_merges_list
 
     d = _t(spark, sf_dir, "documents")
-    merges = bpe_train(d, "text", num_merges=25)
+    merges = _bpe_merges_list(spark, sf_dir)
     enc = bpe_encode(d, merges, id_col="doc_id", text_col="text")
     return (
         enc.join(d.select("doc_id", "lang"), "doc_id")

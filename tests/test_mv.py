@@ -182,6 +182,50 @@ def test_result_cache_keyed_materialization(spark, tmp_path):
     assert not hit3 and calls["n"] == 2
 
 
+def test_materialized_leg_never_caches_scanless_frames(spark):
+    """A .cache()d (or otherwise scan-less) fingerprint frame reports
+    NO input files; _materialized_leg must run the thunk UNCACHED
+    rather than mint a dataset-independent key (the r9 ALS-leg bug:
+    sf0.1 factors served to an sf0.001 run)."""
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.plans.registry import (
+        _materialized_leg,
+    )
+
+    cached = spark.range(10).cache()
+    assert cached.inputFiles() == []
+    calls = {"n": 0}
+
+    def thunk():
+        calls["n"] += 1
+        return spark.range(3)
+
+    for _ in range(2):
+        _materialized_leg(spark, "scanless-leg-test", cached, [], thunk)
+    # thunk ran BOTH times: nothing was published under this key
+    assert calls["n"] == 2
+    cached.unpersist()
+
+
+def test_als_factor_leg_keys_by_dataset(spark):
+    """The ALS factor leg must produce dataset-correct factors when
+    two SFs run back-to-back in one process (regression for the
+    scan-less fingerprint collision)."""
+    from streaming_pipeline___spark_stream_and_kafla_for_cassendra_spark.plans.registry import (
+        REGISTRY,
+        clear_shared_leg_cache,
+    )
+
+    by_name = {q.name: q for q in REGISTRY}
+    clear_shared_leg_cache()
+    n_small = by_name["als_recommend_parts"].builder(
+        spark, "/root/testdata/sf0.001"
+    ).count()
+    n_small2 = by_name["als_recommend_parts"].builder(
+        spark, "/root/testdata/sf0.001"
+    ).count()
+    assert n_small == n_small2 == 3  # sf0.001 cohort: 1 user x top-3
+
+
 def test_ngram_pair_leg_matches_live_miner(spark):
     """The materialized shared pair leg must be row-identical to the
     live miner it caches (same params), and a second call must serve
