@@ -43,7 +43,22 @@ def spread_for_compute(df: DataFrame, target: int | None = None) -> DataFrame:
     results (asserted by the phash/fingerprint determinism gates).
     """
     sc = df.sparkSession.sparkContext
-    goal = target or sc.defaultParallelism
+    goal = target
+    if goal is None:
+        # Floor defaultParallelism with the shuffle-partition conf
+        # (VERDICT r8 #4): under dynamic allocation the executor
+        # count at BUILD time can be arbitrarily small, and a goal of
+        # 2 would serialize the compute pass exactly where it is
+        # meant to spread; spark.sql.shuffle.partitions is the
+        # cluster-level statement of intended parallelism. Locally
+        # both are the core count — no behavior change.
+        try:
+            conf_floor = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):  # pragma: no cover - "auto" etc.
+            conf_floor = 0
+        goal = max(sc.defaultParallelism, conf_floor)
     if df.rdd.getNumPartitions() < goal:
         return df.repartition(goal)
     return df

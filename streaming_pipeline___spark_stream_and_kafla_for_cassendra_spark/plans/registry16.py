@@ -265,8 +265,12 @@ def markov_conversion_probability(spark, sf_dir):
     # form and to the unrolled-CTE oracle. Guarded: an unbounded
     # state universe (not an enum) would fall back to the
     # distributed loop rather than collect.
-    rows = cnt.collect()
-    if len(rows) > 4096:  # pragma: no cover - enum-sized by design
+    # LIMIT-bounded decide-then-use (ADVICE r8): collecting at most
+    # 4097 rows bounds driver memory BEFORE we know the universe is
+    # enum-sized; >4096 rows means non-enum states — take the
+    # distributed fallback instead of ever collecting the full table.
+    rows = cnt.limit(4097).collect()
+    if len(rows) > 4096:
         return _markov_conv_distributed(spark, cnt)
     outs: dict[str, int] = {}
     trans: dict[str, list[tuple[str, int]]] = {}

@@ -153,11 +153,17 @@ def max_coverage_doc_selection(spark, sf_dir):
                 .groupBy("doc_id")
                 .agg(F.count("*").alias("gain"))
             )
-        pick = (
+        picked = (
             gain.orderBy(F.col("gain").desc(), F.col("doc_id").asc())
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not picked:
+            # all trigrams covered before _MC_ROUNDS picks (degenerate
+            # corpora): emit fewer rows, like the pre-r8 DataFrame
+            # form did, instead of IndexError (ADVICE r8)
+            break
+        pick = picked[0]
         new_toks = [
             row["tok"]
             for row in dt.filter(F.col("doc_id") == pick["doc_id"])

@@ -98,12 +98,19 @@ class LakeTable:
         touches — n_tasks × n_partitions small files per upsert. The
         record-key salt keeps one hot date from collapsing to a
         single writer."""
-        sc = df.sparkSession.sparkContext
-        par = sc.defaultParallelism
+        # Keyed repartition WITHOUT an explicit count (ADVICE r8): a
+        # fixed repartition(defaultParallelism, ...) capped upsert
+        # write parallelism at core count and sized files as data/par
+        # for arbitrarily large merged frames. Keying on (partition,
+        # record-key salt) under spark.sql.shuffle.partitions + AQE
+        # coalescing sizes writer tasks by advisoryPartitionSizeInBytes
+        # instead — the Iceberg write.distribution-mode=hash shape
+        # (guide §6). The salt modulus is a constant well above any
+        # shuffle-partition count so hash collisions spread evenly
+        # (guide §2.5: 20-100x more distinct keys than partitions).
         return df.repartition(
-            par,
             F.col(self.partition_field),
-            F.pmod(F.xxhash64(F.col(self.record_key)), F.lit(max(par // 4, 1))),
+            F.pmod(F.xxhash64(F.col(self.record_key)), F.lit(4096)),
         )
 
     def _dedupe(self, df: DataFrame) -> DataFrame:
