@@ -6483,7 +6483,17 @@ def cohort_retention_events(spark, sf_dir):
     ("statistics", "winsorize", "lineitem"),
 )
 def winsorize_bounds_lineitem(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    from ..operators.scale import spread_for_compute
+
+    # exact-percentile partials buffer every value inside the scan
+    # stage — single-task on the one-row-group fixture; spread the
+    # 2-column projection so both the bounds leg and the clamp pass
+    # build on all cores (no-op on a multi-split scan)
+    li = spread_for_compute(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_extendedprice"
+        )
+    )
     b = li.groupBy("l_returnflag").agg(
         F.expr("percentile(l_extendedprice, 0.05)").alias("p05"),
         F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
@@ -7439,6 +7449,9 @@ def customer_order_intervals(spark, sf_dir):
     ("agg", "profile", "quality"),
 )
 def profile_numeric_lineitem(spark, sf_dir):
+    # NOT spread (r9 interleaved A/B: 1.93 s spread vs 1.49 s without
+    # — the multi-distinct Expand re-partials AFTER its own keyed
+    # exchange, so a round-robin pre-exchange only added a shuffle)
     li = _t(spark, sf_dir, "lineitem")
     cols = {
         "l_quantity": "qty",

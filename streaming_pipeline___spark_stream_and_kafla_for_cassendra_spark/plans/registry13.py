@@ -215,7 +215,16 @@ def source_balance_entropy(spark, sf_dir):
     ("stats", "robust", "percentile", "lineitem"),
 )
 def quartile_dispersion_by_brand(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    from ..operators.scale import spread_for_compute
+
+    # exact percentile's partial aggregate collects the full value
+    # buffer per group in the SCAN stage — a single-row-group fixture
+    # file serializes that onto one core (guide §2.6/§6); spreading
+    # the 2-column projection first builds the buffers on all cores.
+    # No-op on any multi-split real scan.
+    li = spread_for_compute(
+        _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    )
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     j = li.join(p, li.l_partkey == p.p_partkey)
     q1 = F.expr("percentile(l_extendedprice, 0.25)")

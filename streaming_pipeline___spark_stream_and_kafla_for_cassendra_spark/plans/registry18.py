@@ -247,6 +247,10 @@ def _fd_one_sql(table, lhs, rhs):
     ("quality", "profiling", "lineitem"),
 )
 def functional_dependency_audit(spark, sf_dir):
+    # NOT spread (r9 A/B): adding a round-robin exchange per fact
+    # branch doubled the wall time (1.8 -> 3.5 s re-timed solo) — six
+    # unioned branches x 32-partition exchanges is pure scheduling
+    # overhead against 2-column partial aggregates this cheap.
     out = None
     for table, lhs, rhs in _FD_CANDIDATES:
         src = _t(spark, sf_dir, table).select(

@@ -2189,7 +2189,11 @@ def theil_sen_trend_daily_revenue(spark, sf_dir):
         F.floor(F.round(F.sum("o_totalprice"), 4) * 100 + F.lit(0.5))
         .cast("long")
         .alias("cents")
-    )
+    # the non-equi self-join evaluates its input ONCE PER SIDE — the
+    # orders scan+rollup ran twice (r9 profile: a 2-task 1.4 s job,
+    # both sides' single-effective-task scans back to back);
+    # checkpointing the ~#days-row rollup makes it one scan
+    ).localCheckpoint(eager=False)
     a = daily.alias("a")
     b = daily.alias("b")
     slopes = a.join(b, F.col("b.d") > F.col("a.d")).select(
@@ -3019,7 +3023,11 @@ def bootstrap_ci_mean_price(spark, sf_dir):
             .cast("long")
             .alias("cents"),
         )
-    )
+    # two consumers (the x100 resample leg and the point-mean leg)
+    # re-ran the scan+spread exchange once each (r9 profile: two
+    # back-to-back 3-task jobs); checkpoint the projection so both
+    # read one materialization
+    ).localCheckpoint(eager=False)
     resampled = li.select(
         "cents",
         F.explode(F.sequence(F.lit(1), F.lit(100))).alias("r"),

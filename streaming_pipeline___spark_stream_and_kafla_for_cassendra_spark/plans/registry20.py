@@ -286,9 +286,13 @@ _SPRT_DEC = (
     ("text-quality", "langid", "sequential", "documents"),
 )
 def sprt_langid_early_exit(spark, sf_dir):
+    from ..operators.scale import spread_for_compute
+
     d = _t(spark, sf_dir, "documents")
     s = F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")
-    base = d.select("doc_id", s.alias("s")).filter(F.length("s") >= 1)
+    base = spread_for_compute(
+        d.select("doc_id", s.alias("s")).filter(F.length("s") >= 1)
+    )
 
     # O(1) per-char lookup: the filtered string is [a-z] only, so
     # ascii(c)-96 indexes a 26-literal array — the same doubles the
@@ -300,9 +304,14 @@ def sprt_langid_early_exit(spark, sf_dir):
     def inc_of(c):
         return F.element_at(inc_arr, F.ascii(c) - 96)
 
+    # split the capped prefix ONCE into a char array: substr(s, i, 1)
+    # inside a per-position transform is O(i) per call (UTF8 byte
+    # scan), i.e. O(cap²) per document — the quadratic-substr trap the
+    # CDC rolling hash hit; element_at over the split array is O(1)
+    # (r9: this one fold was a 1.3 s single-task job at sf0.1)
     xs = F.transform(
-        F.sequence(F.lit(1), F.least(F.length("s"), F.lit(_SPRT_CAP))),
-        lambda i: inc_of(F.col("s").substr(i, F.lit(1))),
+        F.split(F.substring(F.col("s"), 1, _SPRT_CAP), ""),
+        lambda c: inc_of(c),
     )
     folded = base.select(
         "doc_id", F.size(xs).alias("n_scanned"), xs.alias("xs")

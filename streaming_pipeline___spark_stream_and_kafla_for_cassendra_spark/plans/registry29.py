@@ -95,6 +95,9 @@ def _lru_step_sql() -> str:
     ("systems", "cache", "recurrence", "lineitem"),
 )
 def lru_cache_hit_rate(spark, sf_dir):
+    # NOT spread (r9 interleaved A/B: ~0.2-0.4 s slower with a round-
+    # robin pre-exchange on the lineitem side — the collect_list
+    # partials already parallelize after the join's keyed exchange)
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     c = _t(spark, sf_dir, "customer")

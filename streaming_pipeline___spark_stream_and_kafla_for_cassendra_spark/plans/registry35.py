@@ -102,6 +102,9 @@ def _lfu_slot_sql(s: int) -> str:
     ("systems", "cache", "recurrence", "lineitem"),
 )
 def lfu_cache_hit_rate(spark, sf_dir):
+    # NOT spread (r9 interleaved A/B: ~0.2-0.4 s slower with a round-
+    # robin pre-exchange on the lineitem side — the collect_list
+    # partials already parallelize after the join's keyed exchange)
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     c = _t(spark, sf_dir, "customer")

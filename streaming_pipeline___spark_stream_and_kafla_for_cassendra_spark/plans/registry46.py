@@ -76,6 +76,9 @@ _XC_JACCARD_PPM = 600000  # 3-gram Jaccard >= 0.6
     ("text-quality", "dedup", "contamination", "documents"),
 )
 def cross_source_contamination_matrix(spark, sf_dir):
+    # NOT spread (r9 interleaved A/B: 2.02 s with a round-robin
+    # pre-exchange vs 1.85 s without — the checkpointed tokenize leg
+    # is cheap enough that the exchange never repays itself here)
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",

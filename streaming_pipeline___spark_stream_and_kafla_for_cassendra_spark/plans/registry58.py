@@ -122,6 +122,11 @@ def _bucket_spark(col):
     ("ml-prep", "sampling", "training-data", "quality", "documents"),
 )
 def dsir_importance_selection(spark, sf_dir):
+    # Left alone after an r9 A/B: spreading (and/or checkpointing) the
+    # bigram leg re-timed SLOWER solo (1.93-2.15 s corrected vs the
+    # 1.35 s floor) — the three narrow single-task consumers evaluate
+    # concurrently as independent stages, so the round-robin exchange
+    # only added shuffle + scheduling.
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", tokens(F.col("text")).alias("w")
