@@ -584,6 +584,29 @@ def main() -> None:
                 {n: v["corrected"] for n, v in sorted(corrected.items())}
             ),
         )
+    # The inline map carries the 10 slowest queries PLUS last round's
+    # inline set (VERDICT r8 #6): the round-over-round comparator
+    # diffs the inline maps, so a query that leaves the top-10
+    # because it was OPTIMIZED otherwise reads as "dropped" (6 false
+    # drops in r8). Union keeps every previously-reported query
+    # visible with its new (faster) number. ADD-only per the driver
+    # contract — nothing is removed or renamed.
+    prev_inline = [
+        "zorder_pruning_audit",
+        "textrank_keywords_documents",
+        "max_coverage_doc_selection",
+        "lsh_blocking_quality",
+        "streaming_sessionize_events",
+        "nelson_aalen_hazard",
+        "hurst_rs_daily_revenue",
+        "jaccard_prefix_filter_pairs",
+        "ann_ivf_indexed_recall_floor",
+        "uplift_by_segment_events",
+    ]
+    inline = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    for name in prev_inline:
+        if name in timings:
+            inline.setdefault(name, timings[name])
     summary = {
         "metric": "headline_query_wall_seconds",
         "value": total,
@@ -593,9 +616,9 @@ def main() -> None:
         "n_errors": len(errors),
         "runs_per_query": runs,
         "aggregation": "min",
-        # brief schema compliance without tail overflow: only the 10
-        # slowest queries inline; the full map is in queries_file
-        "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10]),
+        # brief schema compliance without tail overflow: the slowest
+        # 10 + last round's inline set; the full map is in queries_file
+        "queries": inline,
         "queries_file": os.path.basename(report_path),
         "sentinel_first_s": sentinel_first,
         "sentinel_last_s": sentinel_last,

@@ -123,10 +123,17 @@ def batch_sweep(sf_dir: str, out: str) -> None:
     )
 
 
-def streaming_sweep(sf_dir: str, out: str) -> None:
+def streaming_sweep(sf_dir: str, out: str, heavy: bool = False) -> None:
     """Execute every exec-at-build builder under a UI-enabled session,
     then lint ALL SQL executions the app ran (foreachBatch inner
-    plans included) from the UI REST API."""
+    plans included) from the UI REST API.
+
+    ``heavy=True`` sweeps the HEAVY_BUILDERS set instead (VERDICT r8
+    #3/#5): the batch sweep skips them because their builders train /
+    collect at build time, which had removed their fact-scan plans
+    from lint coverage when the r8 driver-loop rewrites landed —
+    exec-at-build SQL-execution linting sees every plan those
+    builders actually ran, including the pre-collect fact scans."""
     import urllib.request
 
     from pyspark.sql import SparkSession
@@ -149,7 +156,10 @@ def streaming_sweep(sf_dir: str, out: str) -> None:
     ran, errors = [], {}
     boundaries = {}
     for q in _registry():
-        if not (EXEC_AT_BUILD_TAGS & set(q.tags)):
+        if heavy:
+            if q.name not in HEAVY_BUILDERS:
+                continue
+        elif not (EXEC_AT_BUILD_TAGS & set(q.tags)):
             continue
         t0 = time.perf_counter()
         try:
@@ -177,7 +187,7 @@ def streaming_sweep(sf_dir: str, out: str) -> None:
                 }
             )
     report = {
-        "mode": "streaming",
+        "mode": "heavy" if heavy else "streaming",
         "sf_dir": sf_dir,
         "n_builders_ran": len(ran),
         "ran": ran,
@@ -203,18 +213,21 @@ def streaming_sweep(sf_dir: str, out: str) -> None:
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     streaming = "--streaming" in sys.argv
+    heavy = "--heavy" in sys.argv
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     out = (
         args[1]
         if len(args) > 1
         else (
-            "/tmp/plan_sweep_streaming.json"
+            "/tmp/plan_sweep_heavy.json"
+            if heavy
+            else "/tmp/plan_sweep_streaming.json"
             if streaming
             else "/tmp/plan_sweep.json"
         )
     )
-    if streaming:
-        streaming_sweep(sf_dir, out)
+    if streaming or heavy:
+        streaming_sweep(sf_dir, out, heavy=heavy)
     else:
         batch_sweep(sf_dir, out)
 
