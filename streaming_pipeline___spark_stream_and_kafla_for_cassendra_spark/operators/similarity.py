@@ -1157,11 +1157,13 @@ def kmeans_assign(
                 }
             )
 
-    from .scale import spread_for_compute
-
-    return spread_for_compute(
-        candidates.select(id_col, vec_col)
-    ).mapInPandas(assign, schema)
+    # No spread (r9 interleaved A/B): the broadcast-centroid matmul is
+    # microseconds per batch at the embeddings fixture's row counts,
+    # so the round-robin pre-exchange only added shuffle + 32 Python
+    # task spin-ups (kmeans_embedding_clusters 0.67 s without vs
+    # 1.12 s with). On any real wide scan the assignment is already
+    # parallel — the exchange bought nothing at either scale.
+    return candidates.select(id_col, vec_col).mapInPandas(assign, schema)
 
 
 def hard_negatives(

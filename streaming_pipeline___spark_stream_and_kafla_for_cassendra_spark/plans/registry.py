@@ -9615,7 +9615,10 @@ def woe_price_bins_lineitem(spark, sf_dir):
     per_bin = binned.groupBy("bin").agg(
         F.count("*").alias("n"),
         F.sum(F.when(F.col("bad"), 1).otherwise(0)).alias("n_bad"),
-    )
+    # 10-row aggregate with two consumers (the totals and the final
+    # select) — without the checkpoint each consumer re-ran the whole
+    # dense_ids + binning pass (r9 profile: 1.8 s + 0.9 s jobs)
+    ).localCheckpoint(eager=False)
     tot = per_bin.agg(
         F.sum("n_bad").alias("tot_bad"),
         F.sum(F.col("n") - F.col("n_bad")).alias("tot_good"),

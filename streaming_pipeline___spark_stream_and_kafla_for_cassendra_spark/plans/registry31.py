@@ -153,26 +153,32 @@ def max_coverage_doc_selection(spark, sf_dir):
                 .groupBy("doc_id")
                 .agg(F.count("*").alias("gain"))
             )
-        picked = (
-            gain.orderBy(F.col("gain").desc(), F.col("doc_id").asc())
-            .limit(1)
+        # ONE action per round (r9): broadcast-join the argmax doc
+        # back onto dt so the pick and its full token list arrive in
+        # the same collect — the separate token-fetch action doubled
+        # the round count's scheduling cost (46 jobs profiled).
+        top1 = gain.orderBy(
+            F.col("gain").desc(), F.col("doc_id").asc()
+        ).limit(1)
+        rows = (
+            dt.join(F.broadcast(top1), "doc_id")
+            .select("doc_id", "gain", "tok")
             .collect()
         )
-        if not picked:
+        if not rows:
             # all trigrams covered before _MC_ROUNDS picks (degenerate
             # corpora): emit fewer rows, like the pre-r8 DataFrame
             # form did, instead of IndexError (ADVICE r8)
             break
-        pick = picked[0]
-        new_toks = [
-            row["tok"]
-            for row in dt.filter(F.col("doc_id") == pick["doc_id"])
-            .select("tok")
-            .collect()
-        ]
-        covered_set.update(new_toks)
+        covered_set.update(row["tok"] for row in rows)
         picks_rows.append(
-            (r, pick["doc_id"], pick["gain"], len(covered_set), vocab_size)
+            (
+                r,
+                rows[0]["doc_id"],
+                rows[0]["gain"],
+                len(covered_set),
+                vocab_size,
+            )
         )
     return spark.createDataFrame(
         picks_rows,

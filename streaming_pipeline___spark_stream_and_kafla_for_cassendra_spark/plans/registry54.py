@@ -99,9 +99,9 @@ def kmeans_inertia_floor(spark, sf_dir):
             lambda s, x: s + x,
         )
     )
-    from ..operators.scale import spread_for_compute
-
-    unit = spread_for_compute(emb.select("vec_id", "embedding")).select(
+    # no spread (r9 A/B: 1.78 s without vs 1.86 s with — the per-row
+    # normalize is too cheap to repay an exchange at this row count)
+    unit = emb.select("vec_id", "embedding").select(
         "vec_id",
         F.transform("embedding", lambda x: x / norm).alias("u"),
     )

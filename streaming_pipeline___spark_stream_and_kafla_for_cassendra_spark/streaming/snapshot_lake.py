@@ -138,23 +138,29 @@ class SnapshotLakeTable:
         """Merge a batch (precombine latest-wins per key within a
         partition, like ``LakeTable``) and commit a new version.
         Returns the committed version number."""
-        if len(batch.take(1)) == 0:
-            return self.latest_version()
         base = self.latest_version()
         live = self._live_files(base)
 
         w = Window.partitionBy(self.record_key).orderBy(
             F.col(self.precombine_field).desc()
         )
+        # checkpoint the deduped batch: the touched-partition probe
+        # and every per-partition write below otherwise re-run the
+        # window dedup per action (r9 — the same fused-gate shape the
+        # r8 SCD2 fix landed). The touched collect doubles as the
+        # emptiness gate the old take(1) action paid separately: an
+        # empty batch has no partitions.
         incoming = (
             batch.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
-        )
+        ).localCheckpoint(eager=False)
         touched = [
             str(r[0])
             for r in incoming.select(self.partition_field).distinct().collect()
         ]
+        if not touched:
+            return base
         old_files = [f for p in touched for f in live.get(p, [])]
         if old_files:
             existing = spark.read.parquet(*old_files)
@@ -163,7 +169,9 @@ class SnapshotLakeTable:
                 .withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
-            )
+            # one materialization feeds every touched partition's
+            # write instead of re-merging per partition
+            ).localCheckpoint(eager=False)
         else:
             merged = incoming
 
