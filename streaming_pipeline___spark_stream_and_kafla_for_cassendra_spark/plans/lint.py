@@ -64,6 +64,13 @@ HEAVY_BUILDERS: frozenset[str] = frozenset(
         "near_dup_canonical_docs",
         "dedup_keep_best_documents",
         "dedup_survivorship_audit",
+        # r9: the BPE queries serve the trainer through the shared-leg
+        # cache — a cache miss trains the 25-round merge table at
+        # build (the als_* rows above already behaved this way); their
+        # executed plans are linted by the --heavy sweep instead:
+        "bpe_merges_documents",
+        "bpe_token_counts_documents",
+        "tokenizer_fertility_by_lang",
         # round 8: bounded-graph / enum-state iterations moved to a
         # guarded driver loop — the builder collects a LIMIT/enum-
         # bounded table and runs the fact scan at build time:
